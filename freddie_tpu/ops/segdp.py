@@ -1,0 +1,336 @@
+"""The segmentation breakpoint DP -- hot kernel #1.
+
+Replaces the reference's memoized triple-index recursion
+(py/freddie_segment.py:475-568) with a closed-form wavefront DP that is
+batchable across thousands of problems on TPU.
+
+Derivation. The reference maximizes, over chains of breakpoints
+start < j0 < k0 < k1 < ... < end, the score
+
+    sum over consecutive segments of  inside(a, b)
+  + sum over interior breakpoints of  outside(a, b, c)
+
+where for read-rep coverage ratios between candidates a<b (from the
+cumulative coverage matrix C):
+
+    yea(a,b,r):  ratio > high-threshold(len)    [covered]
+    nay(a,b,r):  ratio < 1 - high-threshold     [absent]
+    inside(a,b)   = - sum_r W_r * ambiguous(a,b,r)
+    outside(a,b,c)= sum_r W_r * (yea(a,b,r)&nay(b,c,r) | nay&yea)
+                    gated to -inf when below min_read_support_outside
+    segments shorter than 5 bp are forbidden.
+
+The reference's recursion D(i,j,k) depends on i only through
+inside(i,j)+outside(i,j,k), so with
+
+    H[j,k] = best score of the suffix starting with segment (j,k)
+    H[j,end] = inside(j,end)
+    H[j,k]   = max_{k_>k} [ -inf if small(j,k) or small(k,k_)
+                            else inside(j,k)+outside(j,k,k_)+H[k,k_] ]
+
+the optimum is max over (j,k) of D0[j,k] = inside(0,j)+outside(0,j,k)+H[j,k]
+(with smallness masks) against the no-segmentation baseline inside(0,end).
+Tie-breaking matches the reference exactly: first (row-major) argmax for the
+top-level pair and first argmax over k_ for each backpointer (the
+reference's ascending scans with strict improvement).
+
+All threshold decisions use scaled integers (ops.thresholds), so the host
+oracle (numpy) and the batched TPU kernel are bit-identical. Scores are
+small integers carried in f32 (exact below 2^24).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+from .thresholds import ScaledThresholds
+
+NEG = np.float32(-np.inf)
+MIN_SEG_LEN = 5  # py/freddie_segment.py:540
+
+
+@dataclass
+class DPProblem:
+    """One segmentation problem: candidates [start..end] of one tint interval.
+
+    C: (P, R) int64 -- cumulative coverage rows at the problem's candidates.
+    y: (P,) int64   -- candidate positions (y-space) for lengths/min-seg rules.
+    W: (R,) int64   -- read-rep weights (multiplicities).
+    """
+
+    C: np.ndarray
+    y: np.ndarray
+    W: np.ndarray
+    read_support: int
+
+
+def _pair_tensors(C, y, W, thr: ScaledThresholds):
+    """inside (P,P) and outside (P,P,P) tensors, f32 with -inf gates."""
+    P = len(y)
+    scale = thr.scale
+    diff = (C[None, :, :] - C[:, None, :]).astype(np.int64)  # [i,j,r]
+    seg_len = (y[None, :] - y[:, None] + 1).astype(np.int64)  # [i,j]
+    h = thr.high_scaled(np.maximum(seg_len, 0)).astype(np.int64)
+    yea = scale * diff > (h * seg_len)[:, :, None]
+    nay = scale * diff < ((scale - h) * seg_len)[:, :, None]
+    Wf = W.astype(np.float32)
+    yeaW = yea.astype(np.float32) * Wf[None, None, :]
+    nayW = nay.astype(np.float32) * Wf[None, None, :]
+    w_sum = np.float32(Wf.sum())
+    inside = -(w_sum - yeaW.sum(axis=2) - nayW.sum(axis=2))  # (P,P)
+    outside = np.einsum("ijr,jkr->ijk", yeaW, nay.astype(np.float32)) + np.einsum(
+        "ijr,jkr->ijk", nayW, yea.astype(np.float32)
+    )
+    return inside.astype(np.float32), outside.astype(np.float32), seg_len
+
+
+def solve_host(problem: DPProblem, thr: ScaledThresholds) -> list[int]:
+    """Solve one problem on the host; returns chosen breakpoints (local
+    indices in (0, P-1), exclusive of the fixed endpoints)."""
+    P = len(problem.y)
+    if P <= 2:
+        return []
+    inside, outside, seg_len = _pair_tensors(problem.C, problem.y, problem.W, thr)
+    outside = np.where(outside < problem.read_support, NEG, outside)
+    small = (problem.y[None, :] - problem.y[:, None]) < MIN_SEG_LEN  # [a,b] a<b
+
+    end = P - 1
+    H = np.full((P, P), NEG, dtype=np.float32)
+    K = np.full((P, P), -1, dtype=np.int64)
+    H[:end, end] = inside[:end, end]
+    for j in range(end - 2, -1, -1):
+        # candidates k in (j, end), k_ in (k, end]
+        for k in range(j + 1, end):
+            if small[j, k]:
+                continue
+            vals = outside[j, k, k + 1 : end + 1] + H[k, k + 1 : end + 1]
+            vals = np.where(small[k, k + 1 : end + 1], NEG, vals)
+            best = int(np.argmax(vals))
+            if vals[best] == NEG:
+                continue
+            H[j, k] = inside[j, k] + vals[best]
+            K[j, k] = k + 1 + best
+
+    # Top-level selection (first row-major argmax, strict vs no-segmentation).
+    D0 = np.full((P, P), NEG, dtype=np.float32)
+    for j in range(1, end):
+        if small[0, j]:
+            continue
+        row = inside[0, j] + outside[0, j, j + 1 : end + 1] + H[j, j + 1 : end + 1]
+        row = np.where(small[j, j + 1 : end + 1], NEG, row)
+        D0[j, j + 1 : end + 1] = row
+    baseline = inside[0, end]
+    flat = int(np.argmax(D0))
+    best_j, best_k = divmod(flat, P)
+    if not (D0[best_j, best_k] > baseline):
+        return []
+    out = [best_j, best_k]
+    j, k = best_j, best_k
+    while K[j, k] >= 0:
+        k_ = int(K[j, k])
+        out.append(k_)
+        j, k = k, k_
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batched device kernel (XLA; jit-compiled once per padded bucket shape).
+# ---------------------------------------------------------------------------
+
+
+def _solve_batch_jax(C, y, W, n_cand, read_support, lookup, scale):
+    """Batched DP over padded problems.
+
+    C: (B, P, R) int32    cumulative coverage (padded reps have W=0)
+    y: (B, P) int32       candidate positions (padding: y[n-1] replicated)
+    W: (B, R) f32         rep weights
+    n_cand: (B,) int32    valid candidate count per problem
+    lookup: (L+1,) int32  scaled threshold table (last entry = rate)
+    Returns (K, best_j, best_k): backpointers (B,P,P) i32 and the top pair
+    per problem (-1 when no segmentation wins).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, P, R = C.shape
+    L = lookup.shape[0] - 1
+    neg = jnp.float32(-jnp.inf)
+
+    diff = C[:, None, :, :] - C[:, :, None, :]  # (B,i,j,r) int32
+    seg_len = y[:, None, :] - y[:, :, None] + 1  # (B,i,j) int32
+    h = lookup[jnp.minimum(jnp.maximum(seg_len, 0), L)]  # (B,i,j) int32
+    yea = scale * diff > (h * seg_len)[..., None]
+    nay = scale * diff < ((scale - h) * seg_len)[..., None]
+    yeaf = yea.astype(jnp.float32)
+    nayf = nay.astype(jnp.float32)
+    yeaW = yeaf * W[:, None, None, :]
+    nayW = nayf * W[:, None, None, :]
+    w_sum = jnp.sum(W, axis=1)[:, None, None]
+    inside = -(w_sum - jnp.sum(yeaW, axis=3) - jnp.sum(nayW, axis=3))  # (B,i,j)
+    # outside[b,i,j,k] = sum_r yeaW[b,i,j,r]*nay[b,j,k,r] + nayW*yea
+    outside = jnp.einsum(
+        "bijr,bjkr->bijk", yeaW, nayf, preferred_element_type=jnp.float32
+    ) + jnp.einsum("bijr,bjkr->bijk", nayW, yeaf, preferred_element_type=jnp.float32)
+    outside = jnp.where(outside < read_support, neg, outside)
+
+    end = (n_cand - 1)[:, None]  # (B,1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)  # (B,P)
+    small = (y[:, None, :] - y[:, :, None]) < MIN_SEG_LEN  # (B,a,b)
+
+    # H init: column `end` holds inside(j, end) for j < end.
+    is_end_col = idx[:, None, :] == end[:, :, None]  # (B,j,k): k == end
+    j_lt_end = idx[:, :, None] < end[:, :, None]
+    inside_j_end = jnp.take_along_axis(
+        inside, jnp.broadcast_to(end[:, :, None], (B, P, 1)), axis=2
+    )  # (B,j,1) = inside[b,j,end]
+    H0 = jnp.where(is_end_col & j_lt_end, inside_j_end, neg)  # (B,P,P)
+
+    kk = idx  # alias for clarity: candidate index along a P axis
+
+    def step(H, j):
+        # Row j of H: for k in (j, end), H[j,k] = inside[j,k] + max_k_ (...)
+        out_j = jax.lax.dynamic_index_in_dim(outside, j, axis=1, keepdims=False)
+        # (B,k,k_) values
+        in_j = jax.lax.dynamic_index_in_dim(inside, j, axis=1, keepdims=False)
+        small_j = jax.lax.dynamic_index_in_dim(small, j, axis=1, keepdims=False)
+        vals = out_j + H  # (B,k,k_): outside[j,k,k_] + H[k,k_]
+        kmask = (
+            (kk[:, :, None] < kk[:, None, :])  # k_ > k
+            & (kk[:, None, :] <= end[:, :, None])  # k_ <= end
+            & ~small[..., :, :]  # small(k,k_)
+        )
+        vals = jnp.where(kmask, vals, neg)
+        row_max = jnp.max(vals, axis=2)  # (B,k)
+        row_arg = jnp.argmax(vals, axis=2).astype(jnp.int32)
+        valid_k = (kk > j) & (kk < end) & ~small_j & (row_max > neg)
+        row_H = jnp.where(valid_k, in_j + row_max, neg)
+        # Preserve the end column (and -inf elsewhere) from H0-style init.
+        keep = kk == end
+        in_j_end = jnp.take_along_axis(in_j, end, axis=1)  # (B,1)
+        row_H = jnp.where(keep & (j < end), in_j_end, row_H)
+        row_K = jnp.where(valid_k, row_arg, -1)
+        H = jax.lax.dynamic_update_index_in_dim(H, row_H, j, axis=1)
+        return H, (row_H, row_K)
+
+    js = jnp.arange(P - 2, -1, -1, dtype=jnp.int32)
+    H_final, (rows_H, rows_K) = jax.lax.scan(step, H0, js)
+    # Scatter emitted rows back into (B,P,P) order.
+    K = jnp.full((B, P, P), -1, dtype=jnp.int32)
+    K = K.at[:, js, :].set(jnp.moveaxis(rows_K, 0, 1)[:, :, :])
+
+    # Top level: D0[j,k] = inside[0,j] + outside[0,j,k] + H[j,k], masks.
+    in0 = inside[:, 0, :]  # (B,j)
+    out0 = outside[:, 0, :, :]  # (B,j,k)
+    small0 = small[:, 0, :]  # (B,j)
+    jmask = (
+        (kk[:, :, None] > 0)
+        & (kk[:, :, None] < end[:, :, None])  # 0 < j < end
+        & (kk[:, None, :] > kk[:, :, None])  # k > j
+        & (kk[:, None, :] <= end[:, :, None])  # k <= end
+        & ~small0[:, :, None]  # small(0,j)
+        & ~small[..., :, :]  # small(j,k)
+    )
+    D0 = jnp.where(jmask, in0[:, :, None] + out0 + H_final, neg)
+    baseline = jnp.take_along_axis(in0, end, axis=1)[:, 0]  # inside[0,end]
+    flat = jnp.argmax(D0.reshape(B, P * P), axis=1)
+    best = jnp.max(D0.reshape(B, P * P), axis=1)
+    ok = best > baseline
+    best_j = jnp.where(ok, flat // P, -1).astype(jnp.int32)
+    best_k = jnp.where(ok, flat % P, -1).astype(jnp.int32)
+    return K, best_j, best_k
+
+
+_jitted_cache: dict = {}
+
+
+def _get_jitted():
+    import jax
+
+    if "fn" not in _jitted_cache:
+        _jitted_cache["fn"] = jax.jit(
+            _solve_batch_jax, static_argnames=("read_support", "scale")
+        )
+    return _jitted_cache["fn"]
+
+
+def suggested_batch_size(P: int, R: int, budget_bytes: int = 4 << 30) -> int:
+    """Batch size keeping the (B,P,P,R) intermediates within budget."""
+    per_problem = P * P * R * 4 * 6 + P * P * P * 4
+    return max(1, min(4096, budget_bytes // max(per_problem, 1)))
+
+
+def solve_batch_device(
+    problems: list[DPProblem],
+    thr: ScaledThresholds,
+    pad_p_to: int = 8,
+    pad_r_to: int = 128,
+) -> list[list[int]]:
+    """Solve a batch of problems on the device (or CPU backend for tests).
+
+    Problems are padded to a common (P, R); identical results to
+    solve_host, bit for bit. Returns per-problem local breakpoint chains.
+    """
+    import jax.numpy as jnp
+
+    if not problems:
+        return []
+    results: list[list[int] | None] = [None] * len(problems)
+    work = []
+    for i, pr in enumerate(problems):
+        if len(pr.y) <= 2:
+            results[i] = []
+        else:
+            work.append(i)
+    if not work:
+        return [r for r in results]  # type: ignore
+
+    def rnd(x, m):
+        return ((x + m - 1) // m) * m
+
+    P = rnd(max(len(problems[i].y) for i in work), pad_p_to)
+    R = rnd(max(problems[i].C.shape[1] for i in work), pad_r_to)
+    B = len(work)
+    C = np.zeros((B, P, R), dtype=np.int32)
+    y = np.zeros((B, P), dtype=np.int32)
+    W = np.zeros((B, R), dtype=np.float32)
+    n_cand = np.zeros((B,), dtype=np.int32)
+    rs = {problems[i].read_support for i in work}
+    assert len(rs) == 1, "mixed read_support in one batch"
+    for b, i in enumerate(work):
+        pr = problems[i]
+        p, r = pr.C.shape
+        C[b, :p, :r] = pr.C
+        C[b, p:, :r] = pr.C[-1]  # replicate last row; padded y too
+        y[b, :p] = pr.y
+        y[b, p:] = pr.y[-1]
+        W[b, :r] = pr.W
+        n_cand[b] = p
+
+    fn = _get_jitted()
+    K, best_j, best_k = fn(
+        jnp.asarray(C),
+        jnp.asarray(y),
+        jnp.asarray(W),
+        jnp.asarray(n_cand),
+        read_support=next(iter(rs)),
+        lookup=jnp.asarray(thr.lookup),
+        scale=thr.scale,
+    )
+    K = np.asarray(K)
+    best_j = np.asarray(best_j)
+    best_k = np.asarray(best_k)
+    for b, i in enumerate(work):
+        j, k = int(best_j[b]), int(best_k[b])
+        if j < 0:
+            results[i] = []
+            continue
+        out = [j, k]
+        while K[b, j, k] >= 0:
+            k_ = int(K[b, j, k])
+            out.append(k_)
+            j, k = k, k_
+        results[i] = out
+    return [r for r in results]  # type: ignore

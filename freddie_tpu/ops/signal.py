@@ -1,0 +1,105 @@
+"""Splice-signal smoothing, peak candidates, and segmentation refinement.
+
+Host-side float path. Smoothing and peak detection use scipy (the same
+library the reference calls at py/freddie_segment.py:755,615-621,249-266),
+so plateau handling and float rounding are bit-identical to the reference;
+the device throughput path batches the same convolution in XLA but the
+canonical candidate set is always produced here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.ndimage import gaussian_filter1d
+from scipy.signal import find_peaks
+
+
+def smooth_signal(y_raw: np.ndarray, sigma: float) -> np.ndarray:
+    """Gaussian smoothing of the raw splice signal (truncate=4.0, reflect)."""
+    return gaussian_filter1d(y_raw, sigma, truncate=4.0)
+
+
+def candidates_from_peaks(y: np.ndarray) -> list[int]:
+    """Peak locations plus both endpoints (py/freddie_segment.py:615-621)."""
+    c, _ = find_peaks(y)
+    c = list(c)
+    c.append(0)
+    c.append(len(y) - 1)
+    return sorted(set(c))
+
+
+def variance_threshold(smoothed: list[np.ndarray], variance_factor: float) -> float:
+    """mean + k*std over the nonzero smoothed signal across all intervals
+    (py/freddie_segment.py:757-759)."""
+    vals = np.array([v for y in smoothed for v in y if v > 0])
+    return vals.mean() + variance_factor * vals.std()
+
+
+def break_large_problems(
+    candidate_y_idxs: list[int],
+    fixed_c_idxs: set[int],
+    y: np.ndarray,
+    max_problem_size: int,
+    window: int = 5,
+) -> set[int]:
+    """Insert fixed breakpoints so no DP problem exceeds max_problem_size.
+
+    For each oversized run between fixed candidates, anchors are placed at
+    evenly spaced positions and snapped to the highest-signal candidate in
+    [anchor-window, anchor+window) (py/freddie_segment.py:623-645; note the
+    half-open window of the reference's range())."""
+    from math import ceil
+
+    pairs = sorted(fixed_c_idxs)
+    for c_idx_s, c_idx_e in zip(pairs[:-1], pairs[1:]):
+        problem_size = c_idx_e - c_idx_s + 1
+        if problem_size <= max_problem_size:
+            continue
+        n_new = ceil(problem_size / max_problem_size)
+        step = problem_size / n_new
+        for i in range(1, n_new):
+            mid = int(c_idx_s + i * step)
+            best_v = float("-inf")
+            best_c = None
+            for c_idx in range(mid - window, mid + window):
+                v = y[candidate_y_idxs[c_idx]]
+                if v > best_v:
+                    best_v = v
+                    best_c = c_idx
+            assert best_v > 0
+            fixed_c_idxs.add(best_c)
+    return fixed_c_idxs
+
+
+def refine_segmentation(
+    y_raw: np.ndarray,
+    y_idxs: list[int],
+    sigma: float,
+    skip: int = 20,
+    min_internal_splice: int = 20,
+) -> list[int]:
+    """Recover intra-segment splice sites the DP smoothed over
+    (py/freddie_segment.py:249-266): inside every final segment longer than
+    2*skip, zero the skip-margins, re-smooth with a tight kernel
+    (truncate=1.0, constant padding) and keep peaks (min distance=skip)
+    whose +-sigma local mass reaches min_internal_splice."""
+    refine: list[int] = []
+    for s, e in zip(y_idxs[:-1], y_idxs[1:]):
+        if e - s <= 2 * skip:
+            continue
+        vals = np.array(y_raw[s:e], dtype=np.float64)
+        vals[:skip] = 0.0
+        vals[len(vals) - skip :] = 0.0
+        if vals.sum() < min_internal_splice:
+            continue
+        g = gaussian_filter1d(vals, sigma, mode="constant", cval=0.0, truncate=1.0)
+        for i in find_peaks(g, distance=skip)[0]:
+            lo = int(round(i - sigma))
+            hi = int(round(i + sigma + 1))
+            # Left-to-right float sum, matching the reference's built-in sum()
+            # over the slice (np.sum's pairwise order could differ in the
+            # last ulp against the exact-integer threshold).
+            if sum(g[lo:hi].tolist()) < min_internal_splice:
+                continue
+            refine.append(int(i) + s)
+    return refine

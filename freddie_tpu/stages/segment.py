@@ -1,0 +1,273 @@
+"""Stage 2 -- segment: canonical segmentation per tint + per-read 0/1/2 data.
+
+Re-architects the reference's per-tint process pool
+(py/freddie_segment.py:681-885) as a two-phase batch pipeline:
+
+  Phase A (host, per tint): splice signal -> smoothing -> peak candidates ->
+      cumulative coverage -> fixed breakpoints -> a list of DP problems.
+  Phase B (device, batched): ALL problems from ALL tints are padded,
+      bucketed and solved by the batched DP kernel (ops.segdp) -- this is
+      where the FLOPs are, and it runs as a few large XLA launches instead
+      of the reference's per-problem Python recursion.
+  Phase C (host, per tint): union of breakpoints -> refinement ->
+      genotyping -> per-read polyA/gap annotation -> segment TSV.
+
+Results are bit-identical to solving each problem on the host oracle.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import SegmentConfig
+from ..io.tsv import SplitTint, format_segment_tsv, load_read_sequences, parse_split_tsv
+from ..ops import signal as sig
+from ..ops.coverage import cumulative_coverage
+from ..ops.polya import annotate_gaps_and_polya
+from ..ops.segdp import DPProblem, solve_batch_device, solve_host, suggested_batch_size
+from ..ops.thresholds import ScaledThresholds
+
+
+@dataclass
+class _IntervalWork:
+    y_raw: np.ndarray
+    y_smooth: np.ndarray
+    candidates: list[int]
+    C: np.ndarray  # (P+1, R) cumulative coverage at candidates
+    fixed: list[int]
+    starts: np.ndarray  # read-rep interval starts (y-space)
+    ends: np.ndarray
+    reps: np.ndarray
+    problems: list[int] = field(default_factory=list)  # global problem ids
+    problem_bounds: list[tuple[int, int]] = field(default_factory=list)
+
+
+@dataclass
+class TintWork:
+    tint: SplitTint
+    weights: np.ndarray  # (R,) rep multiplicities
+    intervals: list[_IntervalWork] = field(default_factory=list)
+
+
+def build_splice_signal(tint: SplitTint, consider_ends: bool):
+    """Raw splice signal per tint interval + per-interval read-rep interval
+    arrays in y-space (py/freddie_segment.py:648-678)."""
+    iv_bounds = np.array(tint.intervals, dtype=np.int64)  # (n_iv, 2)
+    y_raws = [np.zeros(e - s + 1) for s, e in tint.intervals]
+    per_iv: list[list[tuple[int, int, int]]] = [[] for _ in tint.intervals]
+    for rep_idx, (rep_key, ridxs) in enumerate(tint.read_reps):
+        mult = len(ridxs)
+        n = len(rep_key)
+        for idx, (ts, te) in enumerate(rep_key):
+            iv = int(np.searchsorted(iv_bounds[:, 0], ts, side="right")) - 1
+            s, e = tint.intervals[iv]
+            assert s <= ts <= te <= e, (ts, te, s, e)
+            y_s, y_e = ts - s, te - s
+            if consider_ends or idx != 0:
+                y_raws[iv][y_s] += mult
+            if consider_ends or idx != n - 1:
+                y_raws[iv][y_e] += mult
+            per_iv[iv].append((y_s, y_e, rep_idx))
+    return y_raws, per_iv
+
+
+def prepare_tint(tint: SplitTint, cfg: SegmentConfig, thr: ScaledThresholds) -> tuple[TintWork, list[DPProblem]]:
+    weights = np.array([len(r) for _, r in tint.read_reps], dtype=np.int64)
+    y_raws, per_iv = build_splice_signal(tint, cfg.consider_ends)
+    smoothed = [sig.smooth_signal(y, cfg.sigma) for y in y_raws]
+    var_thr = sig.variance_threshold(smoothed, cfg.variance_factor)
+
+    work = TintWork(tint=tint, weights=weights)
+    problems: list[DPProblem] = []
+    for iv_idx, (y_raw, y) in enumerate(zip(y_raws, smoothed)):
+        cands = sig.candidates_from_peaks(y)
+        rows = per_iv[iv_idx]
+        if rows:
+            starts = np.array([r[0] for r in rows], dtype=np.int64)
+            ends = np.array([r[1] for r in rows], dtype=np.int64)
+            reps = np.array([r[2] for r in rows], dtype=np.int64)
+        else:
+            starts = ends = reps = np.zeros(0, dtype=np.int64)
+        C = cumulative_coverage(
+            starts, ends, reps, len(weights), np.array(cands), validate=cfg.validate
+        )
+        fixed = {0, len(cands) - 1}
+        for c_idx, y_idx in enumerate(cands):
+            if y[y_idx] > var_thr:
+                fixed.add(c_idx)
+        fixed = sig.break_large_problems(cands, fixed, y, cfg.max_problem_size)
+        fixed = sorted(fixed)
+        iw = _IntervalWork(
+            y_raw=y_raw,
+            y_smooth=y,
+            candidates=cands,
+            C=C,
+            fixed=fixed,
+            starts=starts,
+            ends=ends,
+            reps=reps,
+        )
+        cand_arr = np.array(cands, dtype=np.int64)
+        for s_c, e_c in zip(fixed[:-1], fixed[1:]):
+            iw.problems.append(len(problems))
+            iw.problem_bounds.append((s_c, e_c))
+            problems.append(
+                DPProblem(
+                    C=C[s_c : e_c + 1].copy(),
+                    y=cand_arr[s_c : e_c + 1].copy(),
+                    W=weights,
+                    read_support=cfg.min_read_support_outside,
+                )
+            )
+        work.intervals.append(iw)
+    return work, problems
+
+
+def solve_problems(problems: list[DPProblem], cfg: SegmentConfig, thr: ScaledThresholds) -> list[list[int]]:
+    """Dispatch DP problems to the device kernel in size-bucketed batches
+    (or the host oracle when use_device=False)."""
+    if not cfg.use_device:
+        return [solve_host(p, thr) for p in problems]
+    results: list[list[int] | None] = [None] * len(problems)
+    # Bucket by padded (P, R) so each compiled shape is reused.
+    buckets: dict[tuple[int, int], list[int]] = {}
+
+    def rnd(x, m):
+        return ((x + m - 1) // m) * m
+
+    for i, p in enumerate(problems):
+        if len(p.y) <= 2:
+            results[i] = []
+            continue
+        key = (rnd(len(p.y), 8), rnd(p.C.shape[1], 128))
+        buckets.setdefault(key, []).append(i)
+    for (P, R), idxs in sorted(buckets.items()):
+        bs = suggested_batch_size(P, R)
+        for lo in range(0, len(idxs), bs):
+            chunk = idxs[lo : lo + bs]
+            sols = solve_batch_device(
+                [problems[i] for i in chunk], thr, pad_p_to=P, pad_r_to=R
+            )
+            for i, sol in zip(chunk, sols):
+                results[i] = sol
+    return [r for r in results]  # type: ignore
+
+
+def finalize_tint(
+    work: TintWork,
+    solutions: list[list[int]],
+    cfg: SegmentConfig,
+    thr: ScaledThresholds,
+) -> list[int]:
+    """Phase C: assemble final breakpoints, refine, genotype, annotate.
+
+    Returns the tint's final genomic positions; fills read.data/read.gaps.
+    """
+    tint = work.tint
+    n_reps = len(work.weights)
+    final_positions: list[int] = []
+    datas: list[list[int]] = [[] for _ in range(n_reps)]
+    scale = thr.scale
+    for iv_idx, iw in enumerate(work.intervals):
+        final_c = set(iw.fixed)
+        for pid, (s_c, _e_c) in zip(iw.problems, iw.problem_bounds):
+            final_c.update(s_c + local for local in solutions[pid])
+        final_y = [iw.candidates[c] for c in sorted(final_c)]
+        refine = sig.refine_segmentation(iw.y_raw, final_y, cfg.sigma)
+        final_y.extend(refine)
+        final_y.sort()
+        # Genotype each segment: coverage ratio vs length threshold.
+        C2 = cumulative_coverage(
+            iw.starts, iw.ends, iw.reps, n_reps, np.array(final_y), validate=cfg.validate
+        )
+        for seg_idx, (s_y, e_y) in enumerate(zip(final_y[:-1], final_y[1:])):
+            seg_len = e_y - s_y + 1
+            h = int(thr.high_scaled(np.array([seg_len]))[0])
+            cov = C2[seg_idx + 1] - C2[seg_idx]  # (R,)
+            if cfg.validate:
+                assert np.all((0 <= cov) & (cov <= seg_len))
+            hi = scale * cov > h * seg_len
+            lo = scale * cov < (scale - h) * seg_len
+            for rr in range(n_reps):
+                datas[rr].append(1 if hi[rr] else (0 if lo[rr] else 2))
+        for d in datas:
+            d.append(0)
+        iv_s = tint.intervals[iv_idx][0]
+        final_positions.extend(iv_s + y for y in final_y)
+
+    for data, (_, ridxs) in zip(datas, tint.read_reps):
+        for ridx in ridxs:
+            tint.reads[ridx].data = data.copy()
+    segs = list(zip(final_positions[:-1], final_positions[1:]))
+    for read in tint.reads:
+        read.data.pop()
+        assert len(read.data) == len(segs)
+        read.gaps = annotate_gaps_and_polya(
+            read.data, segs, read.intervals, read.seq, read.strand
+        )
+    return final_positions
+
+
+def segment_tint(tint: SplitTint, cfg: SegmentConfig, thr: ScaledThresholds | None = None) -> list[int]:
+    """Single-tint convenience path (host or device)."""
+    thr = thr or ScaledThresholds(cfg.threshold_rate)
+    work, problems = prepare_tint(tint, cfg, thr)
+    solutions = solve_problems(problems, cfg, thr)
+    return finalize_tint(work, solutions, cfg, thr)
+
+
+def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None) -> int:
+    """Full segment stage over a split directory; returns #tints processed.
+
+    All tints are prepared first (phase A), the union of their DP problems
+    is solved in batched device launches (phase B), then each tint is
+    finalized and written (phase C)."""
+    cfg = cfg or SegmentConfig()
+    thr = ScaledThresholds(cfg.threshold_rate)
+    jobs: list[tuple[str, int, str, str]] = []
+    for contig in sorted(os.listdir(split_dir)):
+        cdir = os.path.join(split_dir, contig)
+        if not os.path.isdir(cdir):
+            continue
+        os.makedirs(os.path.join(outdir, contig), exist_ok=True)
+        for fn in sorted(os.listdir(cdir)):
+            if fn.startswith("split_") and fn.endswith(".tsv"):
+                tint_id = int(fn[:-4].split("_")[-1])
+                jobs.append(
+                    (
+                        contig,
+                        tint_id,
+                        os.path.join(cdir, fn),
+                        os.path.join(cdir, f"reads_{contig}_{tint_id}.tsv"),
+                    )
+                )
+
+    works: list[TintWork] = []
+    all_problems: list[DPProblem] = []
+    offsets: list[int] = []
+    for contig, tint_id, split_tsv, reads_tsv in jobs:
+        tint = parse_split_tsv(split_tsv)
+        load_read_sequences(tint, reads_tsv)
+        work, problems = prepare_tint(tint, cfg, thr)
+        offsets.append(len(all_problems))
+        all_problems.extend(problems)
+        works.append(work)
+
+    solutions = solve_problems(all_problems, cfg, thr)
+
+    for (contig, tint_id, _, _), work, off in zip(jobs, works, offsets):
+        n = sum(len(iw.problems) for iw in work.intervals)
+        sols = solutions[off : off + n]
+        # Re-map local problem ids.
+        k = 0
+        for iw in work.intervals:
+            iw.problems = list(range(k, k + len(iw.problems)))
+            k += len(iw.problems)
+        final_positions = finalize_tint(work, sols, cfg, thr)
+        out_path = os.path.join(outdir, contig, f"segment_{contig}_{tint_id}.tsv")
+        with open(out_path, "w") as f:
+            f.write(format_segment_tsv(work.tint, final_positions))
+    return len(jobs)

@@ -1,0 +1,133 @@
+"""Segmentation-DP equivalence tests.
+
+A literal memoized-recursion oracle (mirroring the reference's recurrence at
+py/freddie_segment.py:475-568, written independently) validates the
+vectorized host solver; the batched device kernel is then checked against
+the host solver on the same random instances, including mixed-size batches
+with padding.
+"""
+
+import numpy as np
+import pytest
+
+from freddie_tpu.ops.segdp import DPProblem, solve_batch_device, solve_host
+from freddie_tpu.ops.thresholds import ScaledThresholds
+
+
+def literal_oracle(C, y, W, thr: ScaledThresholds, read_support: int):
+    """Direct translation of the reference recurrence (float64, dicts)."""
+    start, end = 0, len(y) - 1
+    rate = thr.rate
+    table = [v / thr.scale for v in thr.table_scaled.tolist()]
+
+    def high(seg_len):
+        return table[seg_len] if seg_len < len(table) else rate
+
+    yea, nay, amb = {}, {}, {}
+    for i in range(start, end):
+        for j in range(i, end + 1):
+            L = y[j] - y[i] + 1
+            h = high(L)
+            c = (C[j] - C[i]) / L
+            yea[i, j] = c > h
+            nay[i, j] = c < 1 - h
+            amb[i, j] = W * np.logical_not(yea[i, j] | nay[i, j])
+
+    def inside(i, j):
+        return 0 if i == j else -amb[i, j].sum()
+
+    def outside(i, j, k):
+        if i == j or j == k:
+            return 0
+        v = (W * ((yea[i, j] & nay[j, k]) | (nay[i, j] & yea[j, k]))).sum()
+        return float("-inf") if v < read_support else v
+
+    D, B = {}, {}
+
+    def dp(i, j, k):
+        if (i, j, k) in D:
+            return D[i, j, k]
+        if y[j] - y[i] < 5 or y[k] - y[j] < 5:
+            D[i, j, k], B[i, j, k] = float("-inf"), (-1, -1, -1)
+        elif k == end:
+            D[i, j, k] = inside(i, j) + outside(i, j, k) + inside(j, k)
+            B[i, j, k] = (-1, -1, -1)
+        else:
+            best_d, best_b = float("-inf"), (-1, -1, -1)
+            for k2 in range(k + 1, end + 1):
+                d = inside(i, j) + outside(i, j, k) + dp(j, k, k2)
+                if d > best_d:
+                    best_d, best_b = d, (j, k, k2)
+            D[i, j, k], B[i, j, k] = best_d, best_b
+        return D[i, j, k]
+
+    best_d = inside(start, end)
+    best_b = (-1, -1, -1)
+    for j in range(start + 1, end):
+        for k in range(j + 1, end + 1):
+            if dp(start, j, k) > best_d:
+                best_b = (start, j, k)
+                best_d = dp(start, j, k)
+    out = set()
+    b = best_b
+    while b != (-1, -1, -1):
+        out.update(b)
+        b = B[b]
+    return sorted(out)  # includes start/end when a segmentation was chosen
+
+
+def random_problem(rng, P, R, span=2000):
+    y = np.sort(rng.choice(np.arange(span), size=P, replace=False)).astype(np.int64)
+    # Monotone cumulative coverage per rep with plateaus and jumps.
+    inc = rng.integers(0, 12, size=(P, R))
+    inc[rng.random(size=(P, R)) < 0.5] = 0
+    C = np.cumsum(inc, axis=0).astype(np.int64)
+    W = rng.integers(1, 5, size=R).astype(np.int64)
+    return DPProblem(C=C, y=y, W=W, read_support=3)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_host_matches_literal_oracle(seed):
+    rng = np.random.default_rng(seed)
+    thr = ScaledThresholds(0.9)
+    P = int(rng.integers(3, 14))
+    R = int(rng.integers(1, 9))
+    pr = random_problem(rng, P, R)
+    chain = solve_host(pr, thr)
+    got = sorted(set(chain) | {0, P - 1}) if chain else []
+    want = literal_oracle(pr.C, pr.y, pr.W, thr, pr.read_support)
+    assert got == want
+
+
+def test_device_matches_host_batched():
+    rng = np.random.default_rng(42)
+    thr = ScaledThresholds(0.9)
+    problems = []
+    for _ in range(17):
+        P = int(rng.integers(2, 30))
+        R = int(rng.integers(1, 40))
+        problems.append(random_problem(rng, P, R))
+    host = [solve_host(p, thr) for p in problems]
+    dev = solve_batch_device(problems, thr)
+    assert dev == host
+
+
+def test_degenerate_cases():
+    thr = ScaledThresholds(0.9)
+    # Too few candidates -> no segmentation.
+    pr = DPProblem(
+        C=np.zeros((2, 3), dtype=np.int64),
+        y=np.array([0, 100], dtype=np.int64),
+        W=np.ones(3, dtype=np.int64),
+        read_support=3,
+    )
+    assert solve_host(pr, thr) == []
+    assert solve_batch_device([pr], thr) == [[]]
+    # All-small segments -> no segmentation possible.
+    pr = DPProblem(
+        C=np.tile(np.arange(5)[:, None], (1, 2)).astype(np.int64),
+        y=np.array([0, 1, 2, 3, 4], dtype=np.int64),
+        W=np.ones(2, dtype=np.int64),
+        read_support=0,
+    )
+    assert solve_host(pr, thr) == []
