@@ -1,0 +1,201 @@
+"""Deterministic exact solver for the one-isoform-per-round assignment.
+
+Problem (the reference ILP 'isoforms_v8_20210209' at
+py/freddie_cluster.py:362-572, specialized to its pinned K=2):
+
+  choose S, a subset of the remaining read-reps ("assign to the isoform";
+  the rest go to garbage), minimizing
+
+      sum_{i in S} |corr_i AND E(S)|  +  sum_{i not in S} garbage_i
+
+  where over the informative segments
+      E(S)[j]  = OR_{i in S} exons_i[j]            (E2I = max of E2IR)
+      corr_i[j]= 1 iff segment j lies between read i's first/last covered
+                 segment and reads as 0 (correctable; the C matrix)
+  subject to
+      - incompatible pairs not both in S (py/freddie_cluster.py:499-511);
+      - for each i in S and each recorded unaligned gap (j1, j2, l):
+            (1-eps)*G - offset <= l <= (1+eps)*G + offset,
+        G = sum of seg_len[j] for informative j strictly between j1 and j2
+        with E(S)[j] = 1 (py/freddie_cluster.py:453-497).
+
+Algorithm: depth-first branch and bound over reads (assign-first), with
+
+  - admissible lower bound: corrections are monotone in E, so
+      LB = garbage(rejected) + corr(chosen | E_cur)
+           + sum_undecided min(corr_i(E_cur), garbage_i);
+  - interval pruning of gap constraints using E_cur (lower bound on G's
+    support) and E_possible = E_cur | OR(undecided exons) (upper bound);
+  - epsilon comparisons in scaled integers (exact, no float boundaries);
+  - deterministic order (reads sorted by descending garbage cost, then
+    index) and strict-improvement incumbent updates, so the returned
+    optimum is unique and platform-independent.
+
+The search runs on the host (instances are small and branchy after the
+reference's partitioning caps them at <=1000 unique reads); the heavy
+per-instance precomputation (correction counts, exon sums) is vectorized
+numpy. A time budget mirrors Gurobi's TimeLimit: on expiry the solver
+reports TIMEOUT and the caller falls back like the reference does on a
+non-OPTIMAL status (py/freddie_cluster.py:750-751).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class ReadRow:
+    """One remaining read-rep, restricted to informative segments."""
+
+    exons: np.ndarray  # (Mi,) bool  -- I row over informative segs
+    corr: np.ndarray  # (Mi,) bool  -- C row over informative segs
+    garbage: float  # garbage cost
+    gaps: list  # [(lo_mask, l)] -- per gap: bool mask over informative segs
+    #                 of positions strictly inside (j1, j2), plus observed l
+
+
+@dataclass
+class ClusterInstance:
+    rows: list[ReadRow]
+    seg_len: np.ndarray  # (Mi,) int -- lengths of informative segments
+    incomp: list[tuple[int, int]]  # index pairs into rows
+    epsilon: float = 0.2
+    offset: int = 20
+
+    def __post_init__(self):
+        # Scale epsilon to exact integers: (1±eps)·G ≶ l ± offset becomes
+        # (SC ∓ eps_sc)·G ≶ SC·(l ± offset).
+        for sc in (10, 100, 1000, 10_000, 100_000):
+            if abs(self.epsilon * sc - round(self.epsilon * sc)) < 1e-9:
+                self.eps_scale = sc
+                break
+        else:
+            raise ValueError(f"epsilon={self.epsilon} not an exact decimal")
+        self.eps_scaled = int(round(self.epsilon * self.eps_scale))
+
+
+@dataclass
+class SolveResult:
+    status: str  # 'OPTIMAL' | 'TIMEOUT'
+    objective: float
+    assigned: list[int]  # indices into rows, ascending
+    isoform: np.ndarray | None  # (Mi,) bool -- E over informative segs
+    nodes: int = 0
+
+
+def _gap_ok_interval(lo: int, hi: int, l: int, off: int, sc: int, eps: int) -> bool:
+    """Is there any G in [lo, hi] satisfying (1-e)G-off <= l <= (1+e)G+off?
+    Both sides are monotone in G: feasible iff
+      (1-e)*lo - off <= l   and   l <= (1+e)*hi + off."""
+    return (sc - eps) * lo <= sc * (l + off) and sc * (l - off) <= (sc + eps) * hi
+
+
+def solve_exact(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult:
+    rows = inst.rows
+    N = len(rows)
+    if N == 0:
+        return SolveResult("OPTIMAL", 0.0, [], None)
+    Mi = len(inst.seg_len)
+    seg_len = inst.seg_len.astype(np.int64)
+
+    # Deterministic processing order: heaviest garbage first, then index.
+    order = sorted(range(N), key=lambda i: (-rows[i].garbage, i))
+    exons = np.stack([rows[i].exons for i in order]).astype(bool)  # (N, Mi)
+    corr = np.stack([rows[i].corr for i in order]).astype(bool)
+    garbage = np.array([rows[i].garbage for i in order], dtype=np.float64)
+    # Suffix-OR of exons: E_possible additions from positions >= p.
+    suffix_or = np.zeros((N + 1, Mi), dtype=bool)
+    for p in range(N - 1, -1, -1):
+        suffix_or[p] = suffix_or[p + 1] | exons[p]
+    # Conflicts in order-space.
+    pos_of = {o: p for p, o in enumerate(order)}
+    conflict: list[set[int]] = [set() for _ in range(N)]
+    for a, b in inst.incomp:
+        conflict[pos_of[a]].add(pos_of[b])
+        conflict[pos_of[b]].add(pos_of[a])
+    gaps_of = [rows[o].gaps for o in order]
+
+    sc, eps, off = inst.eps_scale, inst.eps_scaled, inst.offset
+
+    best_obj = float(garbage.sum())  # S = empty is always feasible
+    best_set: list[int] = []
+    best_E = np.zeros(Mi, dtype=bool)
+    t0 = time.monotonic()
+    nodes = 0
+    timed_out = False
+
+    # DFS stack entries: (p, E_cur, chosen, rejected_cost)
+    # Implemented recursively with explicit stack to avoid recursion limits.
+    # chosen is shared via a path list + depth markers.
+    chosen: list[int] = []
+
+    def corr_cost(i_pos: int, E: np.ndarray) -> int:
+        return int(np.count_nonzero(corr[i_pos] & E))
+
+    def gaps_feasible(i_pos: int, E_lo: np.ndarray, E_hi: np.ndarray) -> bool:
+        for mask, l in gaps_of[i_pos]:
+            lo = int(seg_len[mask & E_lo].sum())
+            hi = int(seg_len[mask & E_hi].sum())
+            if not _gap_ok_interval(lo, hi, l, off, sc, eps):
+                return False
+        return True
+
+    def recurse(p: int, E_cur: np.ndarray, rejected_cost: float):
+        nonlocal best_obj, best_set, best_E, nodes, timed_out
+        if timed_out:
+            return
+        nodes += 1
+        if nodes % 4096 == 0 and time.monotonic() - t0 > deadline_s:
+            timed_out = True
+            return
+        if p == N:
+            # Exact feasibility re-check of all gaps at the leaf.
+            obj = rejected_cost + sum(corr_cost(q, E_cur) for q in chosen)
+            if obj < best_obj:
+                for q in chosen:
+                    if not gaps_feasible(q, E_cur, E_cur):
+                        return
+                best_obj = obj
+                best_set = list(chosen)
+                best_E = E_cur.copy()
+            return
+        # Lower bound with current E (corrections only grow with E).
+        cost_chosen = sum(corr_cost(q, E_cur) for q in chosen)
+        und = np.arange(p, N)
+        und_corr = np.count_nonzero(corr[p:] & E_cur, axis=1).astype(np.float64)
+        lb = rejected_cost + cost_chosen + np.minimum(und_corr, garbage[p:]).sum()
+        if lb >= best_obj:
+            return
+        E_possible = E_cur | suffix_or[p]
+        # Prune: every chosen read's gaps must stay interval-feasible.
+        for q in chosen:
+            if not gaps_feasible(q, E_cur, E_possible):
+                return
+
+        # Branch 1: assign p (if compatible and its gaps can be satisfied).
+        if not (conflict[p] & set(chosen)):
+            E_new = E_cur | exons[p]
+            if gaps_feasible(p, E_new, E_possible):
+                chosen.append(p)
+                recurse(p + 1, E_new, rejected_cost)
+                chosen.pop()
+        # Branch 2: reject p.
+        recurse(p + 1, E_cur, rejected_cost + garbage[p])
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, N * 4 + 1000))
+    try:
+        recurse(0, np.zeros(Mi, dtype=bool), 0.0)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    if timed_out:
+        return SolveResult("TIMEOUT", best_obj, [], None, nodes)
+    assigned = sorted(order[p] for p in best_set)
+    return SolveResult("OPTIMAL", best_obj, assigned, best_E, nodes)

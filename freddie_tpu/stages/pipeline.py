@@ -1,0 +1,56 @@
+"""End-to-end pipeline driver: split -> segment -> cluster -> isoforms.
+
+Plays the role of the reference's Snakemake DAG (Snakefile:22-121) with the
+same checkpoint semantics: each stage writes its directory of TSVs and any
+stage can be re-run from the previous one's outputs (`resume=True` skips
+stages whose outputs already exist)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from ..config import PipelineConfig
+from .cluster import run_cluster
+from .isoforms import run_isoforms
+from .segment import run_segment
+from .split import run_split
+
+
+def run_pipeline(
+    bam: str,
+    reads: list[str],
+    outdir: str,
+    cfg: PipelineConfig | None = None,
+    resume: bool = False,
+    log=print,
+) -> dict:
+    cfg = cfg or PipelineConfig()
+    os.makedirs(outdir, exist_ok=True)
+    split_dir = os.path.join(outdir, "split")
+    segment_dir = os.path.join(outdir, "segment")
+    cluster_dir = os.path.join(outdir, "cluster")
+    gtf_path = os.path.join(outdir, "isoforms.gtf")
+    stats: dict = {}
+
+    def stage(name, out_path, fn):
+        if resume and os.path.exists(out_path):
+            log(f"[pipeline] {name}: exists, skipping")
+            return None
+        t0 = time.perf_counter()
+        result = fn()
+        dt = time.perf_counter() - t0
+        stats[name] = dict(seconds=dt, result=result)
+        log(f"[pipeline] {name}: done in {dt:.2f}s ({result})")
+        return result
+
+    stage("split", split_dir, lambda: run_split(bam, reads, split_dir, cfg.split))
+    stage("segment", segment_dir, lambda: run_segment(split_dir, segment_dir, cfg.segment))
+    stage("cluster", cluster_dir, lambda: run_cluster(segment_dir, cluster_dir, cfg.cluster))
+    stage(
+        "isoforms",
+        gtf_path,
+        lambda: run_isoforms(split_dir, cluster_dir, gtf_path, cfg.isoforms),
+    )
+    stats["gtf"] = gtf_path
+    return stats
