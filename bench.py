@@ -1,0 +1,168 @@
+#!/usr/bin/env python3
+"""Headline benchmark: segmentation-DP throughput on one chip.
+
+Workload: a batch of padded segmentation problems shaped like the
+reference's caps (P=64 candidate breakpoints ~ max_problem_size=50 plus
+anchor slack, R=512 read-reps per locus; py/freddie_segment.py:92-96,
+py/freddie_split.py:357). The batched XLA kernel solves all problems in a
+single device launch; the baseline is the reference's own algorithm -- a
+memoized Python recursion over (i,j,k) with numpy pair tensors
+(py/freddie_segment.py:475-568) -- timed on this host and extrapolated to
+the same batch. "reads" = read-reps processed through the DP (B*R).
+
+Prints exactly one JSON line:
+  {"metric": "segdp_reads_per_s", "value": N, "unit": "read-reps/s",
+   "vs_baseline": speedup_vs_reference_python}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+B, P, R = 2048, 64, 512
+BASELINE_PROBLEMS = 2
+
+
+def example_batch(seed=0):
+    from freddie_tpu.ops.thresholds import ScaledThresholds
+
+    rng = np.random.default_rng(seed)
+    thr = ScaledThresholds(0.9)
+    inc = rng.integers(0, 12, size=(B, P, R))
+    inc[rng.random(size=(B, P, R)) < 0.5] = 0
+    C = np.cumsum(inc, axis=1).astype(np.int32)
+    y = np.sort(rng.integers(1, 20_000, size=(B, P)).astype(np.int32), axis=1)
+    y[:, 0] = 0
+    W = np.ones((B, R), dtype=np.float32)
+    n_cand = np.full((B,), P, dtype=np.int32)
+    return C, y, W, n_cand, thr
+
+
+def reference_python_dp(C, y, W, thr, read_support=3):
+    """The reference's algorithm shape: float pair tensors + dict-memoized
+    recursion (structured like py/freddie_segment.py:475-568)."""
+    start, end = 0, len(y) - 1
+    table = [v / thr.scale for v in thr.table_scaled.tolist()]
+    rate = thr.rate
+
+    def high(L):
+        return table[L] if L < len(table) else rate
+
+    yea, nay, amb = {}, {}, {}
+    for i in range(start, end):
+        for j in range(i, end + 1):
+            L = int(y[j] - y[i] + 1)
+            h = high(L)
+            c = (C[j] - C[i]) / L
+            yea[i, j] = c > h
+            nay[i, j] = c < 1 - h
+            amb[i, j] = W * np.logical_not(yea[i, j] | nay[i, j])
+    in_mem, out_mem, D, Bk = {}, {}, {}, {}
+
+    def inside(i, j):
+        if (i, j) not in in_mem:
+            in_mem[i, j] = 0 if i == j else -amb[i, j].sum()
+        return in_mem[i, j]
+
+    def outside(i, j, k):
+        if (i, j, k) not in out_mem:
+            if i == j or j == k:
+                out_mem[i, j, k] = 0
+            else:
+                v = (W * ((yea[i, j] & nay[j, k]) | (nay[i, j] & yea[j, k]))).sum()
+                out_mem[i, j, k] = float("-inf") if v < read_support else v
+        return out_mem[i, j, k]
+
+    import sys as _sys
+
+    _sys.setrecursionlimit(10_000_000)
+
+    def dp(i, j, k):
+        if (i, j, k) in D:
+            return D[i, j, k]
+        if y[j] - y[i] < 5 or y[k] - y[j] < 5:
+            D[i, j, k], Bk[i, j, k] = float("-inf"), (-1, -1, -1)
+        elif k == end:
+            D[i, j, k] = inside(i, j) + outside(i, j, k) + inside(j, k)
+            Bk[i, j, k] = (-1, -1, -1)
+        else:
+            bd, bb = float("-inf"), (-1, -1, -1)
+            for k2 in range(k + 1, end + 1):
+                d = inside(i, j) + outside(i, j, k) + dp(j, k, k2)
+                if d > bd:
+                    bd, bb = d, (j, k, k2)
+            D[i, j, k], Bk[i, j, k] = bd, bb
+        return D[i, j, k]
+
+    best = inside(start, end)
+    for j in range(start + 1, end):
+        for k in range(j + 1, end + 1):
+            if dp(start, j, k) > best:
+                best = dp(start, j, k)
+    return best
+
+
+def main():
+    import jax
+
+    # Persistent compile cache so repeated bench runs skip recompilation
+    # (the remote-compile path of this environment is slow per shape).
+    import os
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+    C, y, W, n_cand, thr = example_batch()
+    lookup = np.asarray(thr.lookup)
+    from freddie_tpu.ops.segdp import _solve_batch_jax
+
+    fn = jax.jit(lambda C, y, W, n, l: _solve_batch_jax(C, y, W, n, 3, l, thr.scale))
+    args = [jax.device_put(x) for x in (C, y, W, n_cand, lookup)]
+    # Warmup/compile.
+    _ = np.asarray(fn(*args)[1])
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        K, bj, bk = fn(*args)
+        _ = np.asarray(bj)  # D2H readback forces completion
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    reads_per_s = B * R / dt
+
+    # Reference-style Python baseline on a few problems, extrapolated.
+    t0 = time.perf_counter()
+    for b in range(BASELINE_PROBLEMS):
+        reference_python_dp(
+            C[b].astype(np.int64), y[b].astype(np.int64), W[b].astype(np.float64), thr
+        )
+    base_dt = (time.perf_counter() - t0) / BASELINE_PROBLEMS * B
+    vs_baseline = base_dt / dt
+
+    print(
+        json.dumps(
+            dict(
+                metric="segdp_reads_per_s",
+                value=round(reads_per_s),
+                unit="read-reps/s",
+                vs_baseline=round(vs_baseline, 1),
+            )
+        )
+    )
+    print(
+        f"[bench] batch B={B} P={P} R={R}; device launch {dt*1000:.1f} ms; "
+        f"reference-python extrapolated {base_dt:.1f} s for the same batch "
+        f"(measured {BASELINE_PROBLEMS} problems); backend={jax.default_backend()}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

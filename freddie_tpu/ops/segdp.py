@@ -159,21 +159,61 @@ def _solve_batch_jax(C, y, W, n_cand, read_support, lookup, scale):
     L = lookup.shape[0] - 1
     neg = jnp.float32(-jnp.inf)
 
-    diff = C[:, None, :, :] - C[:, :, None, :]  # (B,i,j,r) int32
-    seg_len = y[:, None, :] - y[:, :, None] + 1  # (B,i,j) int32
-    h = lookup[jnp.minimum(jnp.maximum(seg_len, 0), L)]  # (B,i,j) int32
-    yea = scale * diff > (h * seg_len)[..., None]
-    nay = scale * diff < ((scale - h) * seg_len)[..., None]
-    yeaf = yea.astype(jnp.float32)
-    nayf = nay.astype(jnp.float32)
-    yeaW = yeaf * W[:, None, None, :]
-    nayW = nayf * W[:, None, None, :]
-    w_sum = jnp.sum(W, axis=1)[:, None, None]
-    inside = -(w_sum - jnp.sum(yeaW, axis=3) - jnp.sum(nayW, axis=3))  # (B,i,j)
-    # outside[b,i,j,k] = sum_r yeaW[b,i,j,r]*nay[b,j,k,r] + nayW*yea
-    outside = jnp.einsum(
-        "bijr,bjkr->bijk", yeaW, nayf, preferred_element_type=jnp.float32
-    ) + jnp.einsum("bijr,bjkr->bijk", nayW, yeaf, preferred_element_type=jnp.float32)
+    # --- pair-tensor precompute, scanned over the middle index to keep the
+    # live intermediates at (B,P,R) instead of (B,P,P,R) (VMEM/HBM-friendly;
+    # the per-step contraction is an MXU matmul).
+    #
+    #   yea(a,b,r) = scale*(C[b]-C[a]) >  h(len)*len      [covered]
+    #   nay(a,b,r) = scale*(C[b]-C[a]) < (scale-h)*len    [absent]
+    #   inside(a,b)     = -sum_r W_r * ~(yea|nay)
+    #   outside(a,b,c)  = sum_r W_r * (yea(a,b)nay(b,c) | nay(a,b)yea(b,c))
+    def pair_cols(mid):
+        """yea/nay slices with the given index as one side: returns
+        (yea_to, nay_to, yea_from, nay_from), each (B,P,R):
+        *_to[p] = *(p, mid), *_from[p] = *(mid, p)."""
+        C_mid = jax.lax.dynamic_index_in_dim(C, mid, axis=1)  # (B,1,R)
+        y_mid = jax.lax.dynamic_index_in_dim(y, mid, axis=1)  # (B,1)
+        d_to = C_mid - C  # (B,P,R): C[mid]-C[p]
+        len_to = y_mid - y + 1  # (B,P)
+        h_to = lookup[jnp.minimum(jnp.maximum(len_to, 0), L)]
+        yea_to = scale * d_to > (h_to * len_to)[..., None]
+        nay_to = scale * d_to < ((scale - h_to) * len_to)[..., None]
+        d_from = -d_to
+        len_from = 2 - len_to  # y[p]-y[mid]+1
+        h_from = lookup[jnp.minimum(jnp.maximum(len_from, 0), L)]
+        yea_from = scale * d_from > (h_from * len_from)[..., None]
+        nay_from = scale * d_from < ((scale - h_from) * len_from)[..., None]
+        return yea_to, nay_to, yea_from, nay_from
+
+    w_sum = jnp.sum(W, axis=1)[:, None]  # (B,1)
+
+    def precompute_step(_, k):
+        yea_to, nay_to, yea_from, nay_from = pair_cols(k)
+        # inside column: inside(i, k) for all i.
+        in_col = -(
+            w_sum
+            - jnp.sum(yea_to.astype(jnp.float32) * W[:, None, :], axis=2)
+            - jnp.sum(nay_to.astype(jnp.float32) * W[:, None, :], axis=2)
+        )  # (B,P)
+        # outside slice over the middle index k: out_k[j, k_] =
+        #   sum_r yeaW(j,k,r)*nay(k,k_,r) + nayW(j,k,r)*yea(k,k_,r)
+        yeaW_to = yea_to.astype(jnp.float32) * W[:, None, :]
+        nayW_to = nay_to.astype(jnp.float32) * W[:, None, :]
+        out_k = jnp.einsum(
+            "bjr,bkr->bjk", yeaW_to, nay_from.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) + jnp.einsum(
+            "bjr,bkr->bjk", nayW_to, yea_from.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        return None, (in_col, out_k)
+
+    ks = jnp.arange(P, dtype=jnp.int32)
+    _, (in_cols, out_mid) = jax.lax.scan(precompute_step, None, ks)
+    # in_cols: (P_k, B, P_i) -> inside (B, i, j)
+    inside = jnp.moveaxis(in_cols, 0, 2)
+    # out_mid: (P_k, B, P_j, P_k_) -> outside (B, j, k, k_)
+    outside = jnp.moveaxis(out_mid, 0, 2)
     outside = jnp.where(outside < read_support, neg, outside)
 
     end = (n_cand - 1)[:, None]  # (B,1)

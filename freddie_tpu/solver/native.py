@@ -1,0 +1,137 @@
+"""ctypes bindings for the C++ branch-and-bound core (native/bnb_solver.cpp).
+
+Same algorithm and deterministic order as solver.exact.solve_exact --
+results are bit-identical (asserted by tests); the native core exists for
+throughput on large tint sets. The library is built on first use with g++
+(no external deps); if no toolchain is available, callers fall back to the
+Python implementation transparently.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from .exact import ClusterInstance, SolveResult
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "bnb_solver.cpp")
+_LIB = os.path.join(_REPO_ROOT, "native", "libbnb.so")
+
+_lib = None
+_build_failed = False
+
+
+def _load():
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    try:
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(_LIB)
+        lib.solve_bnb.restype = ctypes.c_int
+        _lib = lib
+    except Exception:
+        _build_failed = True
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _pack_bits(mat: np.ndarray, words: int) -> np.ndarray:
+    """(N, M) bool -> (N, words) uint64, bit b of word w = column w*64+b."""
+    n, m = mat.shape
+    padded = np.zeros((n, words * 64), dtype=bool)
+    if m:
+        padded[:, :m] = mat
+    packed = np.packbits(padded, axis=1, bitorder="little")  # (n, words*8) u8
+    return np.ascontiguousarray(packed).view(np.uint64).reshape(n, words)
+
+
+def solve_exact_native(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult | None:
+    """Native solve; None when the toolchain/library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows = inst.rows
+    N = len(rows)
+    if N == 0:
+        return SolveResult("OPTIMAL", 0.0, [], None)
+    M = len(inst.seg_len)
+    words = max((M + 63) // 64, 1)
+
+    order = sorted(range(N), key=lambda i: (-rows[i].garbage, i))
+    pos_of = {o: p for p, o in enumerate(order)}
+    exons = _pack_bits(np.stack([rows[i].exons for i in order]).astype(bool), words)
+    corr = _pack_bits(np.stack([rows[i].corr for i in order]).astype(bool), words)
+    garbage = np.array([rows[i].garbage for i in order], dtype=np.float64)
+    seg_len = np.ascontiguousarray(inst.seg_len, dtype=np.int64)
+
+    gap_counts = np.array([len(rows[o].gaps) for o in order], dtype=np.int32)
+    total_gaps = int(gap_counts.sum())
+    if total_gaps:
+        masks = np.stack(
+            [np.asarray(m, dtype=bool) for o in order for (m, _l) in rows[o].gaps]
+        )
+        gap_masks = _pack_bits(masks, words)
+        gap_lens = np.array(
+            [l for o in order for (_m, l) in rows[o].gaps], dtype=np.int64
+        )
+    else:
+        gap_masks = np.zeros((1, words), dtype=np.uint64)
+        gap_lens = np.zeros(1, dtype=np.int64)
+
+    incomp = np.array(
+        [[pos_of[a], pos_of[b]] for a, b in inst.incomp], dtype=np.int32
+    ).reshape(-1, 2)
+
+    out_assigned = np.zeros(N, dtype=np.int32)
+    out_n = ctypes.c_int32(0)
+    out_obj = ctypes.c_double(0.0)
+    out_E = np.zeros(words, dtype=np.uint64)
+    out_nodes = ctypes.c_int64(0)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    status = lib.solve_bnb(
+        ctypes.c_int(N),
+        ctypes.c_int(M),
+        ptr(np.ascontiguousarray(exons), ctypes.c_uint64),
+        ptr(np.ascontiguousarray(corr), ctypes.c_uint64),
+        ptr(garbage, ctypes.c_double),
+        ptr(seg_len, ctypes.c_int64),
+        ptr(gap_counts, ctypes.c_int32),
+        ptr(np.ascontiguousarray(gap_masks), ctypes.c_uint64),
+        ptr(gap_lens, ctypes.c_int64),
+        ctypes.c_int(len(incomp)),
+        ptr(np.ascontiguousarray(incomp), ctypes.c_int32),
+        ctypes.c_int64(inst.eps_scale),
+        ctypes.c_int64(inst.eps_scaled),
+        ctypes.c_int64(inst.offset),
+        ctypes.c_double(deadline_s),
+        ptr(out_assigned, ctypes.c_int32),
+        ctypes.byref(out_n),
+        ctypes.byref(out_obj),
+        ptr(out_E, ctypes.c_uint64),
+        ctypes.byref(out_nodes),
+    )
+    if status != 0:
+        return SolveResult("TIMEOUT", out_obj.value, [], None, out_nodes.value)
+    assigned = sorted(order[p] for p in out_assigned[: out_n.value].tolist())
+    E = np.zeros(M, dtype=bool)
+    if M:
+        bits = np.unpackbits(out_E.view(np.uint8), bitorder="little")
+        E = bits[:M].astype(bool)
+    return SolveResult("OPTIMAL", out_obj.value, assigned, E, out_nodes.value)

@@ -32,6 +32,17 @@ from ..io.tsv import SegTint, format_cluster_tsv, parse_segment_tsv
 from ..solver.exact import ClusterInstance, ReadRow, SolveResult, solve_exact
 
 
+def _solve(inst: ClusterInstance, deadline_s: float) -> SolveResult:
+    """Native C++ core when available (bit-identical; see
+    tests/test_native_solver.py), Python otherwise."""
+    from ..solver.native import solve_exact_native
+
+    res = solve_exact_native(inst, deadline_s)
+    if res is not None:
+        return res
+    return solve_exact(inst, deadline_s)
+
+
 @dataclass
 class IlpData:
     """Per-tint solver inputs at read-rep granularity."""
@@ -292,7 +303,7 @@ def cluster_tint(tint: SegTint, cfg: ClusterConfig) -> tuple[list[dict], list[in
                 break
             informative = informative_segs(tint, ilp, remaining)
             inst = build_instance(tint, ilp, remaining, incomp, informative, cfg)
-            res = solve_exact(inst, deadline_s=cfg.timeout * 60.0)
+            res = _solve(inst, deadline_s=cfg.timeout * 60.0)
             if res.status != "OPTIMAL":
                 break
             assigned_pos = set(res.assigned)
@@ -333,6 +344,7 @@ def cluster_tint(tint: SegTint, cfg: ClusterConfig) -> tuple[list[dict], list[in
 def run_cluster(segment_dir: str, outdir: str, cfg: ClusterConfig | None = None) -> int:
     """Full cluster stage over a segment directory; returns #tints."""
     cfg = cfg or ClusterConfig()
+    os.makedirs(outdir, exist_ok=True)
     n = 0
     for contig in sorted(os.listdir(segment_dir)):
         cdir = os.path.join(segment_dir, contig)

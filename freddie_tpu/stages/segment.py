@@ -226,6 +226,7 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None) -
     is solved in batched device launches (phase B), then each tint is
     finalized and written (phase C)."""
     cfg = cfg or SegmentConfig()
+    os.makedirs(outdir, exist_ok=True)
     thr = ScaledThresholds(cfg.threshold_rate)
     jobs: list[tuple[str, int, str, str]] = []
     for contig in sorted(os.listdir(split_dir)):

@@ -33,7 +33,7 @@ class SimTranscript:
     name: str
     contig: str
     exons: list[tuple[int, int]]  # 0-based half-open genomic intervals
-    strand: str = "+"
+    strand: str = "+"  # the gene's strand (decides polyA placement)
 
 
 @dataclass
@@ -102,24 +102,37 @@ def make_gene(
 
 
 def make_isoforms(
-    rng: random.Random, gene_exons: list[tuple[int, int]], n_isoforms: int, contig: str, gene_id: int
+    rng: random.Random,
+    gene_exons: list[tuple[int, int]],
+    n_isoforms: int,
+    contig: str,
+    gene_id: int,
+    strand: str = "+",
 ) -> list[SimTranscript]:
     """Isoforms as exon subsets: the first keeps all exons, later ones skip
     internal exons."""
     out = [
         SimTranscript(
-            name=f"ENST{gene_id:05d}T0", contig=contig, exons=list(gene_exons)
+            name=f"ENST{gene_id:05d}T0", contig=contig, exons=list(gene_exons), strand=strand
         )
     ]
     internal = list(range(1, len(gene_exons) - 1))
+    seen = {tuple(gene_exons)}
     for t in range(1, n_isoforms):
         if not internal:
             break
-        skip = set(rng.sample(internal, k=min(len(internal), rng.randint(1, 2))))
-        exons = [e for i, e in enumerate(gene_exons) if i not in skip]
-        out.append(
-            SimTranscript(name=f"ENST{gene_id:05d}T{t}", contig=contig, exons=exons)
-        )
+        for _attempt in range(10):
+            skip = set(rng.sample(internal, k=min(len(internal), rng.randint(1, 2))))
+            exons = tuple(e for i, e in enumerate(gene_exons) if i not in skip)
+            if exons not in seen:
+                seen.add(exons)
+                out.append(
+                    SimTranscript(
+                        name=f"ENST{gene_id:05d}T{t}", contig=contig,
+                        exons=list(exons), strand=strand,
+                    )
+                )
+                break
     return out
 
 
@@ -131,21 +144,49 @@ def simulate_read(
     polya_len: int = 30,
     adapter_len: int = 12,
     reverse_prob: float = 0.5,
+    truncate_prob: float = 0.0,
+    tail_prob: float = 1.0,
 ) -> SimRead:
+    """One cDNA-style read of a transcript.
+
+    Gene strand decides where the tail lands in *genome-forward* (aligned)
+    orientation: a '+' gene's polyA trails the body; a '-' gene's appears
+    as a leading polyT. Sequencing orientation (reverse_prob) only flips
+    the FASTQ sequence + the BAM REVERSE flag -- the aligned sequence and
+    CIGAR are orientation-invariant, as a real aligner produces them.
+    With truncate_prob, the 5' end of the molecule is degraded (leading
+    exons dropped for '+' genes, trailing for '-'), the classic Nanopore
+    artifact the reference's FL/gap machinery models.
+    """
     exons = list(tr.exons)
+    if rng.random() < truncate_prob and len(exons) > 2:
+        drop = rng.randint(1, len(exons) - 2)
+        if tr.strand == "+":
+            exons = exons[drop:]  # 5' of a + gene = genomic left
+        else:
+            exons = exons[:-drop]
     body = "".join(sim.genome[s:e] for s, e in exons)
-    # Leading adapter (soft-clipped), trailing polyA then short adapter.
-    adapter5 = "".join(rng.choice("CG") for _ in range(adapter_len))
-    tail = "A" * polya_len + "".join(rng.choice("CG") for _ in range(4))
-    aligned = adapter5 + body + tail
-    cigar = [(CSOFT_CLIP, len(adapter5))]
+    adapter = "".join(rng.choice("CG") for _ in range(adapter_len))
+    has_tail = rng.random() < tail_prob
+    tail = "A" * polya_len if has_tail else ""
+    end_adapter = "".join(rng.choice("CG") for _ in range(4))
+    if tr.strand == "+":
+        # molecule (genome fwd) = adapter + body + polyA + end_adapter
+        lead, trail = adapter, tail + end_adapter
+    else:
+        # '-' gene: aligned view = revcomp(end_adapter) + polyT + body + revcomp(adapter)
+        lead, trail = revcomp(tail + end_adapter), revcomp(adapter)
+    aligned = lead + body + trail
+    cigar = [(CSOFT_CLIP, len(lead))] if lead else []
     for i, (s, e) in enumerate(exons):
         cigar.append((CMATCH, e - s))
         if i + 1 < len(exons):
             cigar.append((CREF_SKIP, exons[i + 1][0] - e))
-    cigar.append((CSOFT_CLIP, len(tail)))
-    strand = "-" if rng.random() < reverse_prob else "+"
-    fastq_seq = revcomp(aligned) if strand == "-" else aligned
+    if trail:
+        cigar.append((CSOFT_CLIP, len(trail)))
+    flag_reverse = rng.random() < reverse_prob
+    strand = "-" if flag_reverse else "+"
+    fastq_seq = revcomp(aligned) if flag_reverse else aligned
     return SimRead(
         name=f"{tr.name}_{idx}",
         transcript=tr.name,
@@ -168,6 +209,9 @@ def simulate(
     reads_per_isoform: int = 10,
     exons_per_gene: int = 5,
     gene_spacing: int = 50_000,
+    minus_strand_genes: bool = False,
+    truncate_prob: float = 0.0,
+    tail_prob: float = 1.0,
 ) -> Simulation:
     rng = random.Random(seed)
     genome = random_genome(contig_len, rng)
@@ -176,11 +220,19 @@ def simulate(
     )
     pos = 10_000
     for g in range(n_genes):
+        strand = "-" if (minus_strand_genes and g % 2 == 1) else "+"
         gene_exons = make_gene(rng, contig, pos, exons_per_gene)
-        isoforms = make_isoforms(rng, gene_exons, isoforms_per_gene, contig, g)
+        isoforms = make_isoforms(
+            rng, gene_exons, isoforms_per_gene, contig, g, strand=strand
+        )
         sim.transcripts.extend(isoforms)
         for tr in isoforms:
             for i in range(reads_per_isoform):
-                sim.reads.append(simulate_read(rng, sim, tr, i))
+                sim.reads.append(
+                    simulate_read(
+                        rng, sim, tr, i,
+                        truncate_prob=truncate_prob, tail_prob=tail_prob,
+                    )
+                )
         pos = gene_exons[-1][1] + gene_spacing
     return sim
