@@ -122,9 +122,13 @@ def main():
 
     C, y, W, n_cand, thr = example_batch()
     lookup = np.asarray(thr.lookup)
-    from freddie_tpu.ops.segdp import _solve_batch_jax
+    # Production TPU path: the fused Pallas kernel; XLA kernel elsewhere.
+    if jax.default_backend() == "tpu":
+        from freddie_tpu.ops.segdp_pallas import solve_batch_pallas as _impl
+    else:
+        from freddie_tpu.ops.segdp import _solve_batch_jax as _impl
 
-    fn = jax.jit(lambda C, y, W, n, l: _solve_batch_jax(C, y, W, n, 3, l, thr.scale))
+    fn = jax.jit(lambda C, y, W, n, l: _impl(C, y, W, n, 3, l, thr.scale))
     args = [jax.device_put(x) for x in (C, y, W, n_cand, lookup)]
     # Warmup/compile.
     _ = np.asarray(fn(*args)[1])

@@ -90,6 +90,25 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("-o", "--outdir", required=True)
     pl.add_argument("--config", default=None, help="YAML pipeline config")
     pl.add_argument("--resume", action="store_true")
+
+    wf = sub.add_parser("workflow", help="multi-sample config-driven run (Snakemake equivalent)")
+    wf.add_argument("config", help="workflow YAML (outpath, samples, stages)")
+    wf.add_argument("--set", dest="overrides", action="append", default=[],
+                    help="dotted-path override, e.g. --set stages.segment.sigma=4.0")
+    wf.add_argument("--no-resume", action="store_true")
+
+    plt = sub.add_parser("plot", help="per-isoform PDFs vs annotation")
+    plt.add_argument("-a", "--annotation-gtf", required=True)
+    plt.add_argument("-s", "--segment-tsv", required=True)
+    plt.add_argument("-c", "--cluster-tsv", required=True)
+    plt.add_argument("--tints", type=int, nargs="+", default=[])
+    plt.add_argument("-od", "--out-dir", default="freddie_plot")
+
+    sv = sub.add_parser("segment-vis", help="segmentation-QC pickle")
+    sv.add_argument("-s", "--split-tsv", nargs="+", required=True)
+    sv.add_argument("-g", "--segment-tsv", nargs="+", required=True)
+    sv.add_argument("-a", "--annotation-gtf", required=True)
+    sv.add_argument("-o", "--output", default="vis_segmentation.pickle")
     return p
 
 
@@ -153,6 +172,33 @@ def main(argv=None) -> int:
 
         cfg = PipelineConfig.from_yaml(args.config) if args.config else PipelineConfig()
         run_pipeline(args.bam, args.reads, args.outdir, cfg, resume=args.resume)
+    elif args.command == "workflow":
+        from .stages.workflow import load_workflow_config, run_workflow
+
+        overrides = {}
+        for item in args.overrides:
+            key, _, val = item.partition("=")
+            try:
+                import ast
+
+                overrides[key] = ast.literal_eval(val)
+            except (ValueError, SyntaxError):
+                overrides[key] = val
+        config = load_workflow_config(args.config, overrides)
+        run_workflow(config, resume=not args.no_resume)
+    elif args.command == "plot":
+        from .stages.plot import run_plot
+
+        n = run_plot(
+            args.annotation_gtf, args.segment_tsv, args.cluster_tsv,
+            args.out_dir.rstrip("/"), tint_ids=frozenset(args.tints),
+        )
+        print(f"[plot] {n} PDFs")
+    elif args.command == "segment-vis":
+        from .stages.segment_vis import run_segment_vis
+
+        run_segment_vis(args.split_tsv, args.segment_tsv, args.annotation_gtf, args.output)
+        print(f"[segment-vis] -> {args.output}")
     return 0
 
 

@@ -307,14 +307,20 @@ def solve_batch_device(
     thr: ScaledThresholds,
     pad_p_to: int = 8,
     pad_r_to: int = 128,
+    use_pallas: bool | None = None,
 ) -> list[list[int]]:
     """Solve a batch of problems on the device (or CPU backend for tests).
 
     Problems are padded to a common (P, R); identical results to
     solve_host, bit for bit. Returns per-problem local breakpoint chains.
+    On TPU the fused Pallas kernel is used (use_pallas=None -> auto);
+    elsewhere the XLA kernel.
     """
+    import jax
     import jax.numpy as jnp
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     if not problems:
         return []
     results: list[list[int] | None] = [None] * len(problems)
@@ -349,16 +355,29 @@ def solve_batch_device(
         W[b, :r] = pr.W
         n_cand[b] = p
 
-    fn = _get_jitted()
-    K, best_j, best_k = fn(
-        jnp.asarray(C),
-        jnp.asarray(y),
-        jnp.asarray(W),
-        jnp.asarray(n_cand),
-        read_support=next(iter(rs)),
-        lookup=jnp.asarray(thr.lookup),
-        scale=thr.scale,
-    )
+    if use_pallas:
+        from .segdp_pallas import solve_batch_pallas
+
+        K, best_j, best_k = solve_batch_pallas(
+            jnp.asarray(C),
+            jnp.asarray(y),
+            jnp.asarray(W),
+            jnp.asarray(n_cand),
+            next(iter(rs)),
+            jnp.asarray(thr.lookup),
+            thr.scale,
+        )
+    else:
+        fn = _get_jitted()
+        K, best_j, best_k = fn(
+            jnp.asarray(C),
+            jnp.asarray(y),
+            jnp.asarray(W),
+            jnp.asarray(n_cand),
+            read_support=next(iter(rs)),
+            lookup=jnp.asarray(thr.lookup),
+            scale=thr.scale,
+        )
     K = np.asarray(K)
     best_j = np.asarray(best_j)
     best_k = np.asarray(best_k)

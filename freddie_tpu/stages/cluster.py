@@ -286,11 +286,16 @@ def build_instance(
 def cluster_tint(tint: SegTint, cfg: ClusterConfig) -> tuple[list[dict], list[int]]:
     """Full per-tint clustering; returns (isoforms, garbage_rep_ids) and
     fills read.partition / poly_tail_category."""
+    import time as _time
+
+    from ..utils.metrics import SolverLog
+
     ilp = preprocess(tint, cfg)
     partitions = partition_reads(tint, ilp, cfg.max_ilp)
     M = len(tint.segs)
     isoforms: list[dict] = []
     garbage_rids: list[int] = []
+    slog = SolverLog(cfg.logs_dir, tint.id)
 
     for p_idx, (remaining, incomp) in enumerate(partitions):
         for rep_id in remaining:
@@ -303,7 +308,10 @@ def cluster_tint(tint: SegTint, cfg: ClusterConfig) -> tuple[list[dict], list[in
                 break
             informative = informative_segs(tint, ilp, remaining)
             inst = build_instance(tint, ilp, remaining, incomp, informative, cfg)
+            slog.dump_instance(p_idx, _round, inst)
+            t0 = _time.perf_counter()
             res = _solve(inst, deadline_s=cfg.timeout * 60.0)
+            slog.record(p_idx, _round, len(remaining), res, _time.perf_counter() - t0)
             if res.status != "OPTIMAL":
                 break
             assigned_pos = set(res.assigned)
@@ -338,6 +346,7 @@ def cluster_tint(tint: SegTint, cfg: ClusterConfig) -> tuple[list[dict], list[in
             assigned_set = set(assigned)
             remaining = [r for r in remaining if r not in assigned_set]
         garbage_rids.extend(sorted(remaining))
+    slog.close()
     return isoforms, garbage_rids
 
 

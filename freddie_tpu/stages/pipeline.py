@@ -34,9 +34,18 @@ def run_pipeline(
     stats: dict = {}
 
     def stage(name, out_path, fn):
-        if resume and os.path.exists(out_path):
-            log(f"[pipeline] {name}: exists, skipping")
-            return None
+        if os.path.exists(out_path):
+            if resume:
+                log(f"[pipeline] {name}: exists, skipping")
+                return None
+            # Snakemake semantics: a forced re-run removes the stale stage
+            # output first (rules own their output paths).
+            import shutil
+
+            if os.path.isdir(out_path):
+                shutil.rmtree(out_path)
+            else:
+                os.remove(out_path)
         t0 = time.perf_counter()
         result = fn()
         dt = time.perf_counter() - t0

@@ -132,17 +132,26 @@ def solve_problems(problems: list[DPProblem], cfg: SegmentConfig, thr: ScaledThr
     if not cfg.use_device:
         return [solve_host(p, thr) for p in problems]
     results: list[list[int] | None] = [None] * len(problems)
-    # Bucket by padded (P, R) so each compiled shape is reused.
+    # Bucket by padded (P, R). Bucket edges are coarse so the number of
+    # compiled kernel shapes stays small (compilation is expensive on
+    # remote-compile backends); the persistent JAX cache then makes them
+    # one-time costs.
     buckets: dict[tuple[int, int], list[int]] = {}
 
-    def rnd(x, m):
-        return ((x + m - 1) // m) * m
+    def bucket_of(x, edges, step):
+        for e in edges:
+            if x <= e:
+                return e
+        return ((x + step - 1) // step) * step
 
     for i, p in enumerate(problems):
         if len(p.y) <= 2:
             results[i] = []
             continue
-        key = (rnd(len(p.y), 8), rnd(p.C.shape[1], 128))
+        key = (
+            bucket_of(len(p.y), (16, 32, 64), 32),
+            bucket_of(p.C.shape[1], (128, 512, 1536), 512),
+        )
         buckets.setdefault(key, []).append(i)
     for (P, R), idxs in sorted(buckets.items()):
         bs = suggested_batch_size(P, R)

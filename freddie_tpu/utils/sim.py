@@ -77,6 +77,38 @@ class Simulation:
     def write_fastq(self, path: str) -> None:
         write_fastq(path, [(r.name, r.fastq_seq) for r in self.reads])
 
+    def write_annotation_gtf(self, path: str) -> None:
+        """1-based inclusive GTF of the simulated transcripts (the format
+        the plot/segment_vis stages consume)."""
+        with open(path, "w") as f:
+            for gi, tr in enumerate(self.transcripts):
+                gid = tr.name.split("T")[0]
+                attrs = (
+                    f'gene_id "{gid}"; transcript_id "{tr.name}"; '
+                    f'transcript_name "{tr.name}";'
+                )
+                f.write(
+                    "\t".join(
+                        [
+                            tr.contig, "sim", "transcript",
+                            str(tr.exons[0][0] + 1), str(tr.exons[-1][1]),
+                            ".", tr.strand, ".", attrs,
+                        ]
+                    )
+                    + "\n"
+                )
+                for eid, (s, e) in enumerate(tr.exons, start=1):
+                    f.write(
+                        "\t".join(
+                            [
+                                tr.contig, "sim", "exon", str(s + 1), str(e),
+                                ".", tr.strand, ".",
+                                attrs + f' exon_number "{eid}";',
+                            ]
+                        )
+                        + "\n"
+                    )
+
 
 def random_genome(n: int, rng: random.Random) -> str:
     arr = np.frombuffer(rng.randbytes(n), dtype=np.uint8) & 3

@@ -1,0 +1,66 @@
+"""Visualization stages smoke tests (plot PDFs + segment_vis pickle)."""
+
+import os
+import pickle
+
+import pytest
+
+from freddie_tpu.config import PipelineConfig
+from freddie_tpu.stages.pipeline import run_pipeline
+from freddie_tpu.utils.sim import simulate
+
+
+@pytest.fixture(scope="module")
+def full_run(tmp_path_factory):
+    d = tmp_path_factory.mktemp("vis")
+    sim = simulate(seed=12, n_genes=1, isoforms_per_gene=2, reads_per_isoform=6)
+    bam, fq = str(d / "r.bam"), str(d / "r.fastq")
+    gtf = str(d / "annot.gtf")
+    sim.write_bam(bam)
+    sim.write_fastq(fq)
+    sim.write_annotation_gtf(gtf)
+    out = str(d / "out")
+    run_pipeline(bam, [fq], out, PipelineConfig(), log=lambda *a: None)
+    return sim, out, gtf
+
+
+def test_plot_produces_pdfs(full_run):
+    sim, out, gtf = full_run
+    from freddie_tpu.stages.plot import run_plot
+
+    plot_dir = os.path.join(out, "plots")
+    n = run_plot(
+        annotation_gtf=gtf,
+        segment_tsv=os.path.join(out, "segment", sim.contig, f"segment_{sim.contig}_0.tsv"),
+        cluster_tsv=os.path.join(out, "cluster", sim.contig, f"cluster_{sim.contig}_0.tsv"),
+        out_dir=plot_dir,
+    )
+    assert n >= 1
+    pdfs = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(plot_dir)
+        for f in fs
+        if f.endswith(".pdf")
+    ]
+    assert pdfs and all(os.path.getsize(p) > 1000 for p in pdfs)
+
+
+def test_segment_vis_pickle(full_run):
+    sim, out, gtf = full_run
+    from freddie_tpu.stages.segment_vis import run_segment_vis
+
+    pkl = os.path.join(out, "segvis.pickle")
+    run_segment_vis(
+        split_tsvs=[os.path.join(out, "split", sim.contig, f"split_{sim.contig}_0.tsv")],
+        segment_tsvs=[os.path.join(out, "segment", sim.contig, f"segment_{sim.contig}_0.tsv")],
+        annotation_gtf=gtf,
+        output=pkl,
+    )
+    segs, transcripts, reads = pickle.load(open(pkl, "rb"))
+    assert sim.contig in segs and sim.contig in reads
+    assert len(reads[sim.contig]) > 0
+    for read in reads[sim.contig]:
+        assert "data" in read
+    # annotation transcripts got data too
+    for t in transcripts[sim.contig].values():
+        assert "data" in t
