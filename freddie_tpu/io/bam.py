@@ -23,6 +23,24 @@ CIGAR_OP_CODE = {c: i for i, c in enumerate(CIGAR_OPS)}
 _SEQ_NIBBLE = "=ACMGRSVTWYHKDBN"
 _NIBBLE_OF = {c: i for i, c in enumerate(_SEQ_NIBBLE)}
 
+# Byte -> two-character expansion table for fast 4-bit seq decoding.
+_SEQ_PAIRS = [
+    (a + b).encode() for a in _SEQ_NIBBLE for b in _SEQ_NIBBLE
+]
+_SEQ_TABLE = b"".join(_SEQ_PAIRS)
+
+
+def _decode_seq(seq_bytes: bytes, l_seq: int) -> str:
+    """Expand packed 4-bit bases via a 256-entry pair table (numpy)."""
+    if l_seq == 0:
+        return ""
+    import numpy as np
+
+    idx = np.frombuffer(seq_bytes, dtype=np.uint8)
+    pairs = np.frombuffer(_SEQ_TABLE, dtype=np.uint16)  # 256 two-char cells
+    out = pairs[idx].tobytes()[:l_seq]
+    return out.decode()
+
 FLAG_UNMAPPED = 0x4
 FLAG_REVERSE = 0x10
 FLAG_SECONDARY = 0x100
@@ -126,11 +144,7 @@ class BamReader:
             off += 4 * n_cigar
             n_seq_bytes = (l_seq + 1) // 2
             seq_bytes = buf[off : off + n_seq_bytes]
-            chars = []
-            for b in seq_bytes:
-                chars.append(_SEQ_NIBBLE[b >> 4])
-                chars.append(_SEQ_NIBBLE[b & 0xF])
-            seq = "".join(chars[:l_seq])
+            seq = _decode_seq(seq_bytes, l_seq)
             yield BamRecord(
                 query_name=name,
                 flag=flag,

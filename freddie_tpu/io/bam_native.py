@@ -1,0 +1,167 @@
+"""ctypes bindings for the native BAM decoder (native/bamdec.cpp).
+
+NativeBamReader yields the same BamRecord objects as the pure-Python
+BamReader (asserted by tests) with inflation, record parsing and sequence
+expansion done in C++. Falls back transparently when no toolchain exists.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from .bam import BamRecord
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "bamdec.cpp")
+_LIB = os.path.join(_REPO_ROOT, "native", "libbamdec.so")
+
+_lib = None
+_build_failed = False
+
+
+def _load():
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    try:
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC, "-lz"],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(_LIB)
+        lib.bamdec_open.restype = ctypes.c_void_p
+        lib.bamdec_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+        lib.bamdec_n_refs.argtypes = [ctypes.c_void_p]
+        lib.bamdec_ref.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_longlong),
+        ]
+        P = ctypes.POINTER
+        lib.bamdec_next_batch.restype = ctypes.c_longlong
+        lib.bamdec_next_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong,
+            P(ctypes.c_int32), P(ctypes.c_int64), P(ctypes.c_uint16), P(ctypes.c_uint8),
+            P(ctypes.c_int64), P(ctypes.c_int32), P(ctypes.c_char), ctypes.c_longlong,
+            P(ctypes.c_int64), P(ctypes.c_int32), P(ctypes.c_uint32), ctypes.c_longlong,
+            P(ctypes.c_int64), P(ctypes.c_int64), P(ctypes.c_char), ctypes.c_longlong,
+        ]
+        lib.bamdec_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    except Exception:
+        _build_failed = True
+    return _lib
+
+
+def native_bam_available() -> bool:
+    return _load() is not None
+
+
+class NativeBamReader:
+    """Drop-in for io.bam.BamReader backed by the C++ decoder."""
+
+    BATCH = 4096
+    NAME_CAP = BATCH * 256
+    CIGAR_CAP = BATCH * 512
+    SEQ_CAP = BATCH * 8192
+
+    def __init__(self, path: str):
+        lib = _load()
+        assert lib is not None, "native BAM decoder unavailable"
+        self._lib = lib
+        err = ctypes.create_string_buffer(256)
+        self._h = lib.bamdec_open(path.encode(), err, 256)
+        if not self._h:
+            raise ValueError(f"{path}: {err.value.decode()}")
+        self.references = []
+        self.lengths = []
+        name = ctypes.create_string_buffer(1024)
+        ln = ctypes.c_longlong(0)
+        for i in range(lib.bamdec_n_refs(self._h)):
+            lib.bamdec_ref(self._h, i, name, 1024, ctypes.byref(ln))
+            self.references.append(name.value.decode())
+            self.lengths.append(int(ln.value))
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.bamdec_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __iter__(self):
+        B = self.BATCH
+        ref_id = np.zeros(B, np.int32)
+        pos = np.zeros(B, np.int64)
+        flag = np.zeros(B, np.uint16)
+        mapq = np.zeros(B, np.uint8)
+        name_off = np.zeros(B, np.int64)
+        name_len = np.zeros(B, np.int32)
+        name_buf = np.zeros(self.NAME_CAP, np.uint8)
+        cigar_off = np.zeros(B, np.int64)
+        cigar_len = np.zeros(B, np.int32)
+        cigar_buf = np.zeros(self.CIGAR_CAP, np.uint32)
+        seq_off = np.zeros(B, np.int64)
+        seq_len = np.zeros(B, np.int64)
+        seq_buf = np.zeros(self.SEQ_CAP, np.uint8)
+
+        def ptr(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        while True:
+            n = self._lib.bamdec_next_batch(
+                self._h, B,
+                ptr(ref_id, ctypes.c_int32), ptr(pos, ctypes.c_int64),
+                ptr(flag, ctypes.c_uint16), ptr(mapq, ctypes.c_uint8),
+                ptr(name_off, ctypes.c_int64), ptr(name_len, ctypes.c_int32),
+                ptr(name_buf, ctypes.c_char), ctypes.c_longlong(self.NAME_CAP),
+                ptr(cigar_off, ctypes.c_int64), ptr(cigar_len, ctypes.c_int32),
+                ptr(cigar_buf, ctypes.c_uint32), ctypes.c_longlong(self.CIGAR_CAP),
+                ptr(seq_off, ctypes.c_int64), ptr(seq_len, ctypes.c_int64),
+                ptr(seq_buf, ctypes.c_char), ctypes.c_longlong(self.SEQ_CAP),
+            )
+            if n < 0:
+                raise ValueError(f"native BAM decode error (code {n})")
+            if n == 0:
+                return
+            # Copy only the used prefixes out of the ctypes buffers.
+            names_raw = name_buf[: int(name_off[n - 1] + name_len[n - 1])].tobytes()
+            seqs_raw = seq_buf[: int(seq_off[n - 1] + seq_len[n - 1])].tobytes()
+            for i in range(n):
+                co, cl = int(cigar_off[i]), int(cigar_len[i])
+                ops = cigar_buf[co : co + cl]
+                cigar = [(int(v) & 0xF, int(v) >> 4) for v in ops]
+                no, nl = int(name_off[i]), int(name_len[i])
+                so, sl = int(seq_off[i]), int(seq_len[i])
+                yield BamRecord(
+                    query_name=names_raw[no : no + nl].decode(),
+                    flag=int(flag[i]),
+                    reference_id=int(ref_id[i]),
+                    reference_start=int(pos[i]),
+                    mapq=int(mapq[i]),
+                    cigartuples=cigar,
+                    query_sequence=seqs_raw[so : so + sl].decode(),
+                    reference_name=(
+                        self.references[ref_id[i]]
+                        if 0 <= ref_id[i] < len(self.references)
+                        else None
+                    ),
+                )
+
+
+def open_bam(path: str):
+    """Best decoder available: native C++ when buildable, else Python."""
+    if native_bam_available():
+        return NativeBamReader(path)
+    from .bam import BamReader
+
+    return BamReader(path)

@@ -324,7 +324,9 @@ def run_split(
     Returns {contig: n_tints}."""
     cfg = cfg or SplitConfig()
     os.makedirs(outdir, exist_ok=True)
-    reader = BamReader(bam_path)
+    from ..io.bam_native import open_bam
+
+    reader = open_bam(bam_path)
     keep = {
         n
         for n, l in zip(reader.references, reader.lengths)
