@@ -1,0 +1,155 @@
+"""Batched polyA-run scoring as associative/segmented scans (kernel
+target 4 of SURVEY.md section 3.2).
+
+The reference scores each soft-clip window with a Kadane-style recurrence
+s_i = max(0, s_{i-1} + m_i) (match +1 / mismatch -2), splits the score
+vector into maximal positive runs and yields per run
+(first, length-to-best-score, purity), keeping runs with length >= 20 and
+purity >= 0.85 and choosing the best by purity
+(py/freddie_segment.py:352-367 + 402-449).
+
+Here the same computation runs for a whole batch of windows at once:
+
+- the Kadane recurrence is an associative scan over affine-max maps
+  f(x) = max(c, x + a), which compose as
+  (c2, a2) . (c1, a1) = (max(c2, c1 + a2), a1 + a2);
+- run decomposition and per-run best-score/first-index are segmented
+  scans keyed on run starts;
+- purity ordering uses a float32 ratio, which is order-exact for window
+  lengths <= 2048 (distinct rationals cnt/len with denominators <= L
+  differ by >= 1/L^2, far above the f32 division error), and the gates
+  use exact integer cross-multiplication.
+
+Results are identical to the host implementation (ops.polya);
+tests/test_polya_batch.py checks every window against it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_WINDOW = 2048  # f32 purity ordering proof bound; longer windows -> host
+
+
+def _scan_batch(match: "jnp.ndarray", valid: "jnp.ndarray"):
+    """For (B, L) bool match/valid masks, return per-window best candidate
+    (found, first, length, count) under the reference's rules."""
+    import jax
+    import jax.numpy as jnp
+
+    B, L = match.shape
+    m = jnp.where(valid, jnp.where(match, 1, -2), -(10**6)).astype(jnp.int32)
+
+    # Kadane scores via affine-max composition scan.
+    def combine(f1, f2):
+        c1, a1 = f1
+        c2, a2 = f2
+        return jnp.maximum(c2, c1 + a2), a1 + a2
+
+    # Each step is f_i(x) = max(0, x + m_i) == (c=0, a=m_i); the scan
+    # composes prefixes and s_i = F_i(0) = max(C_i, A_i). The s_0 special
+    # case (match ? 1 : 0) equals max(0, m_0).
+    cs, as_ = jax.lax.associative_scan(
+        combine, (jnp.zeros_like(m), m), axis=1
+    )
+    s = jnp.maximum(cs, as_)
+
+    pos = s > 0
+    prev_pos = jnp.pad(pos[:, :-1], ((0, 0), (1, 0)), constant_values=False)
+    start = pos & ~prev_pos
+    next_pos = jnp.pad(pos[:, 1:], ((0, 0), (0, 1)), constant_values=False)
+    end = pos & ~next_pos
+
+    idx = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+
+    # Segmented scans: flags reset at run starts.
+    def seg_combine(x1, x2):
+        f1, v1 = x1
+        f2, v2 = x2
+        return f1 | f2, jnp.where(f2, v2, jnp.maximum(v1, v2))
+
+    # best (score, index) per prefix-in-run; key = s*(L+1) + idx gives
+    # highest score, ties -> highest index (the reference's max(zip(S,i))).
+    key = s * jnp.int32(L + 1) + idx
+    _, seg_best = jax.lax.associative_scan(
+        seg_combine, (start, jnp.where(pos, key, -1)), axis=1
+    )
+    # first index per run: carry the start's index forward.
+    def seg_first(x1, x2):
+        f1, v1 = x1
+        f2, v2 = x2
+        return f1 | f2, jnp.where(f2, v2, v1)
+
+    _, seg_f = jax.lax.associative_scan(
+        seg_first, (start, jnp.where(start, idx, 0)), axis=1
+    )
+
+    # Prefix counts of matches for purity numerators.
+    cnt_prefix = jnp.cumsum(match.astype(jnp.int32) & valid.astype(jnp.int32), axis=1)
+    cnt_before = jnp.pad(cnt_prefix[:, :-1], ((0, 0), (1, 0)))
+
+    best_idx = seg_best % jnp.int32(L + 1)
+    first = seg_f
+    length = best_idx + 1 - first
+    # count of matches in [first, first+length) = [first, best_idx]
+    cnt = jnp.take_along_axis(cnt_prefix, best_idx, axis=1) - jnp.take_along_axis(
+        cnt_before, first, axis=1
+    )
+
+    # Candidates live at run ends; gates: length >= 20, purity >= 0.85
+    # (exact: 20*cnt >= 17*length).
+    cand = end & (length >= 20) & (20 * cnt >= 17 * length)
+    purity = jnp.where(cand, cnt.astype(jnp.float32) / length.astype(jnp.float32), -1.0)
+    pmax = jnp.max(purity, axis=1)  # (B,)
+    found = pmax > 0
+    first_best = jnp.argmax(purity == pmax[:, None], axis=1)  # earliest run
+    take = lambda a: jnp.take_along_axis(a, first_best[:, None], axis=1)[:, 0]
+    return (
+        found,
+        jnp.where(found, take(first), 0),
+        jnp.where(found, take(length), 0),
+        jnp.where(found, take(cnt), 0),
+    )
+
+
+def best_poly_batch(windows: list[str], chars: list[str]):
+    """For each (window string, target char) pair, the reference's best
+    run or None: list of (first, length, count_of_char) tuples.
+
+    Windows longer than MAX_WINDOW fall back to the host scorer.
+    """
+    import jax.numpy as jnp
+
+    from .polya import longest_poly_runs
+
+    n = len(windows)
+    results: list[tuple[int, int, int] | None] = [None] * n
+    dev_rows = [i for i in range(n) if len(windows[i]) <= MAX_WINDOW and windows[i]]
+    for i in range(n):
+        if len(windows[i]) > MAX_WINDOW:
+            cands = [
+                (f, l, round(p * l))
+                for f, l, p in longest_poly_runs(windows[i], 0, len(windows[i]), 1, chars[i])
+                if l >= 20 and p >= 0.85
+            ]
+            if cands:
+                results[i] = max(cands, key=lambda t: (t[2] / t[1], -t[0]))
+    if not dev_rows:
+        return results
+    L = max(len(windows[i]) for i in dev_rows)
+    L = max(L, 32)
+    match = np.zeros((len(dev_rows), L), dtype=bool)
+    valid = np.zeros((len(dev_rows), L), dtype=bool)
+    for r, i in enumerate(dev_rows):
+        w = windows[i]
+        valid[r, : len(w)] = True
+        match[r, : len(w)] = np.frombuffer(w.encode(), dtype=np.uint8) == ord(chars[i])
+    found, first, length, cnt = _scan_batch(jnp.asarray(match), jnp.asarray(valid))
+    found = np.asarray(found)
+    first = np.asarray(first)
+    length = np.asarray(length)
+    cnt = np.asarray(cnt)
+    for r, i in enumerate(dev_rows):
+        if found[r]:
+            results[i] = (int(first[r]), int(length[r]), int(cnt[r]))
+    return results
