@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency harness: sharded segmentation-DP throughput vs mesh
+size (BASELINE target: >=0.85 efficiency from 1 to N workers).
+
+On real multi-chip slices (SCALING_BACKEND=tpu) this measures ICI-sharded
+throughput directly; loci are embarrassingly parallel, so the measured
+losses are batching/dispatch overheads -- exactly what the efficiency
+target bounds. In this container (one real chip) it falls back to N
+virtual CPU devices, which exercises the identical pjit/sharding program
+but time-shares the host's physical cores: the reported CPU "efficiency"
+is core-contention-bound (a lower bound), not a chip-scaling measurement.
+
+Prints one JSON line:
+  {"metric": "segdp_scaling_efficiency", "value": eff_at_max,
+   "unit": "fraction", "per_mesh": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+N_DEVICES = int(os.environ.get("SCALING_DEVICES", "8"))
+
+if __name__ == "__main__":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={N_DEVICES}"
+        ).strip()
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+
+    # Default to the virtual-device CPU mesh (this container has one real
+    # chip); set SCALING_BACKEND=tpu on a real multi-chip slice.
+    jax.config.update("jax_platforms", os.environ.get("SCALING_BACKEND", "cpu"))
+
+    from freddie_tpu.ops.thresholds import ScaledThresholds
+    from freddie_tpu.parallel.mesh import loci_mesh, solve_batch_sharded
+
+    thr = ScaledThresholds(0.9)
+    rng = np.random.default_rng(0)
+    n_dev = len(jax.devices())
+    B_per = 64
+    P, R = 64, 256
+
+    def batch(B):
+        inc = rng.integers(0, 12, size=(B, P, R))
+        inc[rng.random(size=(B, P, R)) < 0.5] = 0
+        C = np.cumsum(inc, axis=1).astype(np.int32)
+        y = np.sort(rng.integers(1, 20_000, size=(B, P)).astype(np.int32), axis=1)
+        y[:, 0] = 0
+        return C, y, np.ones((B, R), np.float32), np.full(B, P, np.int32)
+
+    results = {}
+    sizes = sorted({1, 2, n_dev} & set(range(1, n_dev + 1)))
+    for nd in sizes:
+        mesh = loci_mesh(nd)
+        B = B_per * nd  # weak scaling: constant work per device
+        C, y, W, n = batch(B)
+        lookup = np.asarray(thr.lookup)
+        K, bj, bk = solve_batch_sharded(C, y, W, n, 3, lookup, thr.scale, mesh)
+        _ = np.asarray(bj)  # warmup + completion
+        ts = []
+        for _i in range(3):
+            t0 = time.perf_counter()
+            K, bj, bk = solve_batch_sharded(C, y, W, n, 3, lookup, thr.scale, mesh)
+            _ = np.asarray(bj)
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts)
+        results[nd] = B * R / dt
+
+    base = results[sizes[0]] / sizes[0]
+    eff = results[sizes[-1]] / (sizes[-1] * base)
+    print(
+        json.dumps(
+            dict(
+                metric="segdp_scaling_efficiency",
+                value=round(eff, 3),
+                unit="fraction",
+                per_mesh={str(k): round(v) for k, v in results.items()},
+            )
+        )
+    )
+    print(
+        f"[scaling] weak-scaling reads/s per mesh size: "
+        + ", ".join(f"{k}dev={v:,.0f}" for k, v in results.items()),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

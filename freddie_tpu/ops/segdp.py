@@ -42,7 +42,6 @@ small integers carried in f32 (exact below 2^24).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import numpy as np
 

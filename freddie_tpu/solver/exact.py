@@ -42,7 +42,7 @@ non-OPTIMAL status (py/freddie_cluster.py:750-751).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -22,7 +22,7 @@ outputs are bit-reproducible across runs and platforms.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from math import ceil
 
 import numpy as np
@@ -350,11 +350,25 @@ def cluster_tint(tint: SegTint, cfg: ClusterConfig) -> tuple[list[dict], list[in
     return isoforms, garbage_rids
 
 
+def _cluster_one(job: tuple[str, str, str, "ClusterConfig"]) -> int:
+    in_path, out_path, _contig, cfg = job
+    tint = parse_segment_tsv(in_path)
+    isoforms, garbage = cluster_tint(tint, cfg)
+    with open(out_path, "w") as f:
+        f.write(format_cluster_tsv(tint, isoforms, garbage))
+    return 1
+
+
 def run_cluster(segment_dir: str, outdir: str, cfg: ClusterConfig | None = None) -> int:
-    """Full cluster stage over a segment directory; returns #tints."""
+    """Full cluster stage over a segment directory; returns #tints.
+
+    Tints are independent; with cfg.threads > 1 they run on a thread pool
+    (the C++ branch-and-bound core releases the GIL for the duration of
+    each solve, so threads scale the reference's process-pool parallelism
+    without pickling)."""
     cfg = cfg or ClusterConfig()
     os.makedirs(outdir, exist_ok=True)
-    n = 0
+    jobs = []
     for contig in sorted(os.listdir(segment_dir)):
         cdir = os.path.join(segment_dir, contig)
         if not os.path.isdir(cdir):
@@ -363,11 +377,18 @@ def run_cluster(segment_dir: str, outdir: str, cfg: ClusterConfig | None = None)
         for fn in sorted(os.listdir(cdir)):
             if not (fn.startswith("segment_") and fn.endswith(".tsv")):
                 continue
-            tint = parse_segment_tsv(os.path.join(cdir, fn))
-            isoforms, garbage = cluster_tint(tint, cfg)
             tint_id = int(fn[:-4].split("_")[-1])
-            out = os.path.join(outdir, contig, f"cluster_{contig}_{tint_id}.tsv")
-            with open(out, "w") as f:
-                f.write(format_cluster_tsv(tint, isoforms, garbage))
-            n += 1
-    return n
+            jobs.append(
+                (
+                    os.path.join(cdir, fn),
+                    os.path.join(outdir, contig, f"cluster_{contig}_{tint_id}.tsv"),
+                    contig,
+                    cfg,
+                )
+            )
+    if cfg.threads > 1 and len(jobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
+            return sum(ex.map(_cluster_one, jobs))
+    return sum(_cluster_one(j) for j in jobs)

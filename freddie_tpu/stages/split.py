@@ -27,7 +27,7 @@ from typing import Iterable, Iterator
 
 from ..config import SplitConfig
 from ..core.cigar import alignment_intervals, cigar_to_str, Interval
-from ..io.bam import BamReader, BamRecord
+from ..io.bam import BamRecord
 from ..io.fastx import read_fastx
 
 
