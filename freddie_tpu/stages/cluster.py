@@ -351,7 +351,13 @@ def cluster_tint(tint: SegTint, cfg: ClusterConfig) -> tuple[list[dict], list[in
 
 
 def _cluster_one(job: tuple[str, str, str, "ClusterConfig"]) -> int:
-    in_path, out_path, _contig, cfg = job
+    in_path, out_path, contig, cfg = job
+    if cfg.logs_dir is not None:
+        # Scope solver logs per contig (tint ids repeat across contigs),
+        # like the reference's '{logs_dir}/{contig}' (py/freddie_cluster.py:813).
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, logs_dir=os.path.join(cfg.logs_dir, contig))
     tint = parse_segment_tsv(in_path)
     isoforms, garbage = cluster_tint(tint, cfg)
     with open(out_path, "w") as f:

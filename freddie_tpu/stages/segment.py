@@ -255,29 +255,53 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None) -
                     )
                 )
 
+    # Phase A (parallel over tints when cfg.threads > 1: scipy smoothing
+    # and the numpy coverage scatter release the GIL).
+    def prepare_one(job):
+        _contig, _tint_id, split_tsv, reads_tsv = job
+        tint = parse_split_tsv(split_tsv)
+        load_read_sequences(tint, reads_tsv)
+        return prepare_tint(tint, cfg, thr)
+
+    if cfg.threads > 1 and len(jobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
+            prepared = list(ex.map(prepare_one, jobs))
+    else:
+        prepared = [prepare_one(j) for j in jobs]
     works: list[TintWork] = []
     all_problems: list[DPProblem] = []
     offsets: list[int] = []
-    for contig, tint_id, split_tsv, reads_tsv in jobs:
-        tint = parse_split_tsv(split_tsv)
-        load_read_sequences(tint, reads_tsv)
-        work, problems = prepare_tint(tint, cfg, thr)
+    for work, problems in prepared:
         offsets.append(len(all_problems))
         all_problems.extend(problems)
         works.append(work)
 
+    # Phase B: one batched device dispatch for every problem of every tint.
     solutions = solve_problems(all_problems, cfg, thr)
 
-    for (contig, tint_id, _, _), work, off in zip(jobs, works, offsets):
+    # Phase C (parallel like phase A).
+    def finalize_one(args):
+        (contig, tint_id, _, _), work, off = args
         n = sum(len(iw.problems) for iw in work.intervals)
         sols = solutions[off : off + n]
-        # Re-map local problem ids.
         k = 0
-        for iw in work.intervals:
+        for iw in work.intervals:  # re-map local problem ids
             iw.problems = list(range(k, k + len(iw.problems)))
             k += len(iw.problems)
         final_positions = finalize_tint(work, sols, cfg, thr)
         out_path = os.path.join(outdir, contig, f"segment_{contig}_{tint_id}.tsv")
         with open(out_path, "w") as f:
             f.write(format_segment_tsv(work.tint, final_positions))
+
+    triples = list(zip(jobs, works, offsets))
+    if cfg.threads > 1 and len(triples) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
+            list(ex.map(finalize_one, triples))
+    else:
+        for t in triples:
+            finalize_one(t)
     return len(jobs)
