@@ -118,6 +118,11 @@ def solve_exact(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult:
         conflict[pos_of[a]].add(pos_of[b])
         conflict[pos_of[b]].add(pos_of[a])
     gaps_of = [rows[o].gaps for o in order]
+    # Positions whose conflicts could still matter ahead: a conflict with
+    # an already-rejected read never constrains the future.
+    has_forward_conflict = [
+        any(q > p for q in conflict[p]) for p in range(N)
+    ]
 
     sc, eps, off = inst.eps_scale, inst.eps_scaled, inst.offset
 
@@ -141,6 +146,16 @@ def solve_exact(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult:
             lo = int(seg_len[mask & E_lo].sum())
             hi = int(seg_len[mask & E_hi].sum())
             if not _gap_ok_interval(lo, hi, l, off, sc, eps):
+                return False
+        return True
+
+    def gaps_always_feasible(i_pos: int, E_lo: np.ndarray, E_hi: np.ndarray) -> bool:
+        """Gaps of i satisfied for EVERY final E between E_lo and E_hi:
+        both constraint sides must hold at their worst extreme."""
+        for mask, l in gaps_of[i_pos]:
+            lo = int(seg_len[mask & E_lo].sum())
+            hi = int(seg_len[mask & E_hi].sum())
+            if not ((sc - eps) * hi <= sc * (l + off) and sc * (l - off) <= (sc + eps) * lo):
                 return False
         return True
 
@@ -176,8 +191,30 @@ def solve_exact(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult:
             if not gaps_feasible(q, E_cur, E_possible):
                 return
 
+        conflicted = bool(conflict[p] & set(chosen))
+
+        # Dominance: when assigning p cannot hurt -- it adds no exons
+        # (E unchanged), its cost never exceeds its garbage under any
+        # final E, it constrains nobody (no forward conflicts), and its
+        # gaps hold for every reachable E -- the assign branch's optimum
+        # is at least as good as the reject branch's (any reject
+        # completion plus p is feasible and no costlier), and assign-first
+        # DFS reaches it first: skip the reject branch. Result-identical
+        # to the full search.
+        if (
+            not conflicted
+            and not has_forward_conflict[p]
+            and not np.any(exons[p] & ~E_cur)
+            and corr_cost(p, E_possible) <= garbage[p]
+            and gaps_always_feasible(p, E_cur, E_possible)
+        ):
+            chosen.append(p)
+            recurse(p + 1, E_cur, rejected_cost)
+            chosen.pop()
+            return
+
         # Branch 1: assign p (if compatible and its gaps can be satisfied).
-        if not (conflict[p] & set(chosen)):
+        if not conflicted:
             E_new = E_cur | exons[p]
             if gaps_feasible(p, E_new, E_possible):
                 chosen.append(p)

@@ -140,9 +140,13 @@ def make_isoforms(
     contig: str,
     gene_id: int,
     strand: str = "+",
+    alt_splice: bool = False,
 ) -> list[SimTranscript]:
-    """Isoforms as exon subsets: the first keeps all exons, later ones skip
-    internal exons."""
+    """Isoforms of a gene: the first keeps all exons; later ones skip
+    internal exons, and (with alt_splice) use alternative 5'/3' splice
+    sites or retain an intron. Alternative sites put splice positions in
+    the *interior* of merged coverage intervals, which is what makes the
+    segmentation DP non-trivial."""
     out = [
         SimTranscript(
             name=f"ENST{gene_id:05d}T0", contig=contig, exons=list(gene_exons), strand=strand
@@ -154,10 +158,27 @@ def make_isoforms(
         if not internal:
             break
         for _attempt in range(10):
-            skip = set(rng.sample(internal, k=min(len(internal), rng.randint(1, 2))))
-            exons = tuple(e for i, e in enumerate(gene_exons) if i not in skip)
-            if exons not in seen:
-                seen.add(exons)
+            kinds = ["skip"] + (["alt", "retain"] if alt_splice else [])
+            kind = rng.choice(kinds)
+            exons = list(gene_exons)
+            if kind == "skip":
+                skip = set(rng.sample(internal, k=min(len(internal), rng.randint(1, 2))))
+                exons = [e for i, e in enumerate(gene_exons) if i not in skip]
+            elif kind == "alt":
+                i = rng.choice(internal)
+                s, e = exons[i]
+                delta = rng.randint(30, min(100, (e - s) - 30))
+                if rng.random() < 0.5:
+                    exons[i] = (s + delta, e)  # alternative acceptor
+                else:
+                    exons[i] = (s, e - delta)  # alternative donor
+            else:  # retain: merge an intron into one exon
+                i = rng.choice(internal[:-1]) if len(internal) > 1 else internal[0]
+                if i + 1 < len(exons):
+                    exons = exons[:i] + [(exons[i][0], exons[i + 1][1])] + exons[i + 2:]
+            key = tuple(exons)
+            if key not in seen:
+                seen.add(key)
                 out.append(
                     SimTranscript(
                         name=f"ENST{gene_id:05d}T{t}", contig=contig,
@@ -166,6 +187,54 @@ def make_isoforms(
                 )
                 break
     return out
+
+
+def _exon_body_with_errors(rng, sim, exons, indel_rate, big_del_rate=0.0):
+    """Aligned exon-body sequence + its CIGAR (M/I/D runs, N introns).
+
+    With indel_rate > 0, small (1-3 bp) insertions/deletions are sprinkled
+    between match chunks; deletions stay below the D->N threshold so they
+    remain intra-exon. With big_del_rate > 0, occasional 21-45 bp deletions
+    are emitted -- the split stage rewrites D>20 as introns
+    (py/freddie_split.py:159-161), so these fragment read intervals at
+    random genomic positions, the dominant noise source that makes real
+    segmentation problems dense."""
+    from ..io.bam import CDEL, CINS
+
+    ops: list[tuple[int, int]] = []
+    seq_parts: list[str] = []
+
+    def emit(op, ln):
+        if ln <= 0:
+            return
+        if ops and ops[-1][0] == op:
+            ops[-1] = (op, ops[-1][1] + ln)
+        else:
+            ops.append((op, ln))
+
+    for i, (s, e) in enumerate(exons):
+        pos = s
+        while pos < e:
+            chunk = min(e - pos, rng.randint(20, 80))
+            seq_parts.append(sim.genome[pos : pos + chunk])
+            emit(CMATCH, chunk)
+            pos += chunk
+            if pos < e - 50 and big_del_rate and rng.random() < big_del_rate:
+                ln = rng.randint(21, 45)
+                emit(CDEL, ln)  # becomes an intron downstream (D>20)
+                pos += ln
+            elif pos < e - 10 and indel_rate and rng.random() < indel_rate:
+                if rng.random() < 0.5:
+                    ln = rng.randint(1, 3)
+                    seq_parts.append("".join(rng.choice("ACGT") for _ in range(ln)))
+                    emit(CINS, ln)
+                else:
+                    ln = rng.randint(1, 3)
+                    emit(CDEL, ln)
+                    pos += ln
+        if i + 1 < len(exons):
+            emit(CREF_SKIP, exons[i + 1][0] - e)
+    return "".join(seq_parts), ops
 
 
 def simulate_read(
@@ -178,6 +247,10 @@ def simulate_read(
     reverse_prob: float = 0.5,
     truncate_prob: float = 0.0,
     tail_prob: float = 1.0,
+    end_jitter: int = 0,
+    indel_rate: float = 0.0,
+    junction_jitter: int = 0,
+    big_del_rate: float = 0.0,
 ) -> SimRead:
     """One cDNA-style read of a transcript.
 
@@ -197,7 +270,34 @@ def simulate_read(
             exons = exons[drop:]  # 5' of a + gene = genomic left
         else:
             exons = exons[:-drop]
-    body = "".join(sim.genome[s:e] for s, e in exons)
+    if junction_jitter and len(exons) > 1:
+        # splice-junction wobble: internal boundaries shift by a few bp per
+        # read (aligner noise); spreads the splice signal so segmentation
+        # sees wide peaks and real DP problems.
+        jit = []
+        for i, (s, e) in enumerate(exons):
+            if i > 0:
+                s = s + rng.randint(-junction_jitter, junction_jitter)
+            if i < len(exons) - 1:
+                e = e + rng.randint(-junction_jitter, junction_jitter)
+            if e - s < 20:
+                e = s + 20
+            jit.append((s, e))
+        # keep introns positive
+        ok = all(a[1] < b[0] for a, b in zip(jit[:-1], jit[1:]))
+        if ok:
+            exons = jit
+    if end_jitter:
+        # alignment-end wobble: the outermost exons start late / end early
+        s0, e0 = exons[0]
+        s0 = min(s0 + rng.randint(0, end_jitter), e0 - 20)
+        sl, el = exons[-1]
+        el = max(el - rng.randint(0, end_jitter), sl + 20)
+        if len(exons) == 1:
+            exons = [(s0, el)]
+        else:
+            exons = [(s0, e0)] + exons[1:-1] + [(sl, el)]
+    body, body_cigar = _exon_body_with_errors(rng, sim, exons, indel_rate, big_del_rate)
     adapter = "".join(rng.choice("CG") for _ in range(adapter_len))
     has_tail = rng.random() < tail_prob
     tail = "A" * polya_len if has_tail else ""
@@ -210,10 +310,7 @@ def simulate_read(
         lead, trail = revcomp(tail + end_adapter), revcomp(adapter)
     aligned = lead + body + trail
     cigar = [(CSOFT_CLIP, len(lead))] if lead else []
-    for i, (s, e) in enumerate(exons):
-        cigar.append((CMATCH, e - s))
-        if i + 1 < len(exons):
-            cigar.append((CREF_SKIP, exons[i + 1][0] - e))
+    cigar.extend(body_cigar)
     if trail:
         cigar.append((CSOFT_CLIP, len(trail)))
     flag_reverse = rng.random() < reverse_prob
@@ -244,6 +341,11 @@ def simulate(
     minus_strand_genes: bool = False,
     truncate_prob: float = 0.0,
     tail_prob: float = 1.0,
+    end_jitter: int = 0,
+    indel_rate: float = 0.0,
+    alt_splice: bool = False,
+    junction_jitter: int = 0,
+    big_del_rate: float = 0.0,
 ) -> Simulation:
     rng = random.Random(seed)
     genome = random_genome(contig_len, rng)
@@ -255,7 +357,8 @@ def simulate(
         strand = "-" if (minus_strand_genes and g % 2 == 1) else "+"
         gene_exons = make_gene(rng, contig, pos, exons_per_gene)
         isoforms = make_isoforms(
-            rng, gene_exons, isoforms_per_gene, contig, g, strand=strand
+            rng, gene_exons, isoforms_per_gene, contig, g, strand=strand,
+            alt_splice=alt_splice,
         )
         sim.transcripts.extend(isoforms)
         for tr in isoforms:
@@ -264,6 +367,9 @@ def simulate(
                     simulate_read(
                         rng, sim, tr, i,
                         truncate_prob=truncate_prob, tail_prob=tail_prob,
+                        end_jitter=end_jitter, indel_rate=indel_rate,
+                        junction_jitter=junction_jitter,
+                        big_del_rate=big_del_rate,
                     )
                 )
         pos = gene_exons[-1][1] + gene_spacing

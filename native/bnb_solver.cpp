@@ -39,6 +39,7 @@ struct Ctx {
   const int64_t* seg_len;   // [n_segs] (n_segs <= 64*words)
   std::vector<std::vector<Gap>> gaps;       // per read (in DFS order)
   std::vector<std::vector<uint64_t>> conflict;  // per read: bitset over DFS positions
+  std::vector<char> has_forward_conflict;       // any conflict with position > p
   int64_t sc, eps, off;
   double best_obj;
   std::vector<int> best_set;
@@ -87,6 +88,20 @@ bool gaps_feasible(const Ctx& c, int p, const uint64_t* E_lo,
   return true;
 }
 
+// Gaps of p satisfied for EVERY final E in [E_lo, E_hi]: both constraint
+// sides must hold at their worst extreme.
+bool gaps_always_feasible(const Ctx& c, int p, const uint64_t* E_lo,
+                          const uint64_t* E_hi) {
+  for (const Gap& g : c.gaps[p]) {
+    int64_t lo = masked_len_sum(g.mask, E_lo, c.seg_len, c.words);
+    int64_t hi = masked_len_sum(g.mask, E_hi, c.seg_len, c.words);
+    if (!((c.sc - c.eps) * hi <= c.sc * (g.l + c.off) &&
+          c.sc * (g.l - c.off) <= (c.sc + c.eps) * lo))
+      return false;
+  }
+  return true;
+}
+
 void recurse(Ctx& c, int p, std::vector<uint64_t>& E_cur,
              double rejected_cost) {
   if (c.timed_out) return;
@@ -125,10 +140,32 @@ void recurse(Ctx& c, int p, std::vector<uint64_t>& E_cur,
   for (int q : c.chosen)
     if (!gaps_feasible(c, q, E_cur.data(), E_poss.data())) return;
 
-  // Branch 1: assign p if no conflict with chosen.
   bool conflicted = false;
   for (size_t w = 0; w < c.conflict[p].size(); ++w)
     if (c.conflict[p][w] & c.chosen_bits[w]) { conflicted = true; break; }
+
+  // Dominance (result-identical to the full search; see the Python twin):
+  // if assigning p adds no exons, never costs more than its garbage,
+  // constrains nobody ahead, and its gaps hold for every reachable E,
+  // skip the reject branch.
+  if (!conflicted && !c.has_forward_conflict[p]) {
+    bool subset = true;
+    for (int w = 0; w < W; ++w)
+      if (c.exons[(size_t)p * W + w] & ~E_cur[w]) { subset = false; break; }
+    if (subset &&
+        popcount_and(c.corr + (size_t)p * W, E_poss.data(), W) <=
+            c.garbage[p] &&
+        gaps_always_feasible(c, p, E_cur.data(), E_poss.data())) {
+      c.chosen.push_back(p);
+      c.chosen_bits[p >> 6] |= 1ull << (p & 63);
+      recurse(c, p + 1, E_cur, rejected_cost);
+      c.chosen_bits[p >> 6] &= ~(1ull << (p & 63));
+      c.chosen.pop_back();
+      return;
+    }
+  }
+
+  // Branch 1: assign p if no conflict with chosen.
   if (!conflicted) {
     std::vector<uint64_t> E_new(W);
     for (int w = 0; w < W; ++w)
@@ -199,10 +236,12 @@ int solve_bnb(
   int posw = (n_reads + 63) / 64;
   if (posw == 0) posw = 1;
   c.conflict.assign(n_reads, std::vector<uint64_t>(posw, 0));
+  c.has_forward_conflict.assign(n_reads, 0);
   for (int e = 0; e < n_incomp; ++e) {
     int a = incomp_pairs[2 * e], b = incomp_pairs[2 * e + 1];
     c.conflict[a][b >> 6] |= 1ull << (b & 63);
     c.conflict[b][a >> 6] |= 1ull << (a & 63);
+    if (b > a) c.has_forward_conflict[a] = 1; else c.has_forward_conflict[b] = 1;
   }
   c.chosen_bits.assign(posw, 0);
 

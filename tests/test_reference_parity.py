@@ -48,15 +48,30 @@ def run_reference(script: str, args: list[str]) -> None:
     assert proc.returncode == 0, (script, proc.stdout[-2000:], proc.stderr[-2000:])
 
 
-@pytest.fixture(scope="module")
-def fixture(tmp_path_factory):
-    from freddie_tpu.utils.sim import simulate
-
-    d = tmp_path_factory.mktemp("refparity")
-    sim = simulate(
+CONFIGS = {
+    "clean": dict(
         seed=2024, n_genes=3, isoforms_per_gene=2, reads_per_isoform=8,
         minus_strand_genes=True, truncate_prob=0.25, tail_prob=0.85,
-    )
+    ),
+    # alt splice sites + junction wobble + >20bp deletions (intron-split
+    # noise) make segmentation problems dense (40+ candidates): this runs
+    # the DP, refinement and coverage genotyping on non-trivial inputs,
+    # and indels exercise CIGAR walking/gap arithmetic
+    "noisy": dict(
+        seed=4096, n_genes=2, isoforms_per_gene=4, reads_per_isoform=30,
+        minus_strand_genes=True, truncate_prob=0.2, tail_prob=0.8,
+        end_jitter=25, indel_rate=0.1, alt_splice=True, junction_jitter=6,
+        big_del_rate=0.06,
+    ),
+}
+
+
+@pytest.fixture(scope="module", params=sorted(CONFIGS))
+def fixture(request, tmp_path_factory):
+    from freddie_tpu.utils.sim import simulate
+
+    d = tmp_path_factory.mktemp(f"refparity_{request.param}")
+    sim = simulate(**CONFIGS[request.param])
     bam, fq = str(d / "r.bam"), str(d / "r.fastq")
     sim.write_bam(bam)
     sim.write_fastq(fq)
