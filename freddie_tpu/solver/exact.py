@@ -80,7 +80,7 @@ class ClusterInstance:
 
 @dataclass
 class SolveResult:
-    status: str  # 'OPTIMAL' | 'TIMEOUT'
+    status: str  # 'OPTIMAL' | 'TIMEOUT' | 'BUDGET' (node budget hit)
     objective: float
     assigned: list[int]  # indices into rows, ascending
     isoform: np.ndarray | None  # (Mi,) bool -- E over informative segs
@@ -94,7 +94,13 @@ def _gap_ok_interval(lo: int, hi: int, l: int, off: int, sc: int, eps: int) -> b
     return (sc - eps) * lo <= sc * (l + off) and sc * (l - off) <= (sc + eps) * hi
 
 
-def solve_exact(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult:
+def solve_exact(
+    inst: ClusterInstance, deadline_s: float = 60.0, node_budget: int = 0
+) -> SolveResult:
+    """Exact B&B solve. With node_budget > 0 the search stops
+    deterministically after that many nodes and reports status 'BUDGET'
+    with the incumbent found so far (used by the LP-assisted two-phase
+    driver in solver.two_phase)."""
     rows = inst.rows
     N = len(rows)
     if N == 0:
@@ -132,6 +138,7 @@ def solve_exact(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult:
     t0 = time.monotonic()
     nodes = 0
     timed_out = False
+    budget_out = False
 
     # DFS stack entries: (p, E_cur, chosen, rejected_cost)
     # Implemented recursively with explicit stack to avoid recursion limits.
@@ -160,10 +167,13 @@ def solve_exact(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult:
         return True
 
     def recurse(p: int, E_cur: np.ndarray, rejected_cost: float):
-        nonlocal best_obj, best_set, best_E, nodes, timed_out
-        if timed_out:
+        nonlocal best_obj, best_set, best_E, nodes, timed_out, budget_out
+        if timed_out or budget_out:
             return
         nodes += 1
+        if node_budget and nodes > node_budget:
+            budget_out = True
+            return
         if nodes % 4096 == 0 and time.monotonic() - t0 > deadline_s:
             timed_out = True
             return
@@ -235,4 +245,5 @@ def solve_exact(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult:
     if timed_out:
         return SolveResult("TIMEOUT", best_obj, [], None, nodes)
     assigned = sorted(order[p] for p in best_set)
-    return SolveResult("OPTIMAL", best_obj, assigned, best_E, nodes)
+    status = "BUDGET" if budget_out else "OPTIMAL"
+    return SolveResult(status, best_obj, assigned, best_E, nodes)

@@ -59,8 +59,12 @@ def _pack_bits(mat: np.ndarray, words: int) -> np.ndarray:
     return np.ascontiguousarray(packed).view(np.uint64).reshape(n, words)
 
 
-def solve_exact_native(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult | None:
-    """Native solve; None when the toolchain/library is unavailable."""
+def solve_exact_native(
+    inst: ClusterInstance, deadline_s: float = 60.0, node_budget: int = 0
+) -> SolveResult | None:
+    """Native solve; None when the toolchain/library is unavailable.
+    node_budget > 0 stops deterministically with status 'BUDGET' and the
+    incumbent found so far."""
     lib = _load()
     if lib is None:
         return None
@@ -121,17 +125,21 @@ def solve_exact_native(inst: ClusterInstance, deadline_s: float = 60.0) -> Solve
         ctypes.c_int64(inst.eps_scaled),
         ctypes.c_int64(inst.offset),
         ctypes.c_double(deadline_s),
+        ctypes.c_int64(node_budget),
         ptr(out_assigned, ctypes.c_int32),
         ctypes.byref(out_n),
         ctypes.byref(out_obj),
         ptr(out_E, ctypes.c_uint64),
         ctypes.byref(out_nodes),
     )
-    if status != 0:
+    if status == 1:
         return SolveResult("TIMEOUT", out_obj.value, [], None, out_nodes.value)
     assigned = sorted(order[p] for p in out_assigned[: out_n.value].tolist())
     E = np.zeros(M, dtype=bool)
     if M:
         bits = np.unpackbits(out_E.view(np.uint8), bitorder="little")
         E = bits[:M].astype(bool)
-    return SolveResult("OPTIMAL", out_obj.value, assigned, E, out_nodes.value)
+    return SolveResult(
+        "BUDGET" if status == 2 else "OPTIMAL",
+        out_obj.value, assigned, E, out_nodes.value,
+    )

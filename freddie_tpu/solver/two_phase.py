@@ -1,0 +1,54 @@
+"""LP-assisted two-phase exact solve.
+
+Phase 1 runs the branch-and-bound with a deterministic node budget. If it
+finishes, done. Otherwise the LP relaxation (solver.lp_bound) is solved:
+when the LP lower bound proves no solution can be strictly better than the
+phase-1 incumbent (objective values are multiples of the instance's
+granularity), the incumbent is returned as OPTIMAL -- this can only stop
+the search with the result it would have returned anyway (strict-
+improvement incumbent updates), so determinism and the canonical optimum
+are preserved. When the LP does not close the gap, phase 2 re-runs the
+full search under the wall-clock deadline (the reference's Gurobi
+TimeLimit analog, py/freddie_cluster.py:581).
+"""
+
+from __future__ import annotations
+
+import time
+
+from .exact import ClusterInstance, SolveResult, solve_exact
+from .lp_bound import lp_lower_bound
+from .native import solve_exact_native
+
+NODE_BUDGET = 300_000
+
+
+def _objective_granularity(inst: ClusterInstance) -> float:
+    """Objective values are sums of integers (corrections) and garbage
+    costs; with the reference's cost models garbage is integral
+    ('constant') or half-integral ('exons'/'introns')."""
+    if all(float(r.garbage).is_integer() for r in inst.rows):
+        return 1.0
+    return 0.5
+
+
+def _solve_raw(inst, deadline_s, node_budget=0) -> SolveResult:
+    res = solve_exact_native(inst, deadline_s, node_budget)
+    if res is not None:
+        return res
+    return solve_exact(inst, deadline_s, node_budget)
+
+
+def solve_two_phase(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult:
+    t0 = time.monotonic()
+    res = _solve_raw(inst, deadline_s, NODE_BUDGET)
+    if res.status != "BUDGET":
+        return res
+    gran = _objective_granularity(inst)
+    bound = lp_lower_bound(inst)
+    if bound is not None and bound > res.objective - gran + 1e-4:
+        # No strictly better solution exists; the incumbent is the same
+        # one the full search would return.
+        return SolveResult("OPTIMAL", res.objective, res.assigned, res.isoform, res.nodes)
+    remaining = max(deadline_s - (time.monotonic() - t0), 1.0)
+    return _solve_raw(inst, remaining)

@@ -33,14 +33,12 @@ from ..solver.exact import ClusterInstance, ReadRow, SolveResult, solve_exact
 
 
 def _solve(inst: ClusterInstance, deadline_s: float) -> SolveResult:
-    """Native C++ core when available (bit-identical; see
-    tests/test_native_solver.py), Python otherwise."""
-    from ..solver.native import solve_exact_native
+    """LP-assisted two-phase exact solve over the native C++ core (with
+    Python fallback); result-identical to the plain search (see
+    solver.two_phase)."""
+    from ..solver.two_phase import solve_two_phase
 
-    res = solve_exact_native(inst, deadline_s)
-    if res is not None:
-        return res
-    return solve_exact(inst, deadline_s)
+    return solve_two_phase(inst, deadline_s)
 
 
 @dataclass

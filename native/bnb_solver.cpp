@@ -48,7 +48,9 @@ struct Ctx {
   std::vector<uint64_t> suffix_or;  // [(n_reads+1)][words]
   std::chrono::steady_clock::time_point t_end;
   long nodes;
+  long node_budget;  // 0 = unlimited; else deterministic stop
   bool timed_out;
+  bool budget_out;
   std::vector<uint64_t> chosen_bits;  // bitset over DFS positions
 };
 
@@ -104,8 +106,13 @@ bool gaps_always_feasible(const Ctx& c, int p, const uint64_t* E_lo,
 
 void recurse(Ctx& c, int p, std::vector<uint64_t>& E_cur,
              double rejected_cost) {
-  if (c.timed_out) return;
-  if (++c.nodes % 4096 == 0 &&
+  if (c.timed_out || c.budget_out) return;
+  ++c.nodes;
+  if (c.node_budget && c.nodes > c.node_budget) {
+    c.budget_out = true;
+    return;
+  }
+  if (c.nodes % 4096 == 0 &&
       std::chrono::steady_clock::now() > c.t_end) {
     c.timed_out = true;
     return;
@@ -186,9 +193,10 @@ void recurse(Ctx& c, int p, std::vector<uint64_t>& E_cur,
 
 extern "C" {
 
-// Returns 0 = OPTIMAL, 1 = TIMEOUT.
-// All read-major arrays are in DFS (pre-sorted) order; the caller sorts by
-// (-garbage, index) and maps results back.
+// Returns 0 = OPTIMAL, 1 = TIMEOUT, 2 = BUDGET (node budget hit;
+// incumbent outputs are filled). All read-major arrays are in DFS
+// (pre-sorted) order; the caller sorts by (-garbage, index) and maps
+// results back.
 int solve_bnb(
     int n_reads, int n_segs,
     const uint64_t* exons,      // [n_reads][words]
@@ -201,7 +209,7 @@ int solve_bnb(
     int n_incomp,
     const int32_t* incomp_pairs,  // [n_incomp][2] (DFS positions)
     int64_t eps_scale, int64_t eps_scaled, int64_t offset,
-    double deadline_s,
+    double deadline_s, int64_t node_budget,
     // outputs
     int32_t* out_assigned,  // [n_reads]; count in *out_n_assigned
     int32_t* out_n_assigned,
@@ -221,7 +229,9 @@ int solve_bnb(
   c.eps = eps_scaled;
   c.off = offset;
   c.nodes = 0;
+  c.node_budget = node_budget;
   c.timed_out = false;
+  c.budget_out = false;
   c.t_end = std::chrono::steady_clock::now() +
             std::chrono::microseconds((int64_t)(deadline_s * 1e6));
 
@@ -269,7 +279,7 @@ int solve_bnb(
     out_assigned[i] = c.best_set[i];
   *out_objective = c.best_obj;
   for (int w = 0; w < W; ++w) out_E[w] = c.best_E[w];
-  return 0;
+  return c.budget_out ? 2 : 0;
 }
 
 }  // extern "C"
