@@ -128,8 +128,18 @@ def prepare_tint(tint: SplitTint, cfg: SegmentConfig, thr: ScaledThresholds) -> 
 
 def solve_problems(problems: list[DPProblem], cfg: SegmentConfig, thr: ScaledThresholds) -> list[list[int]]:
     """Dispatch DP problems to the device kernel in size-bucketed batches
-    (or the host oracle when use_device=False)."""
+    (or the host oracle when use_device=False).
+
+    Tiny workloads stay on the host: a device dispatch costs a fixed
+    round-trip (tens of ms on remote backends) while the host oracle
+    solves a trivial problem in well under a millisecond, so the device
+    only pays off for real batches of real problems."""
     if not cfg.use_device:
+        return [solve_host(p, thr) for p in problems]
+    total_work = sum(
+        len(p.y) ** 3 * p.C.shape[1] for p in problems if len(p.y) > 2
+    )
+    if total_work < 5_000_000:  # ~a handful of small problems
         return [solve_host(p, thr) for p in problems]
     results: list[list[int] | None] = [None] * len(problems)
     # Bucket by padded (P, R). Bucket edges are coarse so the number of
