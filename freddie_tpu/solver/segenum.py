@@ -1,0 +1,183 @@
+"""Exact solver by enumeration over isoform structures (small instances).
+
+When the number of informative segments Mi is small, the isoform search
+space (2^Mi exon bitmasks) is far smaller than the read-subset space the
+branch-and-bound walks: many real instances have ~100 reads but <=16
+informative segments, which makes the read-DFS explode (near-duplicate
+rows under dense incompatibility constraints) while the structure space
+is trivially enumerable.
+
+For every candidate structure E (vectorized over all 2^Mi masks):
+  - assignable reads: I_i a subset of E (anything else would grow the
+    union) with all gap windows feasible at G(E);
+  - per-read profit delta_i = garbage_i - corrections_i(E); the optimal
+    assignment maximizes total profit subject to (a) incompatible pairs
+    not both chosen and (b) every segment of E covered by some chosen
+    read (the ILP's E2I = max equality);
+  - the residual per-E subproblem (max-weight conflict-free cover) is
+    solved by a tiny DFS over the assignable reads.
+
+Candidate structures are visited in a deterministic order (optimistic
+cost, then mask value); the returned optimum is canonical for this
+dispatch regime (documented in PARITY.md). The objective always equals
+the read-DFS optimum -- both solve the same ILP.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .exact import ClusterInstance, SolveResult
+
+MAX_SEGS = 16  # 2^16 masks enumerated at most
+
+
+def solve_segment_enum(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult | None:
+    """Exact solve via structure enumeration; None when Mi > MAX_SEGS."""
+    import time
+
+    Mi = len(inst.seg_len)
+    N = len(inst.rows)
+    if Mi > MAX_SEGS:
+        return None
+    if N == 0:
+        return SolveResult("OPTIMAL", 0.0, [], None)
+    t_end = time.monotonic() + deadline_s
+
+    n_masks = 1 << Mi
+    bit = 1 << np.arange(Mi, dtype=np.uint32)
+    I_int = np.array(
+        [int((np.asarray(r.exons, bool) * bit).sum()) for r in inst.rows],
+        dtype=np.uint32,
+    )
+    C_int = np.array(
+        [int((np.asarray(r.corr, bool) * bit).sum()) for r in inst.rows],
+        dtype=np.uint32,
+    )
+    g = np.array([r.garbage for r in inst.rows], dtype=np.float64)
+    g_total = float(g.sum())
+    E_all = np.arange(n_masks, dtype=np.uint32)
+
+    # corrections_i(E) = popcount(C_i & E): (N, n_masks) via popcount of
+    # the AND (vectorized bit loop over Mi <= 16 bits).
+    corr_pc = np.zeros((N, n_masks), dtype=np.int32)
+    for b in range(Mi):
+        has_c = (C_int >> b) & 1  # (N,)
+        e_has = ((E_all >> b) & 1).astype(np.int32)  # (n_masks,)
+        corr_pc += has_c[:, None].astype(np.int32) * e_has[None, :]
+    subset_ok = (I_int[:, None] & ~E_all[None, :]) == 0  # (N, n_masks)
+
+    # Gap feasibility per (read, E): G = sum seg_len over (mask & E).
+    # Precompute subset sums per distinct gap mask with the standard
+    # sum-over-subsets DP, then compare windows in scaled integers.
+    sc, eps, off = inst.eps_scale, inst.eps_scaled, inst.offset
+    seg_len = inst.seg_len.astype(np.int64)
+    sos_cache: dict[int, np.ndarray] = {}
+
+    def subset_sums(mask_int: int) -> np.ndarray:
+        arr = sos_cache.get(mask_int)
+        if arr is None:
+            arr = np.zeros(n_masks, dtype=np.int64)
+            for b in range(Mi):
+                if mask_int >> b & 1:
+                    arr = arr + (((E_all >> b) & 1) * seg_len[b])
+            sos_cache[mask_int] = arr
+        return arr
+
+    feasible = subset_ok.copy()
+    for i, r in enumerate(inst.rows):
+        for mask, l in r.gaps:
+            mask_int = int((np.asarray(mask, bool) * bit).sum())
+            G = subset_sums(mask_int)
+            ok = ((sc - eps) * G <= sc * (l + off)) & (sc * (l - off) <= (sc + eps) * G)
+            feasible[i] &= ok
+
+    delta = np.where(feasible, g[:, None] - corr_pc, -np.inf)  # (N, n_masks)
+    # Optimistic cost per E: all positive-profit reads assigned, ignoring
+    # conflicts and coverage -- a valid lower bound per structure.
+    pos_gain = np.where(delta > 0, delta, 0.0).sum(axis=0)  # (n_masks,)
+    optimistic = g_total - pos_gain
+
+    conflict = [set() for _ in range(N)]
+    for a, b2 in inst.incomp:
+        conflict[a].add(b2)
+        conflict[b2].add(a)
+
+    best_cost = g_total  # E = 0, S = empty
+    best_E = 0
+    best_S: list[int] = []
+
+    # Deterministic visit order: most promising first, ties by mask value.
+    order = np.lexsort((E_all, optimistic))
+    timed_out = False
+
+    for E in order:
+        E = int(E)
+        if optimistic[E] >= best_cost:
+            # visit order is ascending in optimistic cost: no later E can
+            # strictly improve on the incumbent.
+            break
+        if time.monotonic() > t_end:
+            timed_out = True
+            break
+        cand = np.flatnonzero(feasible[:, E] & subset_ok[:, E])
+        if E and not len(cand):
+            continue
+        # coverage requirement: union of chosen I must equal E
+        d = delta[cand, E]
+        # order candidates by descending profit, then index (deterministic)
+        sub_order = cand[np.lexsort((cand, -d))]
+        sub_delta = delta[sub_order, E]
+        sub_I = I_int[sub_order]
+        sub_conf = [
+            set(np.flatnonzero(np.isin(sub_order, list(conflict[i]))))
+            for i in sub_order
+        ]
+        # suffix positive-profit sums for pruning; suffix unions for coverage
+        n_sub = len(sub_order)
+        suff_pos = np.zeros(n_sub + 1)
+        suff_union = np.zeros(n_sub + 1, dtype=np.uint32)
+        for p in range(n_sub - 1, -1, -1):
+            suff_pos[p] = suff_pos[p + 1] + max(sub_delta[p], 0.0)
+            suff_union[p] = suff_union[p + 1] | sub_I[p]
+
+        best_gain = -np.inf
+        best_sub: list[int] | None = None
+        chosen: list[int] = []
+
+        def rec(p: int, gain: float, union: int, chosen_set: set):
+            nonlocal best_gain, best_sub
+            # prune: remaining reads cannot complete the coverage of E
+            if (union | int(suff_union[p])) & E != E:
+                return
+            if gain + suff_pos[p] <= best_gain:
+                return
+            if p == n_sub:
+                if union == E and gain > best_gain:
+                    best_gain = gain
+                    best_sub = list(chosen)
+                return
+            # assign p if conflict-free
+            if not (sub_conf[p] & chosen_set):
+                chosen.append(p)
+                chosen_set.add(p)
+                rec(p + 1, gain + sub_delta[p], union | int(sub_I[p]), chosen_set)
+                chosen_set.remove(p)
+                chosen.pop()
+            rec(p + 1, gain, union, chosen_set)
+
+        # E == 0 is NOT special: reads with no exons can profitably join
+        # an empty-structure isoform (union stays 0 == E).
+        rec(0, 0.0, 0, set())
+        if best_sub is None:
+            continue
+        cost = g_total - best_gain
+        if cost < best_cost:
+            best_cost = cost
+            best_E = E
+            best_S = sorted(int(sub_order[p]) for p in best_sub)
+
+    if timed_out:
+        return SolveResult("TIMEOUT", best_cost, [], None, 0)
+    iso = np.array([(best_E >> b) & 1 for b in range(Mi)], dtype=bool)
+    return SolveResult("OPTIMAL", best_cost, best_S, iso, 0)

@@ -44,11 +44,25 @@ def solve_two_phase(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveRes
     res = _solve_raw(inst, deadline_s, NODE_BUDGET)
     if res.status != "BUDGET":
         return res
+    # Escalation 1: structure enumeration -- exact and fast whenever the
+    # informative-segment count is small (the usual reason the read-DFS
+    # explodes: many near-duplicate rows under dense incompatibilities).
+    # The memory guard keeps the (N, 2^Mi) tables bounded.
+    from .segenum import MAX_SEGS, solve_segment_enum
+
+    Mi = len(inst.seg_len)
+    if Mi <= MAX_SEGS and len(inst.rows) << Mi <= 50_000_000:
+        remaining = max(deadline_s - (time.monotonic() - t0), 1.0)
+        enum_res = solve_segment_enum(inst, remaining)
+        if enum_res is not None and enum_res.status == "OPTIMAL":
+            return enum_res
+    # Escalation 2: LP bound proof of the phase-1 incumbent.
     gran = _objective_granularity(inst)
     bound = lp_lower_bound(inst)
     if bound is not None and bound > res.objective - gran + 1e-4:
         # No strictly better solution exists; the incumbent is the same
         # one the full search would return.
         return SolveResult("OPTIMAL", res.objective, res.assigned, res.isoform, res.nodes)
+    # Escalation 3: full search under the remaining deadline.
     remaining = max(deadline_s - (time.monotonic() - t0), 1.0)
     return _solve_raw(inst, remaining)
