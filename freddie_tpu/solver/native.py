@@ -30,14 +30,17 @@ def _load():
     if _lib is not None or _build_failed:
         return _lib
     try:
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        srcs = [_SRC, os.path.join(os.path.dirname(_SRC), "segenum.cpp")]
+        newest = max(os.path.getmtime(s) for s in srcs)
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < newest:
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC],
+                ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB] + srcs,
                 check=True,
                 capture_output=True,
             )
         lib = ctypes.CDLL(_LIB)
         lib.solve_bnb.restype = ctypes.c_int
+        lib.solve_segenum.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _build_failed = True
@@ -143,3 +146,75 @@ def solve_exact_native(
         "BUDGET" if status == 2 else "OPTIMAL",
         out_obj.value, assigned, E, out_nodes.value,
     )
+
+
+def solve_segenum_native(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult | None:
+    """Native structure-enumeration solve (C++ twin of solver.segenum);
+    None when the library is unavailable or Mi > 16. Results bit-equal to
+    the Python implementation (tests/test_segenum_native.py)."""
+    lib = _load()
+    M = len(inst.seg_len)
+    if lib is None or M > 16:
+        return None
+    rows = inst.rows
+    N = len(rows)
+    if N == 0:
+        return SolveResult("OPTIMAL", 0.0, [], None)
+
+    bitvals = 1 << np.arange(M, dtype=np.uint32)
+
+    def to_mask(vec):
+        return np.uint32((np.asarray(vec, bool) * bitvals).sum())
+
+    I_masks = np.array([to_mask(r.exons) for r in rows], dtype=np.uint32)
+    C_masks = np.array([to_mask(r.corr) for r in rows], dtype=np.uint32)
+    garbage = np.array([r.garbage for r in rows], dtype=np.float64)
+    seg_len = np.ascontiguousarray(inst.seg_len, dtype=np.int64)
+    gap_counts = np.array([len(r.gaps) for r in rows], dtype=np.int32)
+    total = int(gap_counts.sum())
+    if total:
+        gap_masks = np.array(
+            [to_mask(m) for r in rows for (m, _l) in r.gaps], dtype=np.uint32
+        )
+        gap_lens = np.array([l for r in rows for (_m, l) in r.gaps], dtype=np.int64)
+    else:
+        gap_masks = np.zeros(1, dtype=np.uint32)
+        gap_lens = np.zeros(1, dtype=np.int64)
+    incomp = np.array(list(inst.incomp), dtype=np.int32).reshape(-1, 2)
+
+    out_assigned = np.zeros(N, dtype=np.int32)
+    out_n = ctypes.c_int32(0)
+    out_obj = ctypes.c_double(0.0)
+    out_E = ctypes.c_uint32(0)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    status = lib.solve_segenum(
+        ctypes.c_int(N),
+        ctypes.c_int(M),
+        ptr(I_masks, ctypes.c_uint32),
+        ptr(C_masks, ctypes.c_uint32),
+        ptr(garbage, ctypes.c_double),
+        ptr(seg_len, ctypes.c_int64),
+        ptr(gap_counts, ctypes.c_int32),
+        ptr(np.ascontiguousarray(gap_masks), ctypes.c_uint32),
+        ptr(np.ascontiguousarray(gap_lens), ctypes.c_int64),
+        ctypes.c_int(len(incomp)),
+        ptr(np.ascontiguousarray(incomp), ctypes.c_int32),
+        ctypes.c_int64(inst.eps_scale),
+        ctypes.c_int64(inst.eps_scaled),
+        ctypes.c_int64(inst.offset),
+        ctypes.c_double(deadline_s),
+        ptr(out_assigned, ctypes.c_int32),
+        ctypes.byref(out_n),
+        ctypes.byref(out_obj),
+        ctypes.byref(out_E),
+    )
+    if status < 0:
+        return None
+    if status == 1:
+        return SolveResult("TIMEOUT", out_obj.value, [], None, 0)
+    E = np.array([(out_E.value >> b) & 1 for b in range(M)], dtype=bool)
+    assigned = sorted(out_assigned[: out_n.value].tolist())
+    return SolveResult("OPTIMAL", out_obj.value, assigned, E, 0)

@@ -33,7 +33,20 @@ MAX_SEGS = 16  # 2^16 masks enumerated at most
 
 
 def solve_segment_enum(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult | None:
-    """Exact solve via structure enumeration; None when Mi > MAX_SEGS."""
+    """Exact solve via structure enumeration; None when Mi > MAX_SEGS.
+
+    Prefers the C++ core (bit-equal twin, tests/test_segenum_native.py);
+    this Python implementation is the reference and fallback."""
+    from .native import solve_segenum_native
+
+    native = solve_segenum_native(inst, deadline_s)
+    if native is not None:
+        return native
+    return _solve_segment_enum_py(inst, deadline_s)
+
+
+def _solve_segment_enum_py(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult | None:
+    """Pure-Python structure enumeration (the canonical definition)."""
     import time
 
     Mi = len(inst.seg_len)
@@ -93,15 +106,20 @@ def solve_segment_enum(inst: ClusterInstance, deadline_s: float = 60.0) -> Solve
             feasible[i] &= ok
 
     delta = np.where(feasible, g[:, None] - corr_pc, -np.inf)  # (N, n_masks)
-    # Optimistic cost per E: all positive-profit reads assigned, ignoring
-    # conflicts and coverage -- a valid lower bound per structure.
-    pos_gain = np.where(delta > 0, delta, 0.0).sum(axis=0)  # (n_masks,)
+    # Optimistic cost per E: all positive-profit subset-compatible reads
+    # assigned, ignoring gap windows, conflicts and coverage -- a valid
+    # lower bound per structure (dropping the gap filter only loosens it),
+    # and cheap enough that the C++ twin can skip materializing the
+    # gap-feasibility table.
+    delta_nogap = np.where(subset_ok, g[:, None] - corr_pc, -np.inf)
+    pos_gain = np.where(delta_nogap > 0, delta_nogap, 0.0).sum(axis=0)
     optimistic = g_total - pos_gain
 
-    conflict = [set() for _ in range(N)]
+    conflict_mat = np.zeros((N, N), dtype=bool)
     for a, b2 in inst.incomp:
-        conflict[a].add(b2)
-        conflict[b2].add(a)
+        conflict_mat[a, b2] = True
+        conflict_mat[b2, a] = True
+    any_conflict = conflict_mat.any()
 
     best_cost = g_total  # E = 0, S = empty
     best_E = 0
@@ -127,16 +145,35 @@ def solve_segment_enum(inst: ClusterInstance, deadline_s: float = 60.0) -> Solve
         d = delta[cand, E]
         # order candidates by descending profit, then index (deterministic)
         sub_order = cand[np.lexsort((cand, -d))]
-        sub_delta = delta[sub_order, E]
-        sub_I = I_int[sub_order]
-        sub_conf = [
-            set(np.flatnonzero(np.isin(sub_order, list(conflict[i]))))
-            for i in sub_order
-        ]
+        sub_delta_all = delta[sub_order, E]
+        if any_conflict and len(sub_order):
+            conf_sub = conflict_mat[np.ix_(sub_order, sub_order)]
+            has_conf = conf_sub.any(axis=1)
+        else:
+            conf_sub = None
+            has_conf = np.zeros(len(sub_order), dtype=bool)
+        # Candidates with no conflicts inside this E's candidate set and
+        # non-negative profit are always in the (first-found) optimum:
+        # assigning them cannot hurt coverage, profit, or anybody else.
+        free = ~has_conf & (sub_delta_all >= 0)
+        base_gain = float(sub_delta_all[free].sum())
+        base_union = 0
+        for v in I_int[sub_order[free]]:
+            base_union |= int(v)
+        rest = np.flatnonzero(~free)
+        rest_order = sub_order[rest]
+        sub_delta = sub_delta_all[rest].tolist()
+        sub_I = [int(v) for v in I_int[rest_order]]
+        n_sub = len(rest_order)
+        if conf_sub is not None and n_sub:
+            conf_rest = conf_sub[np.ix_(rest, rest)]
+            sub_conf = [frozenset(np.flatnonzero(row)) for row in conf_rest]
+        else:
+            empty = frozenset()
+            sub_conf = [empty] * n_sub
         # suffix positive-profit sums for pruning; suffix unions for coverage
-        n_sub = len(sub_order)
-        suff_pos = np.zeros(n_sub + 1)
-        suff_union = np.zeros(n_sub + 1, dtype=np.uint32)
+        suff_pos = [0.0] * (n_sub + 1)
+        suff_union = [0] * (n_sub + 1)
         for p in range(n_sub - 1, -1, -1):
             suff_pos[p] = suff_pos[p + 1] + max(sub_delta[p], 0.0)
             suff_union[p] = suff_union[p + 1] | sub_I[p]
@@ -148,7 +185,7 @@ def solve_segment_enum(inst: ClusterInstance, deadline_s: float = 60.0) -> Solve
         def rec(p: int, gain: float, union: int, chosen_set: set):
             nonlocal best_gain, best_sub
             # prune: remaining reads cannot complete the coverage of E
-            if (union | int(suff_union[p])) & E != E:
+            if (union | suff_union[p]) & E != E:
                 return
             if gain + suff_pos[p] <= best_gain:
                 return
@@ -161,21 +198,24 @@ def solve_segment_enum(inst: ClusterInstance, deadline_s: float = 60.0) -> Solve
             if not (sub_conf[p] & chosen_set):
                 chosen.append(p)
                 chosen_set.add(p)
-                rec(p + 1, gain + sub_delta[p], union | int(sub_I[p]), chosen_set)
+                rec(p + 1, gain + sub_delta[p], union | sub_I[p], chosen_set)
                 chosen_set.remove(p)
                 chosen.pop()
             rec(p + 1, gain, union, chosen_set)
 
         # E == 0 is NOT special: reads with no exons can profitably join
         # an empty-structure isoform (union stays 0 == E).
-        rec(0, 0.0, 0, set())
+        rec(0, base_gain, base_union, set())
         if best_sub is None:
             continue
         cost = g_total - best_gain
         if cost < best_cost:
             best_cost = cost
             best_E = E
-            best_S = sorted(int(sub_order[p]) for p in best_sub)
+            best_S = sorted(
+                [int(rest_order[p]) for p in best_sub]
+                + [int(v) for v in sub_order[free]]
+            )
 
     if timed_out:
         return SolveResult("TIMEOUT", best_cost, [], None, 0)

@@ -20,7 +20,9 @@ from .exact import ClusterInstance, SolveResult, solve_exact
 from .lp_bound import lp_lower_bound
 from .native import solve_exact_native
 
-NODE_BUDGET = 300_000
+# Phase-1 budget: easy instances finish well under this; hard ones
+# escalate quickly to the (native) structure enumeration.
+NODE_BUDGET = 50_000
 
 
 def _objective_granularity(inst: ClusterInstance) -> float:
@@ -51,7 +53,9 @@ def solve_two_phase(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveRes
     from .segenum import MAX_SEGS, solve_segment_enum
 
     Mi = len(inst.seg_len)
-    if Mi <= MAX_SEGS and len(inst.rows) << Mi <= 50_000_000:
+    # N * 2^Mi bounds the (N, n_masks) tables; 16M entries keeps the f64
+    # delta table around 128 MB.
+    if Mi <= MAX_SEGS and len(inst.rows) << Mi <= 16_000_000:
         remaining = max(deadline_s - (time.monotonic() - t0), 1.0)
         enum_res = solve_segment_enum(inst, remaining)
         if enum_res is not None and enum_res.status == "OPTIMAL":

@@ -1,0 +1,266 @@
+// Structure-enumeration exact solver (C++ twin of solver/segenum.py).
+//
+// Enumerates isoform exon masks E over 2^Mi (Mi <= 16 informative
+// segments), computing for each E the optimal conflict-free covering
+// assignment by profit-ordered DFS with free-assignment of unconflicted
+// non-negative-profit candidates. Visit order, tie-breaking and the
+// returned canonical optimum are IDENTICAL to the Python implementation
+// (all objective arithmetic is on multiples of 0.5, exact in double, so
+// sums are order-insensitive); tests/test_segenum_native.py asserts
+// bit-equality.
+//
+// Built into libbnb.so together with bnb_solver.cpp.
+
+#include <algorithm>
+#include <chrono>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+namespace {
+
+struct SubCtx {
+  int n_sub;
+  uint32_t E;
+  const double* delta;        // [n_sub]
+  const uint32_t* I;          // [n_sub]
+  const uint64_t* conf;       // [n_sub][conf_words] bitset over sub positions
+  int conf_words;
+  const double* suff_pos;     // [n_sub+1]
+  const uint32_t* suff_union; // [n_sub+1]
+  double best_gain;
+  std::vector<int> best_sub;
+  std::vector<int> chosen;
+  std::vector<uint64_t> chosen_bits;
+};
+
+void rec(SubCtx& c, int p, double gain, uint32_t uni) {
+  if (((uni | c.suff_union[p]) & c.E) != c.E) return;
+  if (gain + c.suff_pos[p] <= c.best_gain) return;
+  if (p == c.n_sub) {
+    if (uni == c.E && gain > c.best_gain) {
+      c.best_gain = gain;
+      c.best_sub = c.chosen;
+    }
+    return;
+  }
+  bool conflicted = false;
+  for (int w = 0; w < c.conf_words; ++w)
+    if (c.conf[(size_t)p * c.conf_words + w] & c.chosen_bits[w]) {
+      conflicted = true;
+      break;
+    }
+  if (!conflicted) {
+    c.chosen.push_back(p);
+    c.chosen_bits[p >> 6] |= 1ull << (p & 63);
+    rec(c, p + 1, gain + c.delta[p], uni | c.I[p]);
+    c.chosen_bits[p >> 6] &= ~(1ull << (p & 63));
+    c.chosen.pop_back();
+  }
+  rec(c, p + 1, gain, uni);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 = OPTIMAL, 1 = TIMEOUT, -1 = Mi too large.
+int solve_segenum(
+    int n_reads, int n_segs,
+    const uint32_t* I_masks,   // [n_reads]
+    const uint32_t* C_masks,   // [n_reads]
+    const double* garbage,     // [n_reads]
+    const int64_t* seg_len,    // [n_segs]
+    const int32_t* gap_counts, // [n_reads]
+    const uint32_t* gap_masks, // [total_gaps]
+    const int64_t* gap_lens,   // [total_gaps]
+    int n_incomp,
+    const int32_t* incomp_pairs,  // [n_incomp][2] (read indices)
+    int64_t sc, int64_t eps, int64_t off,
+    double deadline_s,
+    // outputs
+    int32_t* out_assigned, int32_t* out_n_assigned,
+    double* out_objective, uint32_t* out_E) {
+  if (n_segs > 16) return -1;
+  const int Mi = n_segs;
+  const uint32_t n_masks = 1u << Mi;
+  auto t_end = std::chrono::steady_clock::now() +
+               std::chrono::microseconds((int64_t)(deadline_s * 1e6));
+
+  double g_total = 0;
+  for (int i = 0; i < n_reads; ++i) g_total += garbage[i];
+
+  // Per-read gap offsets.
+  std::vector<int> gap_off(n_reads + 1, 0);
+  for (int i = 0; i < n_reads; ++i) gap_off[i + 1] = gap_off[i] + gap_counts[i];
+
+  const double NEG = -std::numeric_limits<double>::infinity();
+
+  // Optimistic cost per structure: subset-compatible positive-profit
+  // reads, ignoring gap windows (a valid lower bound; gap checks are
+  // deferred to the per-E candidate scan so no (N x 2^Mi) table with gap
+  // loops is materialized).
+  std::vector<double> optimistic(n_masks, 0.0);
+  for (uint32_t E = 0; E < n_masks; ++E) {
+    double pos_gain = 0.0;
+    for (int i = 0; i < n_reads; ++i) {
+      if (I_masks[i] & ~E) continue;
+      double d = garbage[i] - (double)__builtin_popcount(C_masks[i] & E);
+      if (d > 0) pos_gain += d;
+    }
+    optimistic[E] = g_total - pos_gain;
+  }
+
+  // Visit order: ascending (optimistic, E).
+  std::vector<uint32_t> order(n_masks);
+  for (uint32_t e = 0; e < n_masks; ++e) order[e] = e;
+  std::stable_sort(order.begin(), order.end(), [&](uint32_t a, uint32_t b) {
+    if (optimistic[a] != optimistic[b]) return optimistic[a] < optimistic[b];
+    return a < b;
+  });
+
+  // Conflict matrix as bitsets over read indices.
+  int rw = (n_reads + 63) / 64;
+  if (rw == 0) rw = 1;
+  std::vector<uint64_t> conflict((size_t)n_reads * rw, 0);
+  for (int e = 0; e < n_incomp; ++e) {
+    int a = incomp_pairs[2 * e], b = incomp_pairs[2 * e + 1];
+    conflict[(size_t)a * rw + (b >> 6)] |= 1ull << (b & 63);
+    conflict[(size_t)b * rw + (a >> 6)] |= 1ull << (a & 63);
+  }
+
+  double best_cost = g_total;
+  uint32_t best_E = 0;
+  std::vector<int> best_S;
+
+  std::vector<int> cand;
+  std::vector<double> cand_delta;
+  std::vector<int> sub_all;   // candidate read indices, profit-ordered
+  std::vector<int> rest_idx;  // positions (into sub_all) that go to DFS
+  bool timed_out = false;
+
+  for (uint32_t oi = 0; oi < n_masks; ++oi) {
+    uint32_t E = order[oi];
+    if (optimistic[E] >= best_cost) break;
+    if (std::chrono::steady_clock::now() > t_end) {
+      timed_out = true;
+      break;
+    }
+    cand.clear();
+    cand_delta.assign(n_reads, NEG);
+    for (int i = 0; i < n_reads; ++i) {
+      if (I_masks[i] & ~E) continue;
+      bool ok = true;
+      for (int gidx = gap_off[i]; gidx < gap_off[i + 1]; ++gidx) {
+        uint32_t gm = gap_masks[gidx] & E;
+        int64_t G = 0;
+        while (gm) {
+          int b = __builtin_ctz(gm);
+          G += seg_len[b];
+          gm &= gm - 1;
+        }
+        int64_t l = gap_lens[gidx];
+        if (!((sc - eps) * G <= sc * (l + off) &&
+              sc * (l - off) <= (sc + eps) * G)) {
+          ok = false;
+          break;
+        }
+      }
+      if (!ok) continue;
+      cand_delta[i] = garbage[i] - (double)__builtin_popcount(C_masks[i] & E);
+      cand.push_back(i);
+    }
+    if (E && cand.empty()) continue;
+
+    // Profit-descending, then index (stable on exact doubles).
+    sub_all = cand;
+    std::stable_sort(sub_all.begin(), sub_all.end(), [&](int a, int b) {
+      double da = cand_delta[a];
+      double db = cand_delta[b];
+      if (da != db) return da > db;
+      return a < b;
+    });
+    int n_all = (int)sub_all.size();
+
+    // has_conf within the candidate set; free-assign unconflicted d>=0.
+    double base_gain = 0.0;
+    uint32_t base_union = 0;
+    rest_idx.clear();
+    std::vector<char> in_cand(n_reads, 0);
+    for (int i : sub_all) in_cand[i] = 1;
+    std::vector<int> free_reads;
+    for (int p = 0; p < n_all; ++p) {
+      int i = sub_all[p];
+      bool hc = false;
+      const uint64_t* crow = conflict.data() + (size_t)i * rw;
+      for (int q = 0; q < n_all && !hc; ++q) {
+        int j = sub_all[q];
+        if (crow[j >> 6] & (1ull << (j & 63))) hc = true;
+      }
+      double d = cand_delta[i];
+      if (!hc && d >= 0) {
+        base_gain += d;
+        base_union |= I_masks[i];
+        free_reads.push_back(i);
+      } else {
+        rest_idx.push_back(p);
+      }
+    }
+    int n_sub = (int)rest_idx.size();
+    std::vector<double> sub_delta(n_sub);
+    std::vector<uint32_t> sub_I(n_sub);
+    int cw = (n_sub + 63) / 64;
+    if (cw == 0) cw = 1;
+    std::vector<uint64_t> sub_conf((size_t)n_sub * cw, 0);
+    for (int p = 0; p < n_sub; ++p) {
+      int i = sub_all[rest_idx[p]];
+      sub_delta[p] = cand_delta[i];
+      sub_I[p] = I_masks[i];
+      const uint64_t* crow = conflict.data() + (size_t)i * rw;
+      for (int q = 0; q < n_sub; ++q) {
+        int j = sub_all[rest_idx[q]];
+        if (crow[j >> 6] & (1ull << (j & 63)))
+          sub_conf[(size_t)p * cw + (q >> 6)] |= 1ull << (q & 63);
+      }
+    }
+    std::vector<double> suff_pos(n_sub + 1, 0.0);
+    std::vector<uint32_t> suff_union(n_sub + 1, 0);
+    for (int p = n_sub - 1; p >= 0; --p) {
+      suff_pos[p] = suff_pos[p + 1] + std::max(sub_delta[p], 0.0);
+      suff_union[p] = suff_union[p + 1] | sub_I[p];
+    }
+
+    SubCtx sctx;
+    sctx.n_sub = n_sub;
+    sctx.E = E;
+    sctx.delta = sub_delta.data();
+    sctx.I = sub_I.data();
+    sctx.conf = sub_conf.data();
+    sctx.conf_words = cw;
+    sctx.suff_pos = suff_pos.data();
+    sctx.suff_union = suff_union.data();
+    sctx.best_gain = NEG;
+    sctx.chosen_bits.assign(cw, 0);
+    rec(sctx, 0, base_gain, base_union);
+    if (sctx.best_gain == NEG) continue;
+    double cost = g_total - sctx.best_gain;
+    if (cost < best_cost) {
+      best_cost = cost;
+      best_E = E;
+      best_S.clear();
+      for (int p : sctx.best_sub) best_S.push_back(sub_all[rest_idx[p]]);
+      for (int i : free_reads) best_S.push_back(i);
+      std::sort(best_S.begin(), best_S.end());
+    }
+  }
+
+  *out_objective = best_cost;
+  *out_E = best_E;
+  *out_n_assigned = (int32_t)best_S.size();
+  for (size_t i = 0; i < best_S.size(); ++i) out_assigned[i] = best_S[i];
+  return timed_out ? 1 : 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,34 @@
+"""Native (C++) structure-enumeration solver vs the Python twin:
+bit-identical results."""
+
+import numpy as np
+import pytest
+
+from freddie_tpu.solver.native import native_available, solve_segenum_native
+from freddie_tpu.solver.segenum import _solve_segment_enum_py
+from tests.test_solver import random_instance
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="no C++ toolchain available"
+)
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_native_matches_python(seed):
+    rng = np.random.default_rng(seed + 2400)
+    N = int(rng.integers(2, 40))
+    M = int(rng.integers(1, 13))
+    inst = random_instance(rng, N, M)
+    py = _solve_segment_enum_py(inst)
+    nat = solve_segenum_native(inst)
+    assert nat is not None and py is not None
+    assert nat.status == py.status == "OPTIMAL"
+    assert nat.objective == py.objective
+    assert nat.assigned == py.assigned
+    assert np.array_equal(np.asarray(nat.isoform), np.asarray(py.isoform))
+
+
+def test_native_declines_large_mi():
+    rng = np.random.default_rng(1)
+    inst = random_instance(rng, 4, 20)
+    assert solve_segenum_native(inst) is None
