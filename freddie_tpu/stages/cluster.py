@@ -350,6 +350,11 @@ def cluster_tint(tint: SegTint, cfg: ClusterConfig) -> tuple[list[dict], list[in
 
 def _cluster_one(job: tuple[str, str, str, "ClusterConfig"]) -> int:
     in_path, out_path, contig, cfg = job
+    # Idempotent per-tint resume: outputs are deterministic, so an
+    # existing file is a completed shard (SURVEY.md section 5 checkpoint
+    # semantics; the pipeline driver removes stage dirs on forced reruns).
+    if os.path.exists(out_path):
+        return 1
     if cfg.logs_dir is not None:
         # Scope solver logs per contig (tint ids repeat across contigs),
         # like the reference's '{logs_dir}/{contig}' (py/freddie_cluster.py:813).
