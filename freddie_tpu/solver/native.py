@@ -154,7 +154,7 @@ def solve_segenum_native(inst: ClusterInstance, deadline_s: float = 60.0) -> Sol
     the Python implementation (tests/test_segenum_native.py)."""
     lib = _load()
     M = len(inst.seg_len)
-    if lib is None or M > 16:
+    if lib is None or M > 20:
         return None
     rows = inst.rows
     N = len(rows)

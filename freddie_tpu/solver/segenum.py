@@ -35,13 +35,18 @@ MAX_SEGS = 16  # 2^16 masks enumerated at most
 def solve_segment_enum(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult | None:
     """Exact solve via structure enumeration; None when Mi > MAX_SEGS.
 
-    Prefers the C++ core (bit-equal twin, tests/test_segenum_native.py);
-    this Python implementation is the reference and fallback."""
+    Prefers the C++ core (bit-equal twin for Mi <= MAX_SEGS,
+    tests/test_segenum_native.py; the C++ core additionally handles
+    Mi up to 20 since it materializes no (N, 2^Mi) tables); this Python
+    implementation is the reference definition and fallback. The Python
+    table memory is guarded by N * 2^Mi."""
     from .native import solve_segenum_native
 
     native = solve_segenum_native(inst, deadline_s)
     if native is not None:
         return native
+    if len(inst.rows) << len(inst.seg_len) > 16_000_000:
+        return None
     return _solve_segment_enum_py(inst, deadline_s)
 
 

@@ -50,16 +50,12 @@ def solve_two_phase(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveRes
     # informative-segment count is small (the usual reason the read-DFS
     # explodes: many near-duplicate rows under dense incompatibilities).
     # The memory guard keeps the (N, 2^Mi) tables bounded.
-    from .segenum import MAX_SEGS, solve_segment_enum
+    from .segenum import solve_segment_enum
 
-    Mi = len(inst.seg_len)
-    # N * 2^Mi bounds the (N, n_masks) tables; 16M entries keeps the f64
-    # delta table around 128 MB.
-    if Mi <= MAX_SEGS and len(inst.rows) << Mi <= 16_000_000:
-        remaining = max(deadline_s - (time.monotonic() - t0), 1.0)
-        enum_res = solve_segment_enum(inst, remaining)
-        if enum_res is not None and enum_res.status == "OPTIMAL":
-            return enum_res
+    remaining = max(deadline_s - (time.monotonic() - t0), 1.0)
+    enum_res = solve_segment_enum(inst, remaining)
+    if enum_res is not None and enum_res.status == "OPTIMAL":
+        return enum_res
     # Escalation 2: LP bound proof of the phase-1 incumbent.
     gran = _objective_granularity(inst)
     bound = lp_lower_bound(inst)

@@ -67,6 +67,7 @@ void rec(SubCtx& c, int p, double gain, uint32_t uni) {
 extern "C" {
 
 // Returns 0 = OPTIMAL, 1 = TIMEOUT, -1 = Mi too large.
+// Mi up to 20 is supported (no O(N * 2^Mi) tables are materialized).
 int solve_segenum(
     int n_reads, int n_segs,
     const uint32_t* I_masks,   // [n_reads]
@@ -83,7 +84,7 @@ int solve_segenum(
     // outputs
     int32_t* out_assigned, int32_t* out_n_assigned,
     double* out_objective, uint32_t* out_E) {
-  if (n_segs > 16) return -1;
+  if (n_segs > 20) return -1;
   const int Mi = n_segs;
   const uint32_t n_masks = 1u << Mi;
   auto t_end = std::chrono::steady_clock::now() +

@@ -50,7 +50,7 @@ def test_matches_read_dfs_value(seed):
 
 def test_declines_large_instances():
     rng = np.random.default_rng(0)
-    inst = random_instance(rng, 5, 20)
+    inst = random_instance(rng, 5, 25)  # beyond even the C++ core's Mi=20
     assert solve_segment_enum(inst) is None
 
 

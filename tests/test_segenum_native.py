@@ -30,5 +30,17 @@ def test_native_matches_python(seed):
 
 def test_native_declines_large_mi():
     rng = np.random.default_rng(1)
-    inst = random_instance(rng, 4, 20)
+    inst = random_instance(rng, 4, 25)
     assert solve_segenum_native(inst) is None
+
+
+def test_native_extended_mi_matches_dfs_value():
+    # Mi in 17..20 is native-only; value must equal the read-DFS optimum.
+    from freddie_tpu.solver.exact import solve_exact
+
+    rng = np.random.default_rng(7)
+    inst = random_instance(rng, 8, 18)
+    nat = solve_segenum_native(inst)
+    dfs = solve_exact(inst)
+    assert nat is not None and nat.status == dfs.status == "OPTIMAL"
+    assert nat.objective == dfs.objective
