@@ -82,6 +82,62 @@ def merge_gtf_records(local_records: list[tuple[tuple, str]]) -> list[tuple[tupl
     return sorted(merged)
 
 
+def run_pipeline_distributed(
+    bam: str,
+    reads: list[str],
+    outdir: str,
+    cfg=None,
+    process_index: int | None = None,
+    process_count: int | None = None,
+    log=print,
+) -> list[tuple[tuple, str]]:
+    """Multi-host pipeline: every process ingests the (replicated) BAM and
+    runs split identically -- deterministic, so the shared per-tint TSVs
+    agree byte-for-byte regardless of which host wrote them (on a shared
+    filesystem, per-tint resume makes the writes idempotent; on host-local
+    disks each host simply keeps the full split). Segment and cluster then
+    process only owned loci, and the isoforms stage all-gathers the GTF
+    records (py/freddie_isoforms.py:281's single sort, reproduced
+    collectively). Returns the merged records; process 0 writes the GTF.
+    """
+    import jax
+
+    from ..config import PipelineConfig
+    from ..stages.cluster import run_cluster
+    from ..stages.segment import run_segment
+    from ..stages.split import run_split
+
+    cfg = cfg or PipelineConfig()
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    split_dir = os.path.join(outdir, "split")
+    segment_dir = os.path.join(outdir, "segment")
+    cluster_dir = os.path.join(outdir, "cluster")
+    gtf = os.path.join(outdir, "isoforms.gtf")
+
+    def owns(contig, tint_id):
+        return owns_tint(contig, tint_id, pi, pc)
+
+    # Split runs once (process 0) on a shared filesystem; the collective
+    # below doubles as the barrier. With host-local disks every process
+    # runs it (deterministic, identical outputs).
+    if not os.path.isdir(split_dir) and pi == 0:
+        run_split(bam, reads, split_dir, cfg.split)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("freddie-split-done")
+    log(f"[dist p{pi}/{pc}] split ready")
+    run_segment(split_dir, segment_dir, cfg.segment, owns=owns)
+    log(f"[dist p{pi}/{pc}] segment shard done")
+    run_cluster(segment_dir, cluster_dir, cfg.cluster, owns=owns)
+    log(f"[dist p{pi}/{pc}] cluster shard done")
+    return run_isoforms_distributed(
+        split_dir, cluster_dir, gtf, cfg.isoforms,
+        process_index=pi, process_count=pc,
+    )
+
+
 def run_isoforms_distributed(
     split_dir: str,
     cluster_dir: str,

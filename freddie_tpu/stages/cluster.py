@@ -368,8 +368,11 @@ def _cluster_one(job: tuple[str, str, str, "ClusterConfig"]) -> int:
     return 1
 
 
-def run_cluster(segment_dir: str, outdir: str, cfg: ClusterConfig | None = None) -> int:
+def run_cluster(segment_dir: str, outdir: str, cfg: ClusterConfig | None = None,
+                owns=None) -> int:
     """Full cluster stage over a segment directory; returns #tints.
+
+    ``owns(contig, tint_id) -> bool`` restricts to this process's shard.
 
     Tints are independent; with cfg.threads > 1 they run on a thread pool
     (the C++ branch-and-bound core releases the GIL for the duration of
@@ -387,6 +390,8 @@ def run_cluster(segment_dir: str, outdir: str, cfg: ClusterConfig | None = None)
             if not (fn.startswith("segment_") and fn.endswith(".tsv")):
                 continue
             tint_id = int(fn[:-4].split("_")[-1])
+            if owns is not None and not owns(contig, tint_id):
+                continue
             jobs.append(
                 (
                     os.path.join(cdir, fn),

@@ -238,12 +238,14 @@ def segment_tint(tint: SplitTint, cfg: SegmentConfig, thr: ScaledThresholds | No
     return finalize_tint(work, solutions, cfg, thr)
 
 
-def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None) -> int:
+def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
+                owns=None) -> int:
     """Full segment stage over a split directory; returns #tints processed.
 
     All tints are prepared first (phase A), the union of their DP problems
     is solved in batched device launches (phase B), then each tint is
-    finalized and written (phase C)."""
+    finalized and written (phase C). ``owns(contig, tint_id) -> bool``
+    restricts processing to this process's locus shard (multi-host)."""
     cfg = cfg or SegmentConfig()
     os.makedirs(outdir, exist_ok=True)
     thr = ScaledThresholds(cfg.threshold_rate)
@@ -256,6 +258,8 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None) -
         for fn in sorted(os.listdir(cdir)):
             if fn.startswith("split_") and fn.endswith(".tsv"):
                 tint_id = int(fn[:-4].split("_")[-1])
+                if owns is not None and not owns(contig, tint_id):
+                    continue
                 jobs.append(
                     (
                         contig,
