@@ -295,6 +295,21 @@ def _get_jitted():
     return _jitted_cache["fn"]
 
 
+def _get_jitted_pallas():
+    """The whole Pallas path (threshold precompute + kernel) under one jit:
+    without it every helper op dispatches eagerly, which on remote-dispatch
+    backends costs a network roundtrip per op."""
+    import jax
+
+    if "pallas" not in _jitted_cache:
+        from .segdp_pallas import solve_batch_pallas
+
+        _jitted_cache["pallas"] = jax.jit(
+            solve_batch_pallas, static_argnames=("read_support", "scale")
+        )
+    return _jitted_cache["pallas"]
+
+
 def suggested_batch_size(P: int, R: int, budget_bytes: int = 4 << 30) -> int:
     """Batch size keeping the (B,P,P,R) intermediates within budget."""
     per_problem = P * P * R * 4 * 6 + P * P * P * 4
@@ -355,16 +370,15 @@ def solve_batch_device(
         n_cand[b] = p
 
     if use_pallas:
-        from .segdp_pallas import solve_batch_pallas
-
-        K, best_j, best_k = solve_batch_pallas(
+        fn = _get_jitted_pallas()
+        K, best_j, best_k = fn(
             jnp.asarray(C),
             jnp.asarray(y),
             jnp.asarray(W),
             jnp.asarray(n_cand),
-            next(iter(rs)),
-            jnp.asarray(thr.lookup),
-            thr.scale,
+            read_support=next(iter(rs)),
+            lookup=jnp.asarray(thr.lookup),
+            scale=thr.scale,
         )
     else:
         fn = _get_jitted()
