@@ -22,3 +22,18 @@ Pipeline stages (mirroring the reference's 4 CLI stages):
 """
 
 __version__ = "0.1.0"
+
+__all__ = ["run_pipeline", "PipelineConfig"]
+
+
+def __getattr__(name):
+    # Lazy convenience exports (keep bare `import freddie_tpu` light).
+    if name == "run_pipeline":
+        from .stages.pipeline import run_pipeline
+
+        return run_pipeline
+    if name == "PipelineConfig":
+        from .config import PipelineConfig
+
+        return PipelineConfig
+    raise AttributeError(name)
