@@ -29,7 +29,7 @@ import numpy as np
 
 from ..config import ClusterConfig
 from ..io.tsv import SegTint, format_cluster_tsv, parse_segment_tsv
-from ..solver.exact import ClusterInstance, ReadRow, SolveResult, solve_exact
+from ..solver.exact import ClusterInstance, ReadRow, SolveResult
 
 
 def _solve(inst: ClusterInstance, deadline_s: float) -> SolveResult:

@@ -8,7 +8,6 @@ stages whose outputs already exist)."""
 from __future__ import annotations
 
 import os
-import time
 
 from ..config import PipelineConfig
 from .cluster import run_cluster
@@ -33,6 +32,8 @@ def run_pipeline(
     gtf_path = os.path.join(outdir, "isoforms.gtf")
     stats: dict = {}
 
+    from ..utils.metrics import StageMetrics
+
     def stage(name, out_path, fn):
         if os.path.exists(out_path):
             if resume:
@@ -46,11 +47,14 @@ def run_pipeline(
                 shutil.rmtree(out_path)
             else:
                 os.remove(out_path)
-        t0 = time.perf_counter()
+        metrics = StageMetrics(name)
         result = fn()
-        dt = time.perf_counter() - t0
-        stats[name] = dict(seconds=dt, result=result)
-        log(f"[pipeline] {name}: done in {dt:.2f}s ({result})")
+        if isinstance(result, dict):
+            metrics.add("tints", sum(result.values()))
+        elif isinstance(result, int):
+            metrics.add("tints", result)
+        stats[name] = dict(**metrics.finish(), result=result)
+        log(f"[pipeline] {name}: done in {stats[name]['seconds']:.2f}s ({result})")
         return result
 
     stage("split", split_dir, lambda: run_split(bam, reads, split_dir, cfg.split))

@@ -293,7 +293,11 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
         works.append(work)
 
     # Phase B: one batched device dispatch for every problem of every tint.
-    solutions = solve_problems(all_problems, cfg, thr)
+    # Set FREDDIE_TRACE_DIR to capture a jax.profiler trace of the launches.
+    from ..utils.metrics import profile_trace
+
+    with profile_trace(os.environ.get("FREDDIE_TRACE_DIR")):
+        solutions = solve_problems(all_problems, cfg, thr)
 
     # Phase C (parallel like phase A).
     def finalize_one(args):
