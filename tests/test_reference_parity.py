@@ -48,9 +48,13 @@ def run_reference(script: str, args: list[str]) -> None:
     assert proc.returncode == 0, (script, proc.stdout[-2000:], proc.stderr[-2000:])
 
 
+# FREDDIE_PARITY_SEED shifts every config's seed -- rerunning the suite
+# with different values fuzzes fresh inputs against the reference.
+_SEED_SHIFT = int(os.environ.get("FREDDIE_PARITY_SEED", "0"))
+
 CONFIGS = {
     "clean": dict(
-        seed=2024, n_genes=3, isoforms_per_gene=2, reads_per_isoform=8,
+        seed=2024 + _SEED_SHIFT, n_genes=3, isoforms_per_gene=2, reads_per_isoform=8,
         minus_strand_genes=True, truncate_prob=0.25, tail_prob=0.85,
     ),
     # alt splice sites + junction wobble + >20bp deletions (intron-split
@@ -58,7 +62,7 @@ CONFIGS = {
     # the DP, refinement and coverage genotyping on non-trivial inputs,
     # and indels exercise CIGAR walking/gap arithmetic
     "noisy": dict(
-        seed=4096, n_genes=2, isoforms_per_gene=4, reads_per_isoform=30,
+        seed=4096 + _SEED_SHIFT, n_genes=2, isoforms_per_gene=4, reads_per_isoform=30,
         minus_strand_genes=True, truncate_prob=0.2, tail_prob=0.8,
         end_jitter=25, indel_rate=0.1, alt_splice=True, junction_jitter=6,
         big_del_rate=0.06,
