@@ -30,9 +30,13 @@ def candidates_from_peaks(y: np.ndarray) -> list[int]:
 
 def variance_threshold(smoothed: list[np.ndarray], variance_factor: float) -> float:
     """mean + k*std over the nonzero smoothed signal across all intervals
-    (py/freddie_segment.py:757-759)."""
+    (py/freddie_segment.py:757-759). An all-zero signal (nonspliced-only
+    tints with ignore_ends) yields NaN, like the reference; every
+    `signal > NaN` comparison is then False, so no candidate is fixed --
+    the errstate only silences the cosmetic warning."""
     vals = np.array([v for y in smoothed for v in y if v > 0])
-    return vals.mean() + variance_factor * vals.std()
+    with np.errstate(invalid="ignore"):
+        return vals.mean() + variance_factor * vals.std()
 
 
 def break_large_problems(
