@@ -35,7 +35,10 @@ def variance_threshold(smoothed: list[np.ndarray], variance_factor: float) -> fl
     `signal > NaN` comparison is then False, so no candidate is fixed --
     the errstate only silences the cosmetic warning."""
     vals = np.array([v for y in smoothed for v in y if v > 0])
-    with np.errstate(invalid="ignore"):
+    import warnings
+
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
         return vals.mean() + variance_factor * vals.std()
 
 
