@@ -61,4 +61,7 @@ def main(outdir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "example_out")
+    out = sys.argv[1] if len(sys.argv) > 1 else "example_out"
+    if out.startswith("-"):
+        sys.exit(f"usage: {sys.argv[0]} [out_dir]  (got flag-like arg {out!r})")
+    main(out)

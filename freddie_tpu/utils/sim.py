@@ -18,7 +18,15 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..io.bam import BamRecord, BamWriter, CMATCH, CREF_SKIP, CSOFT_CLIP, FLAG_REVERSE
+from ..io.bam import (
+    BamRecord,
+    BamWriter,
+    CINS,
+    CMATCH,
+    CREF_SKIP,
+    CSOFT_CLIP,
+    FLAG_REVERSE,
+)
 from ..io.fastx import write_fastq
 
 _COMP = str.maketrans("ACGT", "TGCA")
@@ -352,8 +360,17 @@ def simulate(
     sim = Simulation(
         contig=contig, contig_len=contig_len, genome=genome, transcripts=[]
     )
+    # Genome growth for many-gene layouts uses a SEPARATE rng stream so
+    # that the read/gene stream (and thus every existing fixture) is
+    # byte-stable regardless of whether an extension happens.
+    ext_rng = random.Random(seed ^ 0x5EED)
+    max_gene_span = exons_per_gene * (250 + 1500)
     pos = 10_000
     for g in range(n_genes):
+        if pos + max_gene_span + 10_000 > len(sim.genome):
+            grow = max(contig_len, pos + max_gene_span + 10_000 - len(sim.genome))
+            sim.genome += random_genome(grow, ext_rng)
+            sim.contig_len = len(sim.genome)
         strand = "-" if (minus_strand_genes and g % 2 == 1) else "+"
         gene_exons = make_gene(rng, contig, pos, exons_per_gene)
         isoforms = make_isoforms(
@@ -373,4 +390,9 @@ def simulate(
                     )
                 )
         pos = gene_exons[-1][1] + gene_spacing
+    # Invariant: each read's CIGAR query length matches its sequence (a
+    # gene laid out past the genome end would break this silently).
+    for r in sim.reads:
+        qlen = sum(n for op, n in r.cigar if op in (CMATCH, CINS, CSOFT_CLIP))
+        assert qlen == len(r.aligned_seq), (r.name, qlen, len(r.aligned_seq))
     return sim
