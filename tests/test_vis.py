@@ -1,9 +1,14 @@
-"""Visualization stages smoke tests (plot PDFs + segment_vis pickle)."""
+"""Visualization stages smoke tests (plot PDFs + segment_vis pickle),
+function-level and through the CLI."""
 
 import os
 import pickle
+import subprocess
+import sys
 
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from freddie_tpu.config import PipelineConfig
 from freddie_tpu.stages.pipeline import run_pipeline
@@ -64,3 +69,40 @@ def test_segment_vis_pickle(full_run):
     # annotation transcripts got data too
     for t in transcripts[sim.contig].values():
         assert "data" in t
+
+
+def _run_cli(args, timeout=180):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "freddie_tpu.cli"] + args,
+        capture_output=True, text=True, env=env, timeout=timeout,
+    )
+    assert proc.returncode == 0, proc.stderr[-500:]
+
+
+def test_plot_cli(full_run, tmp_path):
+    sim, out, gtf = full_run
+    plot_dir = str(tmp_path / "plots")
+    _run_cli([
+        "plot", "-a", gtf,
+        "-s", os.path.join(out, "segment", sim.contig, f"segment_{sim.contig}_0.tsv"),
+        "-c", os.path.join(out, "cluster", sim.contig, f"cluster_{sim.contig}_0.tsv"),
+        "-od", plot_dir,
+    ])
+    pdfs = [f for r, _, fs in os.walk(plot_dir) for f in fs if f.endswith(".pdf")]
+    assert pdfs
+
+
+def test_segment_vis_cli(full_run, tmp_path):
+    sim, out, gtf = full_run
+    pkl = str(tmp_path / "sv.pickle")
+    _run_cli([
+        "segment-vis",
+        "-s", os.path.join(out, "split", sim.contig, f"split_{sim.contig}_0.tsv"),
+        "-g", os.path.join(out, "segment", sim.contig, f"segment_{sim.contig}_0.tsv"),
+        "-a", gtf, "-o", pkl,
+    ])
+    segs, transcripts, reads = pickle.load(open(pkl, "rb"))
+    assert sim.contig in segs and len(reads[sim.contig]) > 0
