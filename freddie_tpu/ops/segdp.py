@@ -73,8 +73,9 @@ def _pair_tensors(C, y, W, thr: ScaledThresholds):
     diff = (C[None, :, :] - C[:, None, :]).astype(np.int64)  # [i,j,r]
     seg_len = (y[None, :] - y[:, None] + 1).astype(np.int64)  # [i,j]
     h = thr.high_scaled(np.maximum(seg_len, 0)).astype(np.int64)
+    eq = thr.nay_eq_scaled(np.maximum(seg_len, 0)).astype(np.int64)
     yea = scale * diff > (h * seg_len)[:, :, None]
-    nay = scale * diff < ((scale - h) * seg_len)[:, :, None]
+    nay = scale * diff < ((scale - h) * seg_len + eq)[:, :, None]
     Wf = W.astype(np.float32)
     yeaW = yea.astype(np.float32) * Wf[None, None, :]
     nayW = nay.astype(np.float32) * Wf[None, None, :]
@@ -147,7 +148,8 @@ def _solve_batch_jax(C, y, W, n_cand, read_support, lookup, scale):
     y: (B, P) int32       candidate positions (padding: y[n-1] replicated)
     W: (B, R) f32         rep weights
     n_cand: (B,) int32    valid candidate count per problem
-    lookup: (L+1,) int32  scaled threshold table (last entry = rate)
+    lookup: (L+1,) int32  packed threshold table: h_scaled*2 + eq_nay bit
+                          (last entry = rate); see ops/thresholds.py
     Returns (K, best_j, best_k): backpointers (B,P,P) i32 and the top pair
     per problem (-1 when no segmentation wins).
     """
@@ -162,8 +164,8 @@ def _solve_batch_jax(C, y, W, n_cand, read_support, lookup, scale):
     # live intermediates at (B,P,R) instead of (B,P,P,R) (VMEM/HBM-friendly;
     # the per-step contraction is an MXU matmul).
     #
-    #   yea(a,b,r) = scale*(C[b]-C[a]) >  h(len)*len      [covered]
-    #   nay(a,b,r) = scale*(C[b]-C[a]) < (scale-h)*len    [absent]
+    #   yea(a,b,r) = scale*(C[b]-C[a]) >  h(len)*len        [covered]
+    #   nay(a,b,r) = scale*(C[b]-C[a]) < (scale-h)*len + eq  [absent]
     #   inside(a,b)     = -sum_r W_r * ~(yea|nay)
     #   outside(a,b,c)  = sum_r W_r * (yea(a,b)nay(b,c) | nay(a,b)yea(b,c))
     def pair_cols(mid):
@@ -174,14 +176,16 @@ def _solve_batch_jax(C, y, W, n_cand, read_support, lookup, scale):
         y_mid = jax.lax.dynamic_index_in_dim(y, mid, axis=1)  # (B,1)
         d_to = C_mid - C  # (B,P,R): C[mid]-C[p]
         len_to = y_mid - y + 1  # (B,P)
-        h_to = lookup[jnp.minimum(jnp.maximum(len_to, 0), L)]
+        hp_to = lookup[jnp.minimum(jnp.maximum(len_to, 0), L)]
+        h_to, eq_to = hp_to >> 1, hp_to & 1  # packed: h_scaled*2 + eq_nay
         yea_to = scale * d_to > (h_to * len_to)[..., None]
-        nay_to = scale * d_to < ((scale - h_to) * len_to)[..., None]
+        nay_to = scale * d_to < ((scale - h_to) * len_to + eq_to)[..., None]
         d_from = -d_to
         len_from = 2 - len_to  # y[p]-y[mid]+1
-        h_from = lookup[jnp.minimum(jnp.maximum(len_from, 0), L)]
+        hp_from = lookup[jnp.minimum(jnp.maximum(len_from, 0), L)]
+        h_from, eq_from = hp_from >> 1, hp_from & 1
         yea_from = scale * d_from > (h_from * len_from)[..., None]
-        nay_from = scale * d_from < ((scale - h_from) * len_from)[..., None]
+        nay_from = scale * d_from < ((scale - h_from) * len_from + eq_from)[..., None]
         return yea_to, nay_to, yea_from, nay_from
 
     w_sum = jnp.sum(W, axis=1)[:, None]  # (B,1)

@@ -189,9 +189,12 @@ def solve_batch_pallas(C, y, W, n_cand, read_support, lookup, scale,
     L = lookup.shape[0] - 1
     # Precompute scaled threshold products (cheap, XLA): (B,P,P) int32.
     seg_len = y[:, None, :] - y[:, :, None] + 1
-    h = jnp.asarray(lookup)[jnp.minimum(jnp.maximum(seg_len, 0), L)]
+    hp = jnp.asarray(lookup)[jnp.minimum(jnp.maximum(seg_len, 0), L)]
+    h, eq = hp >> 1, hp & 1  # packed lookup: h_scaled*2 + eq_nay bit
     T_hi = (h * seg_len).astype(jnp.int32)
-    T_lo = ((scale - h) * seg_len).astype(jnp.int32)
+    # +eq makes a ratio exactly at 1-h count as nay when the reference's
+    # float 1-h sits above the exact decimal (ops/thresholds.py docstring).
+    T_lo = ((scale - h) * seg_len + eq).astype(jnp.int32)
 
     kernel = functools.partial(
         _kernel, P=P, R=R, scale=scale, read_support=read_support

@@ -205,11 +205,12 @@ def finalize_tint(
         for seg_idx, (s_y, e_y) in enumerate(zip(final_y[:-1], final_y[1:])):
             seg_len = e_y - s_y + 1
             h = int(thr.high_scaled(np.array([seg_len]))[0])
+            eq = int(thr.nay_eq_scaled(np.array([seg_len]))[0])
             cov = C2[seg_idx + 1] - C2[seg_idx]  # (R,)
             if cfg.validate:
                 assert np.all((0 <= cov) & (cov <= seg_len))
             hi = scale * cov > h * seg_len
-            lo = scale * cov < (scale - h) * seg_len
+            lo = scale * cov < (scale - h) * seg_len + eq
             for rr in range(n_reps):
                 datas[rr].append(1 if hi[rr] else (0 if lo[rr] else 2))
         for d in datas:

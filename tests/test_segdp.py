@@ -112,6 +112,37 @@ def test_device_matches_host_batched():
     assert dev == host
 
 
+def test_nay_equality_boundary():
+    """A coverage ratio EXACTLY equal to 1-h must count as nay when the
+    reference's float l = 1-h lands one ulp above the exact decimal
+    (h=0.7 -> 1-0.7 = 0.30000000000000004), and the outside support sits
+    exactly at read_support. Found by parity fuzzing (seed shift 47); the
+    old strict integer comparison dropped this segmentation entirely."""
+    thr = ScaledThresholds(0.9)
+    # eq bit is per table entry: set for h=0.70 (seg_len 20), clear for
+    # h=0.76 (seg_len 30) and for the 0.9 rate
+    assert int(thr.nay_eq_scaled(np.array([20]))[0]) == 1
+    assert int(thr.nay_eq_scaled(np.array([30]))[0]) == 0
+    assert int(thr.nay_eq_scaled(np.array([200]))[0]) == 0
+    y = np.array([0, 29, 48, 231], dtype=np.int64)
+    # read 0: full on (0,1), ratio exactly 6/20 = 0.3 = 1-h on (1,2) ->
+    # nay only via the equality bit; outside(0,1,2) is then exactly 3 = rs
+    C = np.array([
+        [0, 30, 36, 36],
+        [0, 30, 30, 30],
+        [0, 30, 30, 30],
+        [0, 0, 0, 184],
+        [0, 0, 0, 184],
+        [0, 0, 0, 184],
+    ], dtype=np.int64).T
+    pr = DPProblem(C=C, y=y, W=np.ones(6, dtype=np.int64), read_support=3)
+    want = literal_oracle(pr.C, pr.y, pr.W, thr, pr.read_support)
+    assert want == [0, 1, 2, 3]  # the float-faithful oracle segments here
+    chain = solve_host(pr, thr)
+    assert sorted(set(chain) | {0, 3}) == want
+    assert solve_batch_device([pr], thr) == [chain]
+
+
 def test_degenerate_cases():
     thr = ScaledThresholds(0.9)
     # Too few candidates -> no segmentation.
