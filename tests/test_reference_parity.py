@@ -67,6 +67,15 @@ CONFIGS = {
         end_jitter=25, indel_rate=0.1, alt_splice=True, junction_jitter=6,
         big_del_rate=0.06,
     ),
+    # deep-exon genes, heavier truncation/indels and wider jitter: long
+    # candidate runs exercise break_large_problems and the threshold
+    # table's short-segment entries (where the nay equality bit lives)
+    "gnarly": dict(
+        seed=8192 + _SEED_SHIFT, n_genes=2, isoforms_per_gene=5,
+        reads_per_isoform=25, exons_per_gene=7, minus_strand_genes=True,
+        truncate_prob=0.3, tail_prob=0.7, end_jitter=30, indel_rate=0.15,
+        alt_splice=True, junction_jitter=8, big_del_rate=0.1,
+    ),
 }
 
 
