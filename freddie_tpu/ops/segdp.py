@@ -373,6 +373,18 @@ def solve_batch_device(
         W[b, :r] = pr.W
         n_cand[b] = p
 
+    # Device kernels compare thresholds in int32 (the Pallas path also
+    # pre-multiplies C by scale); the host oracle uses int64. With the
+    # default threshold_rate the scale is small (10), but a rate needing
+    # scale >= 1000 combined with ~1e6+ coverages/positions could silently
+    # overflow int32 -- in that regime solve each problem on the host
+    # (results are bit-identical either way).
+    max_operand = max(int(C.max(initial=0)), int(y.max(initial=0)) + 1)
+    if thr.scale * max_operand >= 2**31:
+        for i in work:
+            results[i] = solve_host(problems[i], thr)
+        return [r for r in results]  # type: ignore
+
     if use_pallas:
         fn = _get_jitted_pallas()
         K, best_j, best_k = fn(

@@ -2,9 +2,11 @@
 
 Host-side float path. Smoothing and peak detection use scipy (the same
 library the reference calls at py/freddie_segment.py:755,615-621,249-266),
-so plateau handling and float rounding are bit-identical to the reference;
-the device throughput path batches the same convolution in XLA but the
-canonical candidate set is always produced here.
+so plateau handling and float rounding are bit-identical to the reference.
+This phase is deliberately host-only: the signals are short (tint
+intervals), the cost is a tiny fraction of the stage, and the candidate
+set feeds the padded shapes of the device DP -- producing it on host keeps
+the float surface byte-identical without a device round trip.
 """
 
 from __future__ import annotations

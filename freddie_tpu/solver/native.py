@@ -150,11 +150,15 @@ def solve_exact_native(
 
 def solve_segenum_native(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult | None:
     """Native structure-enumeration solve (C++ twin of solver.segenum);
-    None when the library is unavailable or Mi > 16. Results bit-equal to
-    the Python implementation (tests/test_segenum_native.py)."""
+    None when the library is unavailable or Mi > segenum.MAX_SEGS (the
+    same content cap the Python twin enforces, so availability only
+    changes speed). Results bit-equal to the Python implementation
+    (tests/test_segenum_native.py)."""
+    from .segenum import MAX_SEGS
+
     lib = _load()
     M = len(inst.seg_len)
-    if lib is None or M > 20:
+    if lib is None or M > MAX_SEGS:
         return None
     rows = inst.rows
     N = len(rows)

@@ -2,12 +2,12 @@
 
 When the number of informative segments Mi is small, the isoform search
 space (2^Mi exon bitmasks) is far smaller than the read-subset space the
-branch-and-bound walks: many real instances have ~100 reads but <=16
+branch-and-bound walks: many real instances have ~100 reads but <=20
 informative segments, which makes the read-DFS explode (near-duplicate
 rows under dense incompatibility constraints) while the structure space
 is trivially enumerable.
 
-For every candidate structure E (vectorized over all 2^Mi masks):
+For every candidate structure E (ascending optimistic cost, then mask):
   - assignable reads: I_i a subset of E (anything else would grow the
     union) with all gap windows feasible at G(E);
   - per-read profit delta_i = garbage_i - corrections_i(E); the optimal
@@ -17,10 +17,15 @@ For every candidate structure E (vectorized over all 2^Mi masks):
   - the residual per-E subproblem (max-weight conflict-free cover) is
     solved by a tiny DFS over the assignable reads.
 
-Candidate structures are visited in a deterministic order (optimistic
-cost, then mask value); the returned optimum is canonical for this
-dispatch regime (documented in PARITY.md). The objective always equals
-the read-DFS optimum -- both solve the same ILP.
+Dispatch between the C++ core (native/segenum.cpp) and this Python
+implementation depends ONLY on library availability, never on instance
+content: both twins accept exactly Mi <= MAX_SEGS and visit structures in
+the same order with the same tie-breaks, so a missing toolchain changes
+speed, never results (bit-equality: tests/test_segenum_native.py).
+Neither twin materializes an (N, 2^Mi) table -- per-structure candidate
+sets are computed on demand -- so memory is O(N + 2^Mi) at any Mi.
+The returned optimum is canonical (documented in PARITY.md) and its
+objective always equals the read-DFS optimum -- both solve the same ILP.
 """
 
 from __future__ import annotations
@@ -29,25 +34,32 @@ import numpy as np
 
 from .exact import ClusterInstance, SolveResult
 
-MAX_SEGS = 16  # 2^16 masks enumerated at most
+MAX_SEGS = 20  # both twins: 2^20 masks enumerated at most
+
+# popcount of every 16-bit value; popcount(u32 x) = _PC16[x&0xFFFF] + _PC16[x>>16]
+_PC16 = np.array(
+    [bin(v).count("1") for v in range(1 << 16)], dtype=np.int32
+)
 
 
 def solve_segment_enum(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult | None:
-    """Exact solve via structure enumeration; None when Mi > MAX_SEGS.
+    """Exact solve via structure enumeration; None iff Mi > MAX_SEGS.
 
-    Prefers the C++ core (bit-equal twin for Mi <= MAX_SEGS,
-    tests/test_segenum_native.py; the C++ core additionally handles
-    Mi up to 20 since it materializes no (N, 2^Mi) tables); this Python
-    implementation is the reference definition and fallback. The Python
-    table memory is guarded by N * 2^Mi."""
+    The decline decision is purely instance content (Mi), identical for
+    both engines; the C++ core is preferred for speed, with this Python
+    implementation as the bit-equal reference definition and fallback."""
+    if len(inst.seg_len) > MAX_SEGS:
+        return None
     from .native import solve_segenum_native
 
     native = solve_segenum_native(inst, deadline_s)
     if native is not None:
         return native
-    if len(inst.rows) << len(inst.seg_len) > 16_000_000:
-        return None
     return _solve_segment_enum_py(inst, deadline_s)
+
+
+def _popcount_u32(x: np.ndarray) -> np.ndarray:
+    return _PC16[x & np.uint32(0xFFFF)] + _PC16[x >> np.uint32(16)]
 
 
 def _solve_segment_enum_py(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult | None:
@@ -74,51 +86,36 @@ def _solve_segment_enum_py(inst: ClusterInstance, deadline_s: float = 60.0) -> S
     )
     g = np.array([r.garbage for r in inst.rows], dtype=np.float64)
     g_total = float(g.sum())
-    E_all = np.arange(n_masks, dtype=np.uint32)
 
-    # corrections_i(E) = popcount(C_i & E): (N, n_masks) via popcount of
-    # the AND (vectorized bit loop over Mi <= 16 bits).
-    corr_pc = np.zeros((N, n_masks), dtype=np.int32)
-    for b in range(Mi):
-        has_c = (C_int >> b) & 1  # (N,)
-        e_has = ((E_all >> b) & 1).astype(np.int32)  # (n_masks,)
-        corr_pc += has_c[:, None].astype(np.int32) * e_has[None, :]
-    subset_ok = (I_int[:, None] & ~E_all[None, :]) == 0  # (N, n_masks)
-
-    # Gap feasibility per (read, E): G = sum seg_len over (mask & E).
-    # Precompute subset sums per distinct gap mask with the standard
-    # sum-over-subsets DP, then compare windows in scaled integers.
+    # Flat per-gap arrays for on-demand feasibility at each E.
     sc, eps, off = inst.eps_scale, inst.eps_scaled, inst.offset
     seg_len = inst.seg_len.astype(np.int64)
-    sos_cache: dict[int, np.ndarray] = {}
-
-    def subset_sums(mask_int: int) -> np.ndarray:
-        arr = sos_cache.get(mask_int)
-        if arr is None:
-            arr = np.zeros(n_masks, dtype=np.int64)
-            for b in range(Mi):
-                if mask_int >> b & 1:
-                    arr = arr + (((E_all >> b) & 1) * seg_len[b])
-            sos_cache[mask_int] = arr
-        return arr
-
-    feasible = subset_ok.copy()
+    gap_read: list[int] = []
+    gap_mask_l: list[int] = []
+    gap_len_l: list[int] = []
     for i, r in enumerate(inst.rows):
         for mask, l in r.gaps:
-            mask_int = int((np.asarray(mask, bool) * bit).sum())
-            G = subset_sums(mask_int)
-            ok = ((sc - eps) * G <= sc * (l + off)) & (sc * (l - off) <= (sc + eps) * G)
-            feasible[i] &= ok
+            gap_read.append(i)
+            gap_mask_l.append(int((np.asarray(mask, bool) * bit).sum()))
+            gap_len_l.append(int(l))
+    gap_read_a = np.array(gap_read, dtype=np.int64)
+    gap_masks = np.array(gap_mask_l, dtype=np.uint32)
+    gap_lens = np.array(gap_len_l, dtype=np.int64)
+    n_gaps = len(gap_read)
 
-    delta = np.where(feasible, g[:, None] - corr_pc, -np.inf)  # (N, n_masks)
     # Optimistic cost per E: all positive-profit subset-compatible reads
     # assigned, ignoring gap windows, conflicts and coverage -- a valid
-    # lower bound per structure (dropping the gap filter only loosens it),
-    # and cheap enough that the C++ twin can skip materializing the
-    # gap-feasibility table.
-    delta_nogap = np.where(subset_ok, g[:, None] - corr_pc, -np.inf)
-    pos_gain = np.where(delta_nogap > 0, delta_nogap, 0.0).sum(axis=0)
-    optimistic = g_total - pos_gain
+    # lower bound per structure (dropping the gap filter only loosens it).
+    # Computed blockwise so no (N, 2^Mi) table is ever resident.
+    optimistic = np.empty(n_masks, dtype=np.float64)
+    block = 1 << 12
+    for lo in range(0, n_masks, block):
+        E_blk = np.arange(lo, min(lo + block, n_masks), dtype=np.uint32)
+        subset_ok = (I_int[:, None] & ~E_blk[None, :]) == 0  # (N, B)
+        corr_pc = _popcount_u32(C_int[:, None] & E_blk[None, :])  # (N, B)
+        d = g[:, None] - corr_pc
+        pos_gain = np.where(subset_ok & (d > 0), d, 0.0).sum(axis=0)
+        optimistic[lo : lo + len(E_blk)] = g_total - pos_gain
 
     conflict_mat = np.zeros((N, N), dtype=bool)
     for a, b2 in inst.incomp:
@@ -131,6 +128,7 @@ def _solve_segment_enum_py(inst: ClusterInstance, deadline_s: float = 60.0) -> S
     best_S: list[int] = []
 
     # Deterministic visit order: most promising first, ties by mask value.
+    E_all = np.arange(n_masks, dtype=np.uint32)
     order = np.lexsort((E_all, optimistic))
     timed_out = False
 
@@ -143,14 +141,29 @@ def _solve_segment_enum_py(inst: ClusterInstance, deadline_s: float = 60.0) -> S
         if time.monotonic() > t_end:
             timed_out = True
             break
-        cand = np.flatnonzero(feasible[:, E] & subset_ok[:, E])
+        # On-demand candidate set for this E (mirrors the C++ per-E scan).
+        ok = (I_int & ~np.uint32(E)) == 0  # subset-compatible
+        if n_gaps:
+            gm = gap_masks & np.uint32(E)
+            G = np.zeros(n_gaps, dtype=np.int64)
+            for b in range(Mi):
+                if (E >> b) & 1:
+                    G += ((gm >> np.uint32(b)) & 1).astype(np.int64) * seg_len[b]
+            gok = ((sc - eps) * G <= sc * (gap_lens + off)) & (
+                sc * (gap_lens - off) <= (sc + eps) * G
+            )
+            if not gok.all():
+                bad = np.bincount(gap_read_a[~gok], minlength=N) > 0
+                ok &= ~bad
+        cand = np.flatnonzero(ok)
         if E and not len(cand):
             continue
         # coverage requirement: union of chosen I must equal E
-        d = delta[cand, E]
+        d = g[cand] - _popcount_u32(C_int[cand] & np.uint32(E))
         # order candidates by descending profit, then index (deterministic)
-        sub_order = cand[np.lexsort((cand, -d))]
-        sub_delta_all = delta[sub_order, E]
+        perm = np.lexsort((cand, -d))
+        sub_order = cand[perm]
+        sub_delta_all = d[perm]
         if any_conflict and len(sub_order):
             conf_sub = conflict_mat[np.ix_(sub_order, sub_order)]
             has_conf = conf_sub.any(axis=1)

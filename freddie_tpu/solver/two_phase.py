@@ -49,7 +49,8 @@ def solve_two_phase(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveRes
     # Escalation 1: structure enumeration -- exact and fast whenever the
     # informative-segment count is small (the usual reason the read-DFS
     # explodes: many near-duplicate rows under dense incompatibilities).
-    # The memory guard keeps the (N, 2^Mi) tables bounded.
+    # Declines purely on instance content (Mi > MAX_SEGS), so the
+    # escalation path is identical with or without the native toolchain.
     from .segenum import solve_segment_enum
 
     remaining = max(deadline_s - (time.monotonic() - t0), 1.0)

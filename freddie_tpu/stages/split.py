@@ -15,8 +15,8 @@ Re-implements the reference's locus partitioner
 
 All of this is host-side streaming work (I/O bound); the device work starts
 at the segment stage. Unlike the reference (one process per contig), the
-driver is a single pass over the sorted BAM with optional worker threads
-per contig.
+driver is a single streaming pass over the sorted BAM (records of each
+contig are consumed incrementally, never buffered whole).
 """
 
 from __future__ import annotations
@@ -282,6 +282,7 @@ def distribute_read_sequences(
     read_files: list[str],
     rname_to_tint: dict[str, dict],
     outdir: str,
+    max_open_handles: int = 512,
 ) -> None:
     """Route each read's raw sequence to reads_{contig}_{tint}.tsv files.
 
@@ -289,8 +290,32 @@ def distribute_read_sequences(
     (py/freddie_split.py:367-424) without the intermediate reads.tsv: rows
     are grouped per (contig, tint) directly; row order within a file is
     irrelevant downstream (the segment stage builds an rid->seq dict).
+
+    Open file handles are LRU-capped at max_open_handles (evicted files
+    reopen in append mode), so tint counts far beyond RLIMIT_NOFILE -- the
+    reference bumps the rlimit for its per-contig handles at
+    py/freddie_split.py:522-526 -- cannot exhaust descriptors.
     """
-    handles: dict[tuple[str, int], object] = {}
+    from collections import OrderedDict
+
+    handles: OrderedDict[tuple[str, int], object] = OrderedDict()
+    opened: set[tuple[str, int]] = set()
+
+    def get_handle(key: tuple[str, int]):
+        fh = handles.get(key)
+        if fh is not None:
+            handles.move_to_end(key)
+            return fh
+        if len(handles) >= max_open_handles:
+            _, old = handles.popitem(last=False)
+            old.close()
+        contig, tint_id = key
+        path = os.path.join(outdir, contig, f"reads_{contig}_{tint_id}.tsv")
+        fh = open(path, "a" if key in opened else "w")
+        opened.add(key)
+        handles[key] = fh
+        return fh
+
     try:
         for read_file in read_files:
             for name, seq in read_fastx(read_file):
@@ -299,14 +324,7 @@ def distribute_read_sequences(
                     continue
                 contig, rid = info["contig"], info["rid"]
                 for tint_id in info["tint_ids"]:
-                    key = (contig, tint_id)
-                    fh = handles.get(key)
-                    if fh is None:
-                        path = os.path.join(
-                            outdir, contig, f"reads_{contig}_{tint_id}.tsv"
-                        )
-                        fh = open(path, "w")
-                        handles[key] = fh
+                    fh = get_handle((contig, tint_id))
                     fh.write(f"{rid}\t{contig}\t{tint_id}\t{seq}\n")
     finally:
         for fh in handles.values():
@@ -337,23 +355,34 @@ def run_split(
     rname_to_tint: dict[str, dict] = {}
     counts: dict[str, int] = {}
 
-    # Single pass over the coordinate-sorted BAM: records arrive grouped by
-    # contig in header order.
+    # Single streaming pass over the coordinate-sorted BAM: records arrive
+    # grouped by contig in header order. Each contig's records are consumed
+    # incrementally (a whole-genome contig never sits in RAM); runs the
+    # caller skips are drained before advancing.
     def contig_runs() -> Iterator[tuple[str, Iterator[BamRecord]]]:
         it = iter(reader)
-        cur_contig = None
-        buf: list[BamRecord] = []
-        for rec in it:
+        pending: list[BamRecord | None] = [next(it, None)]
+
+        def run(contig: str) -> Iterator[BamRecord]:
+            while pending[0] is not None:
+                rec = pending[0]
+                if rec.is_unmapped or rec.reference_name is None:
+                    pending[0] = next(it, None)
+                    continue
+                if rec.reference_name != contig:
+                    return
+                pending[0] = next(it, None)
+                yield rec
+
+        while pending[0] is not None:
+            rec = pending[0]
             if rec.is_unmapped or rec.reference_name is None:
+                pending[0] = next(it, None)
                 continue
-            if rec.reference_name != cur_contig:
-                if cur_contig is not None and buf:
-                    yield cur_contig, iter(buf)
-                cur_contig = rec.reference_name
-                buf = []
-            buf.append(rec)
-        if cur_contig is not None and buf:
-            yield cur_contig, iter(buf)
+            gen = run(rec.reference_name)
+            yield rec.reference_name, gen
+            for _ in gen:  # drain any records the caller left unread
+                pass
 
     for contig, records in contig_runs():
         if contig not in keep:

@@ -35,7 +35,7 @@ def test_native_declines_large_mi():
 
 
 def test_native_extended_mi_matches_dfs_value():
-    # Mi in 17..20 is native-only; value must equal the read-DFS optimum.
+    # Mi in 17..20: value must equal the read-DFS optimum.
     from freddie_tpu.solver.exact import solve_exact
 
     rng = np.random.default_rng(7)
@@ -44,3 +44,21 @@ def test_native_extended_mi_matches_dfs_value():
     dfs = solve_exact(inst)
     assert nat is not None and nat.status == dfs.status == "OPTIMAL"
     assert nat.objective == dfs.objective
+
+
+@pytest.mark.parametrize("seed", [2, 3])  # Mi=20 and Mi=17 instances
+def test_twins_bit_equal_extended_mi(seed):
+    # Dispatch is content-only: the Python twin must cover the full
+    # Mi <= MAX_SEGS range (17..20 included) bit-identically to the C++
+    # core, so a missing toolchain never changes the escalation path.
+    rng = np.random.default_rng(seed + 3100)
+    N = int(rng.integers(4, 16))
+    M = int(rng.integers(17, 21))
+    inst = random_instance(rng, N, M)
+    py = _solve_segment_enum_py(inst, deadline_s=120.0)
+    nat = solve_segenum_native(inst, deadline_s=120.0)
+    assert nat is not None and py is not None
+    assert nat.status == py.status == "OPTIMAL"
+    assert nat.objective == py.objective
+    assert nat.assigned == py.assigned
+    assert np.array_equal(np.asarray(nat.isoform), np.asarray(py.isoform))

@@ -89,3 +89,33 @@ def test_split_read_sequences_orientation(sim_outputs):
             # the distributed sequence is the raw FASTQ one (read orientation)
             assert by_name[sr.name].seq == sr.fastq_seq
             assert by_name[sr.name].strand == sr.strand
+
+
+def test_distribute_handles_lru_cap(sim_outputs, tmp_path):
+    # With the open-handle cap forced below the tint count, evicted files
+    # reopen in append mode and the outputs stay byte-identical.
+    import filecmp
+    import shutil
+
+    from freddie_tpu.stages.split import distribute_read_sequences
+
+    sim, outdir, counts = sim_outputs
+    cdir = os.path.join(outdir, sim.contig)
+    # Rebuild rname_to_tint from the split TSVs.
+    rname_to_tint = {}
+    for t in range(counts[sim.contig]):
+        tint = parse_split_tsv(os.path.join(cdir, f"split_{sim.contig}_{t}.tsv"))
+        for read in tint.reads:
+            entry = rname_to_tint.setdefault(
+                read.name, dict(contig=sim.contig, rid=read.id, tint_ids=[])
+            )
+            entry["tint_ids"].append(t)
+    fq = str(tmp_path / "reads.fastq")
+    sim.write_fastq(fq)
+    capped = str(tmp_path / "capped")
+    os.makedirs(os.path.join(capped, sim.contig))
+    distribute_read_sequences([fq], rname_to_tint, capped, max_open_handles=1)
+    for t in range(counts[sim.contig]):
+        a = os.path.join(cdir, f"reads_{sim.contig}_{t}.tsv")
+        b = os.path.join(capped, sim.contig, f"reads_{sim.contig}_{t}.tsv")
+        assert filecmp.cmp(a, b, shallow=False), f"tint {t} differs under LRU cap"
