@@ -99,6 +99,18 @@ def longest_poly_runs(seq: str, s: int, e: int, step: int, char: str,
         yield first, length, run.count(char) / length
 
 
+def poly_window(seq: str, lo: int, hi: int, strand: str, char: str) -> tuple[str, str]:
+    """The (window string, scan char) a polyA scorer scans for `char` in
+    query window [lo, hi): on '-' strand the raw sequence is read-oriented,
+    so the alignment-orientation window is the mirrored slice reversed and
+    the char complemented. Offsets into the window string are in alignment
+    orientation for both strands (the batch scorer shares this contract)."""
+    if strand == "-":
+        L = len(seq)
+        return seq[L - hi : L - lo][::-1], _REV_COMP[char]
+    return seq[lo:hi], char
+
+
 def _best_poly(seq: str, lo: int, hi: int, strand: str,
                min_len: int = 20, min_purity: float = 0.85):
     """Best polyA/polyT candidate in query window [lo, hi) (read-orientation
@@ -119,19 +131,13 @@ def _best_poly(seq: str, lo: int, hi: int, strand: str,
     return max(cands, key=lambda t: t[2])  # best purity; first wins ties
 
 
-def annotate_gaps_and_polya(
-    data: list[int],
-    segs: list[tuple[int, int]],
-    intervals,
-    seq: str,
-    strand: str,
-) -> list[str]:
-    """Gap/polyA token set for one read (sorted), given its 0/1/2 segment
-    data, the tint's segments, its alignment intervals, and its raw
-    sequence."""
-    gaps: set[str] = set()
+def clip_context(data: list[int], segs: list[tuple[int, int]], intervals, seq: str):
+    """Covered-run structure of one read: (q_ssc, q_esc, runs) where runs
+    are the maximal runs of 1s in `data` and q_ssc/q_esc are the query
+    positions of the first/last covered base -- or None when the read
+    covers no segment (its token set is empty)."""
     if 1 not in data:
-        return sorted(gaps)
+        return None
     runs = []
     for d, grp in groupby(enumerate(data), lambda t: t[1]):
         if d != 1:
@@ -140,16 +146,30 @@ def annotate_gaps_and_polya(
         runs.append((grp[0][0], grp[-1][0]))
     assert runs, data
     read_len = len(seq)
-
     start = segs[runs[0][0]][0]
     q_ssc, _ = query_pos_at_start(start, intervals)
     end = segs[runs[-1][1]][1]
     q_esc, _ = query_pos_at_end(end, intervals)
     assert 0 <= q_ssc <= q_esc <= read_len
+    return q_ssc, q_esc, runs
 
-    best = _best_poly(seq, 0, q_ssc, strand)
-    if best is not None:
-        i, l, p, char = best
+
+def emit_tokens(
+    q_ssc: int,
+    q_esc: int,
+    runs: list[tuple[int, int]],
+    best_s,
+    best_e,
+    segs: list[tuple[int, int]],
+    intervals,
+    read_len: int,
+) -> list[str]:
+    """Token set from a clip context plus the two resolved polyA candidates
+    (each (offset, length, char) or None). Shared by the host path and the
+    batched device path so the wire format has a single definition."""
+    gaps: set[str] = set()
+    if best_s is not None:
+        i, l, char = best_s
         gap = q_ssc - i - l
         assert 0 <= gap < q_ssc
         gaps.add(f"S{char}_{l}:{gap}")
@@ -157,9 +177,8 @@ def annotate_gaps_and_polya(
     else:
         gaps.add(f"SSC:{q_ssc}")
 
-    best = _best_poly(seq, q_esc, read_len, strand)
-    if best is not None:
-        i, l, p, char = best
+    if best_e is not None:
+        i, l, char = best_e
         gap = i
         assert 0 <= gap < read_len - q_esc
         gaps.add(f"E{char}_{l}:{gap}")
@@ -177,3 +196,27 @@ def annotate_gaps_and_polya(
         assert r1_l < r2_f
         gaps.add(f"{r1_l}-{r2_f}:{size}")
     return sorted(gaps)
+
+
+def annotate_gaps_and_polya(
+    data: list[int],
+    segs: list[tuple[int, int]],
+    intervals,
+    seq: str,
+    strand: str,
+) -> list[str]:
+    """Gap/polyA token set for one read (sorted), given its 0/1/2 segment
+    data, the tint's segments, its alignment intervals, and its raw
+    sequence."""
+    ctx = clip_context(data, segs, intervals, seq)
+    if ctx is None:
+        return []
+    q_ssc, q_esc, runs = ctx
+    read_len = len(seq)
+
+    def strip(best):
+        return None if best is None else (best[0], best[1], best[3])
+
+    best_s = strip(_best_poly(seq, 0, q_ssc, strand))
+    best_e = strip(_best_poly(seq, q_esc, read_len, strand))
+    return emit_tokens(q_ssc, q_esc, runs, best_s, best_e, segs, intervals, read_len)

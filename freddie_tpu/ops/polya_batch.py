@@ -112,11 +112,39 @@ def _scan_batch(match: "jnp.ndarray", valid: "jnp.ndarray"):
     )
 
 
+_jit_cache: dict = {}
+
+
+def _get_scan():
+    """_scan_batch under jit (cached): on remote-dispatch backends every
+    eager helper op costs a network roundtrip, so the whole scan compiles
+    to one launch per padded (B, L) bucket shape."""
+    if "fn" not in _jit_cache:
+        import jax
+
+        _jit_cache["fn"] = jax.jit(_scan_batch)
+    return _jit_cache["fn"]
+
+
+_L_BUCKETS = (64, 256, 1024, MAX_WINDOW)
+
+
+def _pad_rows(b: int) -> int:
+    """Round the batch dim to a power of two (>= 8) so the compiled shape
+    set stays small across calls."""
+    p = 8
+    while p < b:
+        p <<= 1
+    return p
+
+
 def best_poly_batch(windows: list[str], chars: list[str]):
     """For each (window string, target char) pair, the reference's best
     run or None: list of (first, length, count_of_char) tuples.
 
-    Windows longer than MAX_WINDOW fall back to the host scorer.
+    Launches are bucketed by padded window length and power-of-two batch
+    size to bound the number of compiled shapes. Windows longer than
+    MAX_WINDOW fall back to the host scorer.
     """
     import jax.numpy as jnp
 
@@ -124,7 +152,6 @@ def best_poly_batch(windows: list[str], chars: list[str]):
 
     n = len(windows)
     results: list[tuple[int, int, int] | None] = [None] * n
-    dev_rows = [i for i in range(n) if len(windows[i]) <= MAX_WINDOW and windows[i]]
     for i in range(n):
         if len(windows[i]) > MAX_WINDOW:
             cands = [
@@ -134,22 +161,100 @@ def best_poly_batch(windows: list[str], chars: list[str]):
             ]
             if cands:
                 results[i] = max(cands, key=lambda t: (t[2] / t[1], -t[0]))
-    if not dev_rows:
-        return results
-    L = max(len(windows[i]) for i in dev_rows)
-    L = max(L, 32)
-    match = np.zeros((len(dev_rows), L), dtype=bool)
-    valid = np.zeros((len(dev_rows), L), dtype=bool)
-    for r, i in enumerate(dev_rows):
-        w = windows[i]
-        valid[r, : len(w)] = True
-        match[r, : len(w)] = np.frombuffer(w.encode(), dtype=np.uint8) == ord(chars[i])
-    found, first, length, cnt = _scan_batch(jnp.asarray(match), jnp.asarray(valid))
-    found = np.asarray(found)
-    first = np.asarray(first)
-    length = np.asarray(length)
-    cnt = np.asarray(cnt)
-    for r, i in enumerate(dev_rows):
-        if found[r]:
-            results[i] = (int(first[r]), int(length[r]), int(cnt[r]))
+
+    buckets: dict[int, list[int]] = {}
+    for i in range(n):
+        lw = len(windows[i])
+        if 0 < lw <= MAX_WINDOW:
+            for edge in _L_BUCKETS:
+                if lw <= edge:
+                    buckets.setdefault(edge, []).append(i)
+                    break
+    fn = _get_scan() if buckets else None
+    for L, dev_rows in sorted(buckets.items()):
+        B = _pad_rows(len(dev_rows))
+        match = np.zeros((B, L), dtype=bool)
+        valid = np.zeros((B, L), dtype=bool)
+        for r, i in enumerate(dev_rows):
+            w = windows[i]
+            valid[r, : len(w)] = True
+            match[r, : len(w)] = np.frombuffer(w.encode(), dtype=np.uint8) == ord(chars[i])
+        found, first, length, cnt = fn(jnp.asarray(match), jnp.asarray(valid))
+        found = np.asarray(found)
+        first = np.asarray(first)
+        length = np.asarray(length)
+        cnt = np.asarray(cnt)
+        for r, i in enumerate(dev_rows):
+            if found[r]:
+                results[i] = (int(first[r]), int(length[r]), int(cnt[r]))
     return results
+
+
+def annotate_gaps_and_polya_batch(items: list[tuple]) -> list[list[str]]:
+    """Batched equivalent of ops.polya.annotate_gaps_and_polya over many
+    reads: items are (data, segs, intervals, seq, strand) tuples; returns
+    each read's sorted token list.
+
+    All four scan requests per read (start/end window x A/T) across ALL
+    items go to best_poly_batch in one pass, so a whole stage's polyA
+    scoring runs as a handful of device launches. The A-vs-T selection
+    reproduces the host's max-by-purity with first-listed (A) winning
+    ties, in the same float64 arithmetic; token emission is the shared
+    ops.polya.emit_tokens, so outputs are byte-identical to the host path
+    (guarded by tests/test_polya_batch.py and the segment-stage
+    equivalence test).
+    """
+    from .polya import clip_context, emit_tokens, poly_window
+
+    ctxs: list[tuple | None] = []
+    slots: list[dict[str, list[int]] | None] = []
+    windows: list[str] = []
+    chars: list[str] = []
+    for data, segs, intervals, seq, strand in items:
+        ctx = clip_context(data, segs, intervals, seq)
+        ctxs.append(ctx)
+        if ctx is None:
+            slots.append(None)
+            continue
+        q_ssc, q_esc, _runs = ctx
+        reqs: dict[str, list[int]] = {}
+        for side, (lo, hi) in (("s", (0, q_ssc)), ("e", (q_esc, len(seq)))):
+            idxs = []
+            for char in ("A", "T"):
+                w, c = poly_window(seq, lo, hi, strand, char)
+                idxs.append(len(windows))
+                windows.append(w)
+                chars.append(c)
+            reqs[side] = idxs
+        slots.append(reqs)
+
+    results = best_poly_batch(windows, chars)
+
+    out: list[list[str]] = []
+    for item, ctx, reqs in zip(items, ctxs, slots):
+        if ctx is None:
+            out.append([])
+            continue
+        data, segs, intervals, seq, strand = item
+        q_ssc, q_esc, runs = ctx
+
+        def select(side):
+            best = None
+            best_p = -1.0
+            for char, ridx in zip(("A", "T"), reqs[side]):
+                r = results[ridx]
+                if r is None:
+                    continue
+                first, length, cnt = r
+                p = cnt / length  # float64, the host's purity arithmetic
+                if p > best_p:  # strict: A wins ties, like the host's max()
+                    best_p = p
+                    best = (first, length, char)
+            return best
+
+        out.append(
+            emit_tokens(
+                q_ssc, q_esc, runs, select("s"), select("e"), segs, intervals, len(seq)
+            )
+        )
+    return out

@@ -385,7 +385,26 @@ def solve_batch_device(
             results[i] = solve_host(problems[i], thr)
         return [r for r in results]  # type: ignore
 
-    if use_pallas:
+    n_local = jax.local_device_count()
+    if n_local > 1 and not use_pallas:
+        # Multi-device host: shard the batch over a 1-D loci mesh so one
+        # process drives every attached chip. Pad B to a mesh multiple by
+        # replicating the last problem (its outputs are discarded).
+        from ..parallel.mesh import loci_mesh, solve_batch_sharded
+
+        mesh = loci_mesh(local=True)
+        pad_b = (-B) % n_local
+        if pad_b:
+            C = np.concatenate([C, np.repeat(C[-1:], pad_b, axis=0)])
+            y = np.concatenate([y, np.repeat(y[-1:], pad_b, axis=0)])
+            W = np.concatenate([W, np.repeat(W[-1:], pad_b, axis=0)])
+            n_cand = np.concatenate([n_cand, np.repeat(n_cand[-1:], pad_b)])
+        K, best_j, best_k = solve_batch_sharded(
+            C, y, W, n_cand, next(iter(rs)), thr.lookup, thr.scale, mesh
+        )
+        if pad_b:
+            K, best_j, best_k = K[:B], best_j[:B], best_k[:B]
+    elif use_pallas:
         fn = _get_jitted_pallas()
         K, best_j, best_k = fn(
             jnp.asarray(C),

@@ -1,42 +1,76 @@
-"""Loci-mesh construction and sharded DP solving."""
+"""Loci-mesh construction and sharded DP solving.
+
+The production segment stage routes phase B through solve_batch_sharded
+whenever more than one local device is attached (ops.segdp.
+solve_batch_device), so a multi-chip host is used by a single process
+without operator intervention; results are bit-identical to the
+single-device launch (tests/test_dist.py, test_segment_sharded).
+"""
 
 from __future__ import annotations
 
 import numpy as np
 
+_mesh_cache: dict = {}
+_fn_cache: dict = {}
 
-def loci_mesh(n_devices: int | None = None):
-    """A 1-D mesh over available devices with a single 'loci' axis."""
+
+def loci_mesh(n_devices: int | None = None, local: bool = False):
+    """A 1-D mesh over available devices with a single 'loci' axis.
+
+    local=True restricts to this process's devices (the production
+    segment-stage dispatch: in a multi-host run each process owns its
+    locus shard and must not shard batches over other hosts' chips).
+    Cached per device tuple: pjit compilation caches key on the mesh
+    object, so callers must receive the same Mesh across dispatches.
+    """
     import jax
     from jax.sharding import Mesh
 
-    devices = jax.devices()
+    devices = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
-    return Mesh(np.array(devices), ("loci",))
+    key = tuple(id(d) for d in devices)
+    mesh = _mesh_cache.get(key)
+    if mesh is None:
+        mesh = Mesh(np.array(devices), ("loci",))
+        _mesh_cache[key] = mesh
+    return mesh
+
+
+def _sharded_solver(mesh, read_support: int, scale: int):
+    """Jitted batch-sharded DP solver, cached per (mesh, read_support,
+    scale) so repeated dispatches reuse the compiled executable."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.segdp import _solve_batch_jax
+
+    key = (mesh, read_support, scale)
+    fn = _fn_cache.get(key)
+    if fn is None:
+        batch_sh = NamedSharding(mesh, P("loci"))
+        repl = NamedSharding(mesh, P())
+
+        def kernel(C, y, W, n_cand, lookup):
+            return _solve_batch_jax(C, y, W, n_cand, read_support, lookup, scale)
+
+        fn = jax.jit(
+            kernel,
+            in_shardings=(batch_sh, batch_sh, batch_sh, batch_sh, repl),
+            out_shardings=(batch_sh, batch_sh, batch_sh),
+        )
+        _fn_cache[key] = fn
+    return fn
 
 
 def solve_batch_sharded(C, y, W, n_cand, read_support, lookup, scale, mesh):
     """Run the batched segmentation DP with the batch dim sharded over the
     mesh's 'loci' axis. The batch size must be a multiple of the mesh size
     (callers pad with dummy problems)."""
-    import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..ops.segdp import _solve_batch_jax
-
-    batch_sh = NamedSharding(mesh, P("loci"))
-    repl = NamedSharding(mesh, P())
-
-    def kernel(C, y, W, n_cand, lookup):
-        return _solve_batch_jax(C, y, W, n_cand, read_support, lookup, scale)
-
-    fn = jax.jit(
-        kernel,
-        in_shardings=(batch_sh, batch_sh, batch_sh, batch_sh, repl),
-        out_shardings=(batch_sh, batch_sh, batch_sh),
-    )
+    fn = _sharded_solver(mesh, read_support, scale)
     return fn(
         jnp.asarray(C),
         jnp.asarray(y),

@@ -9,8 +9,10 @@ Re-architects the reference's per-tint process pool
       bucketed and solved by the batched DP kernel (ops.segdp) -- this is
       where the FLOPs are, and it runs as a few large XLA launches instead
       of the reference's per-problem Python recursion.
-  Phase C (host, per tint): union of breakpoints -> refinement ->
-      genotyping -> per-read polyA/gap annotation -> segment TSV.
+  Phase C (per tint): union of breakpoints -> refinement -> genotyping
+      (C1, host) -> per-read polyA/gap annotation (C2: one batched device
+      scan over every read's soft-clip windows when the workload is big
+      enough, host otherwise -- identical outputs) -> segment TSV (C3).
 
 Results are bit-identical to solving each problem on the host oracle.
 """
@@ -29,6 +31,10 @@ from ..ops.coverage import cumulative_coverage
 from ..ops.polya import annotate_gaps_and_polya
 from ..ops.segdp import DPProblem, solve_batch_device, solve_host, suggested_batch_size
 from ..ops.thresholds import ScaledThresholds
+
+# Below this many reads the batched device polyA scorer is not worth the
+# launch round-trips; the host scorer annotates inline during phase C1.
+POLYA_DEVICE_MIN_READS = 512
 
 
 @dataclass
@@ -175,16 +181,17 @@ def solve_problems(problems: list[DPProblem], cfg: SegmentConfig, thr: ScaledThr
     return [r for r in results]  # type: ignore
 
 
-def finalize_tint(
+def genotype_tint(
     work: TintWork,
     solutions: list[list[int]],
     cfg: SegmentConfig,
     thr: ScaledThresholds,
-) -> list[int]:
-    """Phase C: assemble final breakpoints, refine, genotype, annotate.
+) -> tuple[list[int], list[tuple[int, int]]]:
+    """Phase C1: assemble final breakpoints, refine, genotype.
 
-    Returns the tint's final genomic positions; fills read.data/read.gaps.
-    """
+    Fills read.data; returns (final genomic positions, segment pairs).
+    PolyA/gap annotation is separate so the stage driver can batch every
+    read's soft-clip scans in one device pass (ops.polya_batch)."""
     tint = work.tint
     n_reps = len(work.weights)
     final_positions: list[int] = []
@@ -225,6 +232,21 @@ def finalize_tint(
     for read in tint.reads:
         read.data.pop()
         assert len(read.data) == len(segs)
+    return final_positions, segs
+
+
+def finalize_tint(
+    work: TintWork,
+    solutions: list[list[int]],
+    cfg: SegmentConfig,
+    thr: ScaledThresholds,
+) -> list[int]:
+    """Phase C, single-tint path: genotype then host polyA/gap annotation.
+
+    Returns the tint's final genomic positions; fills read.data/read.gaps.
+    """
+    final_positions, segs = genotype_tint(work, solutions, cfg, thr)
+    for read in work.tint.reads:
         read.gaps = annotate_gaps_and_polya(
             read.data, segs, read.intervals, read.seq, read.strand
         )
@@ -300,27 +322,56 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
     with profile_trace(os.environ.get("FREDDIE_TRACE_DIR")):
         solutions = solve_problems(all_problems, cfg, thr)
 
-    # Phase C (parallel like phase A).
-    def finalize_one(args):
-        (contig, tint_id, _, _), work, off = args
+    # Phase C1 (parallel like phase A): genotype every tint. PolyA
+    # annotation is deferred when the batched device path applies.
+    total_reads = sum(len(w.tint.reads) for w in works)
+    batch_polya = cfg.use_device and total_reads >= POLYA_DEVICE_MIN_READS
+
+    def genotype_one(args):
+        (_contig, _tint_id, _, _), work, off = args
         n = sum(len(iw.problems) for iw in work.intervals)
         sols = solutions[off : off + n]
         k = 0
         for iw in work.intervals:  # re-map local problem ids
             iw.problems = list(range(k, k + len(iw.problems)))
             k += len(iw.problems)
-        final_positions = finalize_tint(work, sols, cfg, thr)
-        out_path = os.path.join(outdir, contig, f"segment_{contig}_{tint_id}.tsv")
-        with open(out_path, "w") as f:
-            f.write(format_segment_tsv(work.tint, final_positions))
+        final_positions, segs = genotype_tint(work, sols, cfg, thr)
+        if not batch_polya:
+            for read in work.tint.reads:
+                read.gaps = annotate_gaps_and_polya(
+                    read.data, segs, read.intervals, read.seq, read.strand
+                )
+        return final_positions, segs
 
     triples = list(zip(jobs, works, offsets))
     if cfg.threads > 1 and len(triples) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
-            list(ex.map(finalize_one, triples))
+            finals = list(ex.map(genotype_one, triples))
     else:
-        for t in triples:
-            finalize_one(t)
+        finals = [genotype_one(t) for t in triples]
+
+    # Phase C2 (device, batched): every read's polyA soft-clip scans across
+    # ALL tints in one bucketed launch set (ops.polya_batch); byte-identical
+    # to the host path (tests/test_polya_batch.py, test_segment_polya_device).
+    if batch_polya:
+        from ..ops.polya_batch import annotate_gaps_and_polya_batch
+
+        items = []
+        owners = []
+        for (_, work, _), (_fp, segs) in zip(triples, finals):
+            for read in work.tint.reads:
+                items.append((read.data, segs, read.intervals, read.seq, read.strand))
+                owners.append(read)
+        for read, toks in zip(owners, annotate_gaps_and_polya_batch(items)):
+            read.gaps = toks
+
+    # Phase C3: write TSVs.
+    for ((contig, tint_id, _, _), work, _off), (final_positions, _segs) in zip(
+        triples, finals
+    ):
+        out_path = os.path.join(outdir, contig, f"segment_{contig}_{tint_id}.tsv")
+        with open(out_path, "w") as f:
+            f.write(format_segment_tsv(work.tint, final_positions))
     return len(jobs)

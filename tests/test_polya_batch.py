@@ -67,3 +67,51 @@ def test_long_window_fallback():
     w = random_window(rng, 3000, polya_prob=0.1)
     got = best_poly_batch([w], ["A"])
     assert got == [host_best(w, "A")]
+
+
+def test_annotate_batch_matches_host_per_read():
+    """annotate_gaps_and_polya_batch == annotate_gaps_and_polya on
+    simulated tints (both strands, noisy soft clips)."""
+    from freddie_tpu.config import SegmentConfig, SplitConfig
+    from freddie_tpu.ops.polya import annotate_gaps_and_polya
+    from freddie_tpu.ops.polya_batch import annotate_gaps_and_polya_batch
+    from freddie_tpu.ops.segdp import DPProblem  # noqa: F401 (import check)
+    from freddie_tpu.ops.thresholds import ScaledThresholds
+    from freddie_tpu.stages.segment import genotype_tint, prepare_tint, solve_problems
+    from freddie_tpu.io.tsv import parse_split_tsv, load_read_sequences
+    from freddie_tpu.stages.split import run_split
+    from freddie_tpu.utils.sim import simulate
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        sim = simulate(seed=23)
+        bam, fq = os.path.join(d, "r.bam"), os.path.join(d, "r.fastq")
+        sim.write_bam(bam)
+        sim.write_fastq(fq)
+        split_dir = os.path.join(d, "split")
+        counts = run_split(bam, [fq], split_dir, SplitConfig())
+        cfg = SegmentConfig()
+        thr = ScaledThresholds(cfg.threshold_rate)
+        items, want = [], []
+        for contig, n in counts.items():
+            for t in range(n):
+                cdir = os.path.join(split_dir, contig)
+                tint = parse_split_tsv(os.path.join(cdir, f"split_{contig}_{t}.tsv"))
+                load_read_sequences(tint, os.path.join(cdir, f"reads_{contig}_{t}.tsv"))
+                work, problems = prepare_tint(tint, cfg, thr)
+                sols = solve_problems(problems, cfg, thr)
+                _fp, segs = genotype_tint(work, sols, cfg, thr)
+                for read in tint.reads:
+                    items.append((read.data, segs, read.intervals, read.seq, read.strand))
+                    want.append(
+                        annotate_gaps_and_polya(
+                            read.data, segs, read.intervals, read.seq, read.strand
+                        )
+                    )
+        assert len(items) > 30
+        got = annotate_gaps_and_polya_batch(items)
+        assert got == want
+        # at least one read actually carries a polyA token on each side key
+        joined = {tok[0] for toks in got for tok in toks if tok[:2] in ("SA", "ST", "EA", "ET")}
+        assert joined, "simulation produced no polyA tails; test is vacuous"
