@@ -51,6 +51,16 @@ def _load():
             P(ctypes.c_int64), P(ctypes.c_int32), P(ctypes.c_uint32), ctypes.c_longlong,
             P(ctypes.c_int64), P(ctypes.c_int64), P(ctypes.c_char), ctypes.c_longlong,
         ]
+        lib.bamdec_next_batch_iv.restype = ctypes.c_longlong
+        lib.bamdec_next_batch_iv.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+            P(ctypes.c_int32), P(ctypes.c_int64), P(ctypes.c_uint16),
+            P(ctypes.c_int64), P(ctypes.c_int32), P(ctypes.c_char), ctypes.c_longlong,
+            P(ctypes.c_int64), P(ctypes.c_int32),
+            P(ctypes.c_int64), P(ctypes.c_int64), P(ctypes.c_int64), P(ctypes.c_int64),
+            P(ctypes.c_int64), P(ctypes.c_int32), P(ctypes.c_char), ctypes.c_longlong,
+            ctypes.c_longlong,
+        ]
         lib.bamdec_close.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception:
@@ -156,6 +166,129 @@ class NativeBamReader:
                         else None
                     ),
                 )
+
+
+class IngestRecord:
+    """Array-native split-stage record: alignment intervals pre-extracted
+    by the C++ CIGAR walk (native/bamdec.cpp bamdec_next_batch_iv), the
+    per-interval cigar already rendered as text, and no sequence (split
+    takes sequences from the FASTQ pass). Duck-types the BamRecord fields
+    the split stage reads."""
+
+    __slots__ = ("query_name", "reference_name", "flag", "intervals")
+
+    def __init__(self, query_name, reference_name, flag, intervals):
+        self.query_name = query_name
+        self.reference_name = reference_name
+        self.flag = flag
+        self.intervals = intervals
+
+    @property
+    def is_unmapped(self):
+        return bool(self.flag & 4)
+
+    @property
+    def is_reverse(self):
+        return bool(self.flag & 16)
+
+    @property
+    def is_secondary(self):
+        return bool(self.flag & 256)
+
+    @property
+    def is_supplementary(self):
+        return bool(self.flag & 2048)
+
+
+def iter_interval_records(reader: "NativeBamReader", max_del_size: int):
+    """Stream IngestRecords from an open NativeBamReader: BGZF inflation,
+    record parsing AND the per-alignment CIGAR walk all happen in C++;
+    Python only slices flat arrays (SURVEY hard part 5: host I/O at
+    1M-read scale). Interval tuples are (ts, te, qs, qe, cigar_str) --
+    identical values to core.cigar.alignment_intervals after the
+    empty-interval filter (tests/test_native_bam.py)."""
+    lib = reader._lib
+    B = 8192
+    NAME_CAP = B * 256
+    IV_CAP = B * 64
+    CIG_CAP = IV_CAP * 24
+    ref_id = np.zeros(B, np.int32)
+    pos = np.zeros(B, np.int64)
+    flag = np.zeros(B, np.uint16)
+    name_off = np.zeros(B, np.int64)
+    name_len = np.zeros(B, np.int32)
+    name_buf = np.zeros(NAME_CAP, np.uint8)
+    iv_off = np.zeros(B, np.int64)
+    iv_n = np.zeros(B, np.int32)
+    iv_ts = np.zeros(IV_CAP, np.int64)
+    iv_te = np.zeros(IV_CAP, np.int64)
+    iv_qs = np.zeros(IV_CAP, np.int64)
+    iv_qe = np.zeros(IV_CAP, np.int64)
+    cig_off = np.zeros(IV_CAP, np.int64)
+    cig_len = np.zeros(IV_CAP, np.int32)
+    cig_buf = np.zeros(CIG_CAP, np.uint8)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    refs = reader.references
+    n_refs = len(refs)
+    while True:
+        n = lib.bamdec_next_batch_iv(
+            reader._h, B, max_del_size,
+            ptr(ref_id, ctypes.c_int32), ptr(pos, ctypes.c_int64),
+            ptr(flag, ctypes.c_uint16),
+            ptr(name_off, ctypes.c_int64), ptr(name_len, ctypes.c_int32),
+            ptr(name_buf, ctypes.c_char), ctypes.c_longlong(NAME_CAP),
+            ptr(iv_off, ctypes.c_int64), ptr(iv_n, ctypes.c_int32),
+            ptr(iv_ts, ctypes.c_int64), ptr(iv_te, ctypes.c_int64),
+            ptr(iv_qs, ctypes.c_int64), ptr(iv_qe, ctypes.c_int64),
+            ptr(cig_off, ctypes.c_int64), ptr(cig_len, ctypes.c_int32),
+            ptr(cig_buf, ctypes.c_char), ctypes.c_longlong(CIG_CAP),
+            ctypes.c_longlong(IV_CAP),
+        )
+        if n == -3:
+            raise AssertionError("CIGAR/query length mismatch in BAM record")
+        if n < 0:
+            raise ValueError(f"native BAM interval decode error (code {n})")
+        if n == 0:
+            return
+        total_iv = int(iv_off[n - 1] + iv_n[n - 1])
+        names_raw = name_buf[: int(name_off[n - 1] + name_len[n - 1])].tobytes()
+        cig_raw = cig_buf[
+            : int(cig_off[total_iv - 1] + cig_len[total_iv - 1]) if total_iv else 0
+        ].tobytes()
+        ts_l = iv_ts[:total_iv].tolist()
+        te_l = iv_te[:total_iv].tolist()
+        qs_l = iv_qs[:total_iv].tolist()
+        qe_l = iv_qe[:total_iv].tolist()
+        co_l = cig_off[:total_iv].tolist()
+        cl_l = cig_len[:total_iv].tolist()
+        no_l = name_off[:n].tolist()
+        nl_l = name_len[:n].tolist()
+        io_l = iv_off[:n].tolist()
+        in_l = iv_n[:n].tolist()
+        rid_l = ref_id[:n].tolist()
+        fl_l = flag[:n].tolist()
+        for i in range(n):
+            o, k = io_l[i], in_l[i]
+            intervals = [
+                (
+                    ts_l[j],
+                    te_l[j],
+                    qs_l[j],
+                    qe_l[j],
+                    cig_raw[co_l[j] : co_l[j] + cl_l[j]].decode(),
+                )
+                for j in range(o, o + k)
+            ]
+            rid = rid_l[i]
+            yield IngestRecord(
+                query_name=names_raw[no_l[i] : no_l[i] + nl_l[i]].decode(),
+                reference_name=refs[rid] if 0 <= rid < n_refs else None,
+                flag=fl_l[i],
+                intervals=intervals,
+            )
 
 
 def open_bam(path: str):

@@ -16,7 +16,10 @@ Re-implements the reference's locus partitioner
 All of this is host-side streaming work (I/O bound); the device work starts
 at the segment stage. Unlike the reference (one process per contig), the
 driver is a single streaming pass over the sorted BAM (records of each
-contig are consumed incrementally, never buffered whole).
+contig are consumed incrementally, never buffered whole). With the C++
+decoder the per-alignment CIGAR walk runs inside the native batch API
+(array-native ingest); `threads > 1` overlaps that decode with tint
+building via a prefetch thread.
 """
 
 from __future__ import annotations
@@ -72,14 +75,26 @@ def group_overlapping_reads(
 ) -> Iterator[list[SplitRead]]:
     """Batch reads into coarse loci: a new batch starts whenever the next
     read begins past the running max end of the current batch
-    (py/freddie_split.py:210-242)."""
+    (py/freddie_split.py:210-242). Records may be BamRecords (intervals
+    extracted here) or IngestRecords (intervals pre-extracted by the C++
+    batch walk)."""
     reads: list[SplitRead] = []
     end = None
     for rec in records:
         if rec.is_unmapped or rec.is_supplementary or rec.is_secondary or rec.reference_name is None:
             continue
         assert rec.reference_name == contig, (rec.reference_name, contig)
-        read = record_to_read(rec, rid=len(reads), max_del_size=cfg.max_del_size)
+        pre = getattr(rec, "intervals", None)
+        if pre is not None:
+            read = SplitRead(
+                id=len(reads),
+                name=rec.query_name,
+                contig=rec.reference_name,
+                strand="-" if rec.is_reverse else "+",
+                intervals=pre,
+            )
+        else:
+            read = record_to_read(rec, rid=len(reads), max_del_size=cfg.max_del_size)
         if (not cfg.consider_nonspliced) and len(read.intervals) == 1:
             continue
         s = read.intervals[0][0]
@@ -240,7 +255,7 @@ def format_split_tsv(contig: str, tint_id: int, tint: Tint, reads: list[SplitRea
         r = reads[rid]
         fields = [str(r.id), r.name, r.contig, r.strand, str(tint_id)]
         fields += [
-            f"{ts}-{te}:{qs}-{qe}:{cigar_to_str(cig)}"
+            f"{ts}-{te}:{qs}-{qe}:{cig if isinstance(cig, str) else cigar_to_str(cig)}"
             for ts, te, qs, qe, cig in r.intervals
         ]
         lines.append("\t".join(fields))
@@ -331,6 +346,41 @@ def distribute_read_sequences(
             fh.close()
 
 
+def _prefetch_records(it: Iterator, chunk: int = 8192, depth: int = 4) -> Iterator:
+    """Pull records from `it` in a worker thread, handing chunks to the
+    consumer through a bounded queue: decode (C++, GIL released) overlaps
+    grouping/tint building. This is what `split -t` enables; with the
+    reference's per-contig process pool the analogous overlap is decode vs
+    downstream stages (py/freddie_split.py:509-513)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+    def worker():
+        try:
+            buf = []
+            for x in it:
+                buf.append(x)
+                if len(buf) >= chunk:
+                    q.put(buf)
+                    buf = []
+            if buf:
+                q.put(buf)
+            q.put(None)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield from item
+
+
 def run_split(
     bam_path: str,
     read_files: list[str],
@@ -342,7 +392,7 @@ def run_split(
     Returns {contig: n_tints}."""
     cfg = cfg or SplitConfig()
     os.makedirs(outdir, exist_ok=True)
-    from ..io.bam_native import open_bam
+    from ..io.bam_native import NativeBamReader, iter_interval_records, open_bam
 
     reader = open_bam(bam_path)
     keep = {
@@ -355,12 +405,23 @@ def run_split(
     rname_to_tint: dict[str, dict] = {}
     counts: dict[str, int] = {}
 
+    # Array-native ingest: with the C++ decoder the per-alignment CIGAR
+    # walk runs in the batch API (flat interval arrays); the Python
+    # fallback yields BamRecords and walks CIGARs in record_to_read.
+    if isinstance(reader, NativeBamReader):
+        record_iter = iter_interval_records(reader, cfg.max_del_size)
+    else:
+        record_iter = iter(reader)
+    if cfg.threads > 1:
+        # Overlap C++ decode + record building with downstream tint work.
+        record_iter = _prefetch_records(record_iter)
+
     # Single streaming pass over the coordinate-sorted BAM: records arrive
     # grouped by contig in header order. Each contig's records are consumed
     # incrementally (a whole-genome contig never sits in RAM); runs the
     # caller skips are drained before advancing.
     def contig_runs() -> Iterator[tuple[str, Iterator[BamRecord]]]:
-        it = iter(reader)
+        it = record_iter
         pending: list[BamRecord | None] = [next(it, None)]
 
         def run(contig: str) -> Iterator[BamRecord]:

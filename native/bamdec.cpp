@@ -198,6 +198,139 @@ long long bamdec_next_batch(
   return n;
 }
 
+// Array-native ingest for the split stage: decode records AND perform the
+// per-alignment CIGAR walk (the reference's get_intervals,
+// py/freddie_split.py:133-207) in one pass, returning flat interval
+// arrays. Mirrors freddie_tpu/core/cigar.py exactly: deletions longer
+// than max_del_size are reclassified as introns, each maximal run between
+// introns becomes one exonic interval with its exon-consuming cigar ops
+// rendered as text, and empty (target- or query-empty) intervals are
+// dropped (the record_to_read filter). Sequences are NOT expanded: the
+// split stage takes sequences from the FASTQ pass, so skipping the 4-bit
+// expansion removes the largest per-record cost of the generic batch API.
+//
+// Records flagged unmapped/secondary/supplementary get iv_n = 0 and no
+// walk (the caller filters them anyway, and their qlen may not match).
+// Returns records decoded; 0 at EOF; stops early (returning the prefix)
+// when an output buffer would overflow; -2 if even one record does not
+// fit; -3 on a CIGAR/query length mismatch (the reference asserts).
+long long bamdec_next_batch_iv(
+    void* hp, long long max_records, int max_del_size,
+    int32_t* ref_id, int64_t* pos, uint16_t* flag,
+    int64_t* name_off, int32_t* name_len, char* name_buf, long long name_cap,
+    int64_t* iv_off, int32_t* iv_n,
+    int64_t* iv_ts, int64_t* iv_te, int64_t* iv_qs, int64_t* iv_qe,
+    int64_t* cig_off, int32_t* cig_len, char* cig_buf, long long cig_cap,
+    long long iv_cap) {
+  Handle* h = (Handle*)hp;
+  long long n = 0;
+  long long nb = 0, ivb = 0, cb = 0;
+  const char* OPS = "MIDNSHP=XB";
+  while (n < max_records) {
+    if (!ensure(*h, 4)) {
+      if (h->eof) break;
+      return -1;
+    }
+    size_t save_pos = h->pos;
+    int32_t block_size = rd<int32_t>(*h);
+    if (!ensure(*h, block_size)) return -1;
+    size_t rec_end = h->pos + block_size;
+    int32_t rid = rd<int32_t>(*h);
+    int64_t rpos = rd<int32_t>(*h);
+    uint8_t l_read_name = rd<uint8_t>(*h);
+    h->pos += 1;  // mapq
+    h->pos += 2;  // bin
+    uint16_t n_cigar = rd<uint16_t>(*h);
+    uint16_t fl = rd<uint16_t>(*h);
+    int32_t l_seq = rd<int32_t>(*h);
+    h->pos += 12;  // next_refID, next_pos, tlen
+    // Worst case per record: every cigar op is its own interval with an
+    // 11-char rendering ("4294967295M").
+    if (nb + l_read_name - 1 > name_cap || ivb + n_cigar + 1 > iv_cap ||
+        cb + 12ll * (n_cigar + 1) > cig_cap) {
+      h->pos = save_pos;
+      if (n == 0) return -2;
+      break;
+    }
+    memcpy(name_buf + nb, h->buf.data() + h->pos, l_read_name - 1);
+    name_off[n] = nb;
+    name_len[n] = l_read_name - 1;
+    nb += l_read_name - 1;
+    h->pos += l_read_name;
+    const uint8_t* cig = h->buf.data() + h->pos;
+    ref_id[n] = rid;
+    pos[n] = rpos;
+    flag[n] = fl;
+    iv_off[n] = ivb;
+    iv_n[n] = 0;
+    bool skip_walk = (fl & (4 | 256 | 2048)) != 0 || n_cigar == 0;
+    if (!skip_walk) {
+      // qstart/qlen/qend bookkeeping (core/cigar.py:50-56).
+      int64_t qlen = 0;
+      for (uint16_t i = 0; i < n_cigar; ++i) {
+        uint32_t v;
+        memcpy(&v, cig + 4ull * i, 4);
+        uint32_t op = v & 0xF, c = v >> 4;
+        if (op == 1 || op == 4 || op == 0 || op == 7 || op == 8) qlen += c;
+      }
+      if (qlen != l_seq) return -3;
+      uint32_t v0, vlast;
+      memcpy(&v0, cig, 4);
+      memcpy(&vlast, cig + 4ull * (n_cigar - 1), 4);
+      int64_t qstart = ((v0 & 0xF) == 4) ? (v0 >> 4) : 0;
+      int64_t qend = qlen - (((vlast & 0xF) == 4) ? (int64_t)(vlast >> 4) : 0);
+      if (qend <= qstart) return -3;  // the reference asserts this too
+      int64_t q_lo = qstart, q_hi = qstart;
+      int64_t t_lo = rpos, t_hi = rpos;
+      int64_t cig_start = cb;
+      long long first_iv = ivb;
+      auto close_interval = [&]() {
+        if (t_lo != t_hi && q_lo != q_hi) {
+          iv_ts[ivb] = t_lo;
+          iv_te[ivb] = t_hi;
+          iv_qs[ivb] = q_lo;
+          iv_qe[ivb] = q_hi;
+          cig_off[ivb] = cig_start;
+          cig_len[ivb] = (int32_t)(cb - cig_start);
+          ++ivb;
+        } else {
+          cb = cig_start;  // drop the rendered ops of an empty interval
+        }
+        cig_start = cb;
+      };
+      for (uint16_t i = 0; i < n_cigar; ++i) {
+        uint32_t v;
+        memcpy(&v, cig + 4ull * i, 4);
+        uint32_t op = v & 0xF;
+        uint32_t c = v >> 4;
+        if (op == 2 && (int)c > max_del_size) op = 3;  // D -> N rewrite
+        if (op == 1 || op == 2 || op == 0 || op == 7 || op == 8) {
+          cb += snprintf(cig_buf + cb, 13, "%u%c", c, OPS[op]);
+        }
+        if (op == 2) {
+          t_hi += c;
+        } else if (op == 1) {
+          q_hi += c;
+        } else if (op == 0 || op == 7 || op == 8) {
+          t_hi += c;
+          q_hi += c;
+        }
+        if (op == 3) {
+          close_interval();
+          t_hi += c;
+          t_lo = t_hi;
+          q_lo = q_hi;
+        }
+      }
+      if (t_lo < t_hi) close_interval();
+      iv_n[n] = (int32_t)(ivb - first_iv);
+    }
+    h->pos = rec_end;  // skip seq + qual + tags
+    ++n;
+  }
+  return n;
+}
+
 void bamdec_close(void* hp) {
   Handle* h = (Handle*)hp;
   if (h->f) fclose(h->f);
