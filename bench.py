@@ -1,239 +1,256 @@
 #!/usr/bin/env python3
-"""Headline benchmark: segmentation-DP throughput on one chip.
+"""Headline benchmark: the PRODUCTION segment stage (parse -> phase A ->
+batched device DP -> batched device polyA -> TSVs) on a simulated noisy
+dataset, timed against the reference's own freddie_segment.py executed on
+this host (same data, 4 worker processes, via tests/pysam_shim).
 
-Workload: a batch of padded segmentation problems shaped like the
-reference's caps (P=64 candidate breakpoints ~ max_problem_size=50 plus
-anchor slack, R=512 read-reps per locus; py/freddie_segment.py:92-96,
-py/freddie_split.py:357). The batched XLA kernel solves all problems in a
-single device launch; the baseline is the reference's own algorithm -- a
-memoized Python recursion over (i,j,k) with numpy pair tensors
-(py/freddie_segment.py:475-568) -- timed on this host and extrapolated to
-the same batch. "reads" = read-reps processed through the DP (B*R).
+Also measured and reported as extra fields: split-stage ingest, the
+cluster stage (exact solver), and the raw segmentation-DP kernel
+microbenchmark with its useful-FLOPs roofline (the matmul FLOPs of the
+(P,R)x(R,P) pair contractions).
 
-Prints exactly one JSON line:
-  {"metric": "segdp_reads_per_s", "value": N, "unit": "read-reps/s",
-   "vs_baseline": speedup_vs_reference_python}
+Prints exactly ONE JSON line on stdout:
+  {"metric": "segment_stage_reads_per_s", "value": N, "unit": "reads/s",
+   "vs_baseline": ours_vs_reference_wallclock, ...extra fields...}
+
+Stage structure: everything that needs the TPU runs in a child process
+(the chip is single-claim through the axon tunnel and a stuck remote
+compile can then be abandoned); the parent generates data, runs the
+reference baseline (subprocess, CPU), the split stage and the cluster
+stage, then assembles the JSON.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import numpy as np
+REPO = os.path.dirname(os.path.abspath(__file__))
 
-B, P, R = 2048, 64, 512
-BASELINE_PROBLEMS = 2
+# Noisy dataset shaped like the parity suite's "noisy" config, scaled up:
+# ~26k reads over 96 loci. Big enough that stage wall-clock dominates
+# launch overhead; small enough that the reference finishes in ~30 s.
+SIM = dict(
+    seed=9001, n_genes=96, isoforms_per_gene=3, reads_per_isoform=90,
+    minus_strand_genes=True, truncate_prob=0.2, tail_prob=0.8,
+    end_jitter=25, indel_rate=0.1, alt_splice=True, junction_jitter=6,
+    big_del_rate=0.06,
+)
+
+# Kernel microbench shape (reference caps: P ~ max_problem_size=50 padded,
+# R = read-reps per locus; py/freddie_segment.py:92-96).
+KB, KP, KR = 2048, 64, 512
+
+if os.environ.get("FREDDIE_BENCH_SMALL"):  # structure smoke-test mode
+    SIM.update(n_genes=6, reads_per_isoform=20)
+    KB, KP, KR = 16, 16, 128
 
 
-def example_batch(seed=0):
-    from freddie_tpu.ops.thresholds import ScaledThresholds
+def build_dataset(workdir: str):
+    sys.path.insert(0, REPO)
+    from freddie_tpu.utils.sim import simulate
 
-    rng = np.random.default_rng(seed)
-    thr = ScaledThresholds(0.9)
-    inc = rng.integers(0, 12, size=(B, P, R))
-    inc[rng.random(size=(B, P, R)) < 0.5] = 0
-    C = np.cumsum(inc, axis=1).astype(np.int32)
-    y = np.sort(rng.integers(1, 20_000, size=(B, P)).astype(np.int32), axis=1)
-    y[:, 0] = 0
-    W = np.ones((B, R), dtype=np.float32)
-    n_cand = np.full((B,), P, dtype=np.int32)
-    return C, y, W, n_cand, thr
+    sim = simulate(**SIM)
+    bam = os.path.join(workdir, "bench.bam")
+    fq = os.path.join(workdir, "bench.fastq")
+    sim.write_bam(bam)
+    sim.write_fastq(fq)
+    return bam, fq, len(sim.reads)
 
 
-def device_batch(seed=0):
-    """The bench batch generated ON the device (host->device transfer of a
-    ~270 MB batch dominates wall time through this environment's tunnel).
-    Content is deterministic but need not match example_batch -- the bench
-    measures throughput, and the baseline extrapolates from rows pulled
-    back from this same batch."""
+def run_split_stage(bam, fq, workdir):
+    from freddie_tpu.config import SplitConfig
+    from freddie_tpu.stages.split import run_split
+
+    split_dir = os.path.join(workdir, "split")
+    t0 = time.perf_counter()
+    counts = run_split(bam, [fq], split_dir, SplitConfig(threads=2))
+    return split_dir, sum(counts.values()), time.perf_counter() - t0
+
+
+def run_reference_segment(split_dir, workdir):
+    """The reference's own segment stage on the same split dir (4 procs)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}/tests/pysam_shim:{REPO}:" + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    out = os.path.join(workdir, "ref_segment")
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, "/root/reference/py/freddie_segment.py",
+         "-s", split_dir, "-o", out, "-t", "4"],
+        capture_output=True, text=True, env=env,
+        timeout=float(os.environ.get("FREDDIE_BENCH_REF_TIMEOUT_S", "1200")),
+    )
+    dt = time.perf_counter() - t0
+    if proc.returncode != 0:
+        return None, None
+    return out, dt
+
+
+def tpu_child(split_dir, workdir):
+    """Run in the child: production segment stage + kernel microbench."""
+    import numpy as np
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
-    key = jax.random.PRNGKey(seed)
+    from freddie_tpu.config import SegmentConfig
+    from freddie_tpu.stages.segment import run_segment
+
+    out = os.path.join(workdir, "segment")
+    t0 = time.perf_counter()
+    n_tints = run_segment(split_dir, out, SegmentConfig(threads=4))
+    seg_dt = time.perf_counter() - t0
+
+    # Kernel microbench: batch generated on-device (host->device transfer
+    # of a ~270 MB batch would dominate through the tunnel).
+    from freddie_tpu.ops.segdp_pallas import solve_batch_pallas
+    from freddie_tpu.ops.segdp import _solve_batch_jax
+    from freddie_tpu.ops.thresholds import ScaledThresholds
+
+    thr = ScaledThresholds(0.9)
+    key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
 
     @jax.jit
     def gen():
-        inc = jax.random.randint(k1, (B, P, R), 0, 12, dtype=jnp.int32)
-        inc = jnp.where(jax.random.uniform(k2, (B, P, R)) < 0.5, 0, inc)
+        inc = jax.random.randint(k1, (KB, KP, KR), 0, 12, dtype=jnp.int32)
+        inc = jnp.where(jax.random.uniform(k2, (KB, KP, KR)) < 0.5, 0, inc)
         C = jnp.cumsum(inc, axis=1).astype(jnp.int32)
-        y = jnp.sort(
-            jax.random.randint(k3, (B, P), 1, 20_000, dtype=jnp.int32), axis=1
-        )
+        y = jnp.sort(jax.random.randint(k3, (KB, KP), 1, 20_000, dtype=jnp.int32), axis=1)
         y = y.at[:, 0].set(0)
-        W = jnp.ones((B, R), jnp.float32)
-        n_cand = jnp.full((B,), P, jnp.int32)
-        return C, y, W, n_cand
+        return C, y, jnp.ones((KB, KR), jnp.float32), jnp.full((KB,), KP, jnp.int32)
 
-    return gen()
-
-
-def reference_python_dp(C, y, W, thr, read_support=3):
-    """The reference's algorithm shape: float pair tensors + dict-memoized
-    recursion (structured like py/freddie_segment.py:475-568)."""
-    start, end = 0, len(y) - 1
-    table = [v / thr.scale for v in thr.table_scaled.tolist()]
-    rate = thr.rate
-
-    def high(L):
-        return table[L] if L < len(table) else rate
-
-    yea, nay, amb = {}, {}, {}
-    for i in range(start, end):
-        for j in range(i, end + 1):
-            L = int(y[j] - y[i] + 1)
-            h = high(L)
-            c = (C[j] - C[i]) / L
-            yea[i, j] = c > h
-            nay[i, j] = c < 1 - h
-            amb[i, j] = W * np.logical_not(yea[i, j] | nay[i, j])
-    in_mem, out_mem, D, Bk = {}, {}, {}, {}
-
-    def inside(i, j):
-        if (i, j) not in in_mem:
-            in_mem[i, j] = 0 if i == j else -amb[i, j].sum()
-        return in_mem[i, j]
-
-    def outside(i, j, k):
-        if (i, j, k) not in out_mem:
-            if i == j or j == k:
-                out_mem[i, j, k] = 0
-            else:
-                v = (W * ((yea[i, j] & nay[j, k]) | (nay[i, j] & yea[j, k]))).sum()
-                out_mem[i, j, k] = float("-inf") if v < read_support else v
-        return out_mem[i, j, k]
-
-    import sys as _sys
-
-    _sys.setrecursionlimit(10_000_000)
-
-    def dp(i, j, k):
-        if (i, j, k) in D:
-            return D[i, j, k]
-        if y[j] - y[i] < 5 or y[k] - y[j] < 5:
-            D[i, j, k], Bk[i, j, k] = float("-inf"), (-1, -1, -1)
-        elif k == end:
-            D[i, j, k] = inside(i, j) + outside(i, j, k) + inside(j, k)
-            Bk[i, j, k] = (-1, -1, -1)
-        else:
-            bd, bb = float("-inf"), (-1, -1, -1)
-            for k2 in range(k + 1, end + 1):
-                d = inside(i, j) + outside(i, j, k) + dp(j, k, k2)
-                if d > bd:
-                    bd, bb = d, (j, k, k2)
-            D[i, j, k], Bk[i, j, k] = bd, bb
-        return D[i, j, k]
-
-    best = inside(start, end)
-    for j in range(start + 1, end):
-        for k in range(j + 1, end + 1):
-            if dp(start, j, k) > best:
-                best = dp(start, j, k)
-    return best
-
-
-def measure(kernel: str) -> None:
-    """Measure with the given kernel ('pallas' | 'xla') and print the
-    JSON line. Initializes the backend (claims the chip)."""
-    import os
-
-    import jax
-
-    # Persistent compile cache so repeated bench runs skip recompilation
-    # (the remote-compile path of this environment is slow per shape).
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
-
-    from freddie_tpu.ops.thresholds import ScaledThresholds
-
-    thr = ScaledThresholds(0.9)
-    if kernel == "pallas" and jax.default_backend() != "tpu":
-        kernel = "xla"  # the Pallas kernel is TPU-only
-    C, y, W, n_cand = device_batch()
-    lookup = np.asarray(thr.lookup)
-    if kernel == "pallas":
-        from freddie_tpu.ops.segdp_pallas import solve_batch_pallas as _impl
+    C, y, W, n_cand = gen()
+    lookup = jax.device_put(np.asarray(thr.lookup))
+    on_tpu = jax.default_backend() == "tpu"
+    impl = solve_batch_pallas if on_tpu else _solve_batch_jax
+    if on_tpu:
+        fn = jax.jit(lambda C_, y_, W_, n_, l_: impl(
+            C_, y_, W_, n_, 3, l_, thr.scale, wide_weights=False))
     else:
-        from freddie_tpu.ops.segdp import _solve_batch_jax as _impl
-
-    fn = jax.jit(lambda C, y, W, n, l: _impl(C, y, W, n, 3, l, thr.scale))
-    args = [C, y, W, n_cand, jax.device_put(lookup)]
-    # Warmup/compile.
-    _ = np.asarray(fn(*args)[1])
+        fn = jax.jit(lambda C_, y_, W_, n_, l_: impl(
+            C_, y_, W_, n_, 3, l_, thr.scale))
+    _ = np.asarray(fn(C, y, W, n_cand, lookup)[1])  # warmup/compile
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        K, bj, bk = fn(*args)
-        _ = np.asarray(bj)  # D2H readback forces completion
+        _K, bj, _bk = fn(C, y, W, n_cand, lookup)
+        _ = np.asarray(bj)  # readback forces completion on this platform
         times.append(time.perf_counter() - t0)
-    dt = min(times)
-    reads_per_s = B * R / dt
+    kdt = min(times)
+    useful_flops = 4 * KP**3 * KR * KB  # the (P,R)x(R,P) pair contractions
 
-    # Reference-style Python baseline on a few problems, extrapolated
-    # (rows pulled back from the device batch).
-    C_h = np.asarray(C[:BASELINE_PROBLEMS]).astype(np.int64)
-    y_h = np.asarray(y[:BASELINE_PROBLEMS]).astype(np.int64)
-    W_h = np.asarray(W[:BASELINE_PROBLEMS]).astype(np.float64)
+    print(json.dumps(dict(
+        segment_s=round(seg_dt, 2),
+        segment_tints=n_tints,
+        kernel_reads_per_s=round(KB * KR / kdt),
+        kernel_tflops=round(useful_flops / kdt / 1e12, 2),
+        kernel_ms=round(kdt * 1000, 1),
+        backend=jax.default_backend(),
+    )))
+
+
+def run_cluster_stage(workdir):
+    from freddie_tpu.config import ClusterConfig
+    from freddie_tpu.stages.cluster import run_cluster
+
+    seg_dir = os.path.join(workdir, "segment")
+    out = os.path.join(workdir, "cluster")
     t0 = time.perf_counter()
-    for b in range(BASELINE_PROBLEMS):
-        reference_python_dp(C_h[b], y_h[b], W_h[b], thr)
-    base_dt = (time.perf_counter() - t0) / BASELINE_PROBLEMS * B
-    vs_baseline = base_dt / dt
+    n = run_cluster(seg_dir, out, ClusterConfig(threads=4))
+    return n, time.perf_counter() - t0
 
-    print(
-        json.dumps(
-            dict(
-                metric="segdp_reads_per_s",
-                value=round(reads_per_s),
-                unit="read-reps/s",
-                vs_baseline=round(vs_baseline, 1),
-            )
+
+def segments_identical(a_dir, b_dir) -> bool:
+    import filecmp
+    import glob
+
+    a_files = sorted(glob.glob(os.path.join(a_dir, "**", "segment_*.tsv"), recursive=True))
+    b_files = sorted(glob.glob(os.path.join(b_dir, "**", "segment_*.tsv"), recursive=True))
+    if [os.path.basename(f) for f in a_files] != [os.path.basename(f) for f in b_files]:
+        return False
+    return all(filecmp.cmp(a, b, shallow=False) for a, b in zip(a_files, b_files))
+
+
+def main():
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="freddie_bench_")
+    bam, fq, n_reads = build_dataset(workdir)
+    split_dir, n_tints, split_dt = run_split_stage(bam, fq, workdir)
+
+    ref_dir, ref_dt = run_reference_segment(split_dir, workdir)
+
+    # TPU work in a child (single-claim chip; abandonable on a hung
+    # remote compile). Falls back to in-process CPU/XLA measurement.
+    child_env = dict(os.environ)
+    try:
+        child = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--tpu-child",
+             split_dir, workdir],
+            capture_output=True, text=True, env=child_env,
+            timeout=float(os.environ.get("FREDDIE_BENCH_PROBE_S", "2400")),
         )
+    except subprocess.TimeoutExpired:
+        child = None
+    stats = None
+    if child is not None and child.returncode == 0:
+        for line in child.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                stats = json.loads(line)
+    if stats is None:
+        sys.stderr.write("[bench] TPU child failed; measuring in-process\n")
+        if child is not None:
+            sys.stderr.write(child.stderr[-2000:] + "\n")
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            tpu_child(split_dir, workdir)
+        stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    n_cluster, cluster_dt = run_cluster_stage(workdir)
+
+    seg_dt = stats["segment_s"]
+    parity = segments_identical(ref_dir, os.path.join(workdir, "segment")) if ref_dir else None
+    result = dict(
+        metric="segment_stage_reads_per_s",
+        value=round(n_reads / seg_dt),
+        unit="reads/s",
+        vs_baseline=round(ref_dt / seg_dt, 1) if ref_dt else None,
+        reads=n_reads,
+        loci=n_tints,
+        segment_s=seg_dt,
+        reference_segment_s=round(ref_dt, 2) if ref_dt else None,
+        segment_matches_reference=parity,
+        split_reads_per_s=round(n_reads / split_dt),
+        cluster_loci_per_s=round(n_cluster / cluster_dt, 2),
+        cluster_s=round(cluster_dt, 2),
+        kernel_reads_per_s=stats["kernel_reads_per_s"],
+        kernel_tflops=stats["kernel_tflops"],
+        backend=stats["backend"],
     )
+    print(json.dumps(result))
     print(
-        f"[bench] batch B={B} P={P} R={R}; device launch {dt*1000:.1f} ms; "
-        f"reference-python extrapolated {base_dt:.1f} s for the same batch "
-        f"(measured {BASELINE_PROBLEMS} problems); backend={jax.default_backend()}",
+        f"[bench] {n_reads} reads / {n_tints} loci; segment {seg_dt:.1f}s "
+        f"(reference {ref_dt and round(ref_dt, 1)}s, byte-identical={parity}); "
+        f"cluster {cluster_dt:.1f}s; kernel {stats['kernel_ms']} ms "
+        f"({stats['kernel_tflops']} TFLOP/s useful) on {stats['backend']}",
         file=sys.stderr,
     )
 
 
-def main():
-    """Try the full Pallas measurement in a disposable child (a stuck
-    remote compile can then be abandoned without hanging the bench); fall
-    back to the XLA kernel in-process. The child must own the chip, so the
-    parent does NOT initialize a backend before the child exits."""
-    import os
-    import subprocess
-
-    kernel = os.environ.get("FREDDIE_BENCH_KERNEL")
-    if kernel is not None:
-        measure(kernel)
-        return
-    try:
-        child = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--kernel", "pallas"],
-            capture_output=True,
-            text=True,
-            timeout=float(os.environ.get("FREDDIE_BENCH_PROBE_S", "1500")),
-        )
-    except subprocess.TimeoutExpired:
-        child = None
-    if child is not None and child.returncode == 0 and child.stdout.strip():
-        sys.stdout.write(child.stdout)
-        sys.stderr.write(child.stderr)
-        return
-    measure("xla")
-
-
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--kernel":
-        measure(sys.argv[2])
+    if len(sys.argv) >= 4 and sys.argv[1] == "--tpu-child":
+        sys.path.insert(0, REPO)
+        tpu_child(sys.argv[2], sys.argv[3])
     else:
         main()

@@ -130,12 +130,13 @@ _L_BUCKETS = (64, 256, 1024, MAX_WINDOW)
 
 
 def _pad_rows(b: int) -> int:
-    """Round the batch dim to a power of two (>= 8) so the compiled shape
-    set stays small across calls."""
-    p = 8
-    while p < b:
-        p <<= 1
-    return p
+    """Round the batch dim to a coarse bucket so the compiled shape set
+    stays tiny across calls (remote compiles cost minutes per shape; the
+    scan itself is cheap, so padding waste is the right trade)."""
+    for p in (1024, 8192, 65536):
+        if b <= p:
+            return p
+    return ((b + 65535) // 65536) * 65536
 
 
 def best_poly_batch(windows: list[str], chars: list[str]):

@@ -202,12 +202,19 @@ def _solve_batch_jax(C, y, W, n_cand, read_support, lookup, scale):
         #   sum_r yeaW(j,k,r)*nay(k,k_,r) + nayW(j,k,r)*yea(k,k_,r)
         yeaW_to = yea_to.astype(jnp.float32) * W[:, None, :]
         nayW_to = nay_to.astype(jnp.float32) * W[:, None, :]
+        # HIGHEST precision: the TPU default lowers f32 dots to one bf16
+        # pass, which would round weights above 256 (CPU is exact either
+        # way). This path is the fallback/sharded kernel, so exactness
+        # beats the extra passes; the Pallas kernel instead stays fast AND
+        # exact via its 7-bit weight split.
         out_k = jnp.einsum(
             "bjr,bkr->bjk", yeaW_to, nay_from.astype(jnp.float32),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ) + jnp.einsum(
             "bjr,bkr->bjk", nayW_to, yea_from.astype(jnp.float32),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return None, (in_col, out_k)
 
@@ -309,7 +316,8 @@ def _get_jitted_pallas():
         from .segdp_pallas import solve_batch_pallas
 
         _jitted_cache["pallas"] = jax.jit(
-            solve_batch_pallas, static_argnames=("read_support", "scale")
+            solve_batch_pallas,
+            static_argnames=("read_support", "scale", "wide_weights"),
         )
     return _jitted_cache["pallas"]
 
@@ -386,10 +394,13 @@ def solve_batch_device(
         return [r for r in results]  # type: ignore
 
     n_local = jax.local_device_count()
-    if n_local > 1 and not use_pallas:
+    if n_local > 1:
         # Multi-device host: shard the batch over a 1-D loci mesh so one
-        # process drives every attached chip. Pad B to a mesh multiple by
-        # replicating the last problem (its outputs are discarded).
+        # process drives every attached chip (this outranks the Pallas
+        # kernel -- N chips at XLA-kernel speed beat one chip at Pallas
+        # speed; shard_map-wrapping the Pallas kernel is future work).
+        # Pad B to a mesh multiple by replicating the last problem (its
+        # outputs are discarded).
         from ..parallel.mesh import loci_mesh, solve_batch_sharded
 
         mesh = loci_mesh(local=True)
@@ -414,6 +425,9 @@ def solve_batch_device(
             read_support=next(iter(rs)),
             lookup=jnp.asarray(thr.lookup),
             scale=thr.scale,
+            # Skip the high-weight-bits matmuls when every rep weight fits
+            # 7 bits (the common case); both variants are exact.
+            wide_weights=bool(W.max(initial=0.0) > 127),
         )
     else:
         fn = _get_jitted()

@@ -34,7 +34,7 @@ import functools
 def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
             K_ref,
             O_ref, IN_ref, IN2_ref, H_ref, SM_ref,
-            *, P, R, scale, read_support):
+            *, P, R, scale, read_support, wide_weights, unroll1=False, unroll2=False, phases=3):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -51,6 +51,16 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
 
     w_sum = jnp.sum(W)
     gate = jnp.float32(read_support)
+    # The MXU's default f32 lowering rounds operands to bf16 (one pass);
+    # weights above 256 would lose bits. Splitting the integer weights
+    # into a 7-bit low part and a high part keeps every operand exactly
+    # representable in bf16 (products and f32 accumulation then exact for
+    # any weight <= 16383) while staying on the fast single-pass path;
+    # when all weights fit 7 bits (the common case, checked by the
+    # dispatcher) the high-part matmuls are compiled out entirely.
+    W_int = W.astype(jnp.int32)
+    W_lo = (W_int & 127).astype(jnp.float32)  # (1, R)
+    W_hi = (W_int >> 7).astype(jnp.float32)
 
     # ---- phase 1: outside slices O[k][j, k_] = outside(j, k, k_) and
     # inside rows IN[k, p] = inside(p, k).
@@ -66,30 +76,42 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
         # slicing).
         thi_col = jnp.transpose(ThiT_ref[0, pl.ds(k, 1), :])  # (P, 1)
         tlo_col = jnp.transpose(TloT_ref[0, pl.ds(k, 1), :])
-        zero = jnp.float32(0.0)
-        one = jnp.float32(1.0)
-        yeaW = jnp.where(d_to > thi_col, W, zero)  # (P, R)
-        nayW = jnp.where(d_to < tlo_col, W, zero)
+        yea_to = d_to > thi_col  # (P, R) bool
+        nay_to = d_to < tlo_col
         thi_row = jnp.transpose(Thi_ref[0, pl.ds(k, 1), :])  # (P, 1): (k, p)
         tlo_row = jnp.transpose(Tlo_ref[0, pl.ds(k, 1), :])
         d_from = -d_to
+        zero = jnp.float32(0.0)
+        one = jnp.float32(1.0)
         yea_from = jnp.where(d_from > thi_row, one, zero)
         nay_from = jnp.where(d_from < tlo_row, one, zero)
-        out_k = jax.lax.dot_general(
-            yeaW, nay_from, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            nayW, yea_from, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (P, P): [j, k_]
+
+        def dot(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        yw_lo = jnp.where(yea_to, W_lo, zero)  # (P, R)
+        nw_lo = jnp.where(nay_to, W_lo, zero)
+        out_k = dot(yw_lo, nay_from) + dot(nw_lo, yea_from)  # (P, P): [j, k_]
+        sum_yw = jnp.sum(yw_lo, axis=1, keepdims=True)
+        sum_nw = jnp.sum(nw_lo, axis=1, keepdims=True)
+        if wide_weights:
+            yw_hi = jnp.where(yea_to, W_hi, zero)
+            nw_hi = jnp.where(nay_to, W_hi, zero)
+            out_k = out_k + 128.0 * (dot(yw_hi, nay_from) + dot(nw_hi, yea_from))
+            sum_yw = sum_yw + 128.0 * jnp.sum(yw_hi, axis=1, keepdims=True)
+            sum_nw = sum_nw + 128.0 * jnp.sum(nw_hi, axis=1, keepdims=True)
+        in_col = -(w_sum - sum_yw - sum_nw)
         O_ref[pl.ds(k, 1)] = jnp.where(out_k < gate, neg, out_k)[None]
-        IN_ref[pl.ds(k, 1), :] = jnp.transpose(
-            -(w_sum - jnp.sum(yeaW, axis=1, keepdims=True)
-              - jnp.sum(nayW, axis=1, keepdims=True))
-        )
+        IN_ref[pl.ds(k, 1), :] = jnp.transpose(in_col)
         return 0
 
-    jax.lax.fori_loop(0, P, phase1, 0, unroll=False)
+    jax.lax.fori_loop(0, P, phase1, 0, unroll=(P if unroll1 else False))
+    if phases < 2:
+        K_ref[0] = jnp.full((P, P), -1, dtype=jnp.int32)
+        return
 
     # IN2[p, k] = inside(p, k) (transposed copy for sublane-dim reads).
     IN2_ref[...] = jnp.transpose(IN_ref[...])
@@ -139,7 +161,9 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
         K_ref[0, pl.ds(j, 1), :] = jnp.where(valid_k, row_arg, -1)
         return 0
 
-    jax.lax.fori_loop(0, P - 1, phase2, 0, unroll=False)
+    jax.lax.fori_loop(0, P - 1, phase2, 0, unroll=(P - 1 if unroll2 else False))
+    if phases < 3:
+        return
 
     # ---- phase 3: D0[j, k] = inside(0, j) + outside(0, j, k) + H[j, k].
     # outside(0, j, k) = O[j][0, k] -> plane [j, k] = O[:, 0, :].
@@ -177,9 +201,17 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
 
 
 def solve_batch_pallas(C, y, W, n_cand, read_support, lookup, scale,
-                       interpret=False):
+                       interpret=False, wide_weights=True,
+                       unroll1=False, unroll2=False, phases=3):
     """Same contract as ops.segdp._solve_batch_jax: returns (K, best_j,
-    best_k). C:(B,P,R) i32, y:(B,P) i32, W:(B,R) f32, n_cand:(B,) i32."""
+    best_k). C:(B,P,R) i32, y:(B,P) i32, W:(B,R) f32, n_cand:(B,) i32.
+
+    The pair contractions split the integer weights into 7-bit low and
+    high parts so the MXU's fast single-pass bf16 lowering stays EXACT
+    for any weight <= 16383 (unsplit f32 operands above 256 would lose
+    mantissa bits in that lowering). wide_weights=False skips the
+    high-part matmuls -- valid only when every weight <= 127
+    (solve_batch_device checks and passes this)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -197,7 +229,9 @@ def solve_batch_pallas(C, y, W, n_cand, read_support, lookup, scale,
     T_lo = ((scale - h) * seg_len + eq).astype(jnp.int32)
 
     kernel = functools.partial(
-        _kernel, P=P, R=R, scale=scale, read_support=read_support
+        _kernel, P=P, R=R, scale=scale, read_support=read_support,
+        wide_weights=wide_weights, unroll1=unroll1, unroll2=unroll2,
+        phases=phases,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -281,9 +281,13 @@ def build_instance(
     )
 
 
-def cluster_tint(tint: SegTint, cfg: ClusterConfig) -> tuple[list[dict], list[int]]:
+def cluster_tint(
+    tint: SegTint, cfg: ClusterConfig, instance_hook=None
+) -> tuple[list[dict], list[int]]:
     """Full per-tint clustering; returns (isoforms, garbage_rep_ids) and
-    fills read.partition / poly_tail_category."""
+    fills read.partition / poly_tail_category. instance_hook(inst) is
+    called for every solver instance (used by the optimum-uniqueness
+    audit, tools/audit_tiebreak.py)."""
     import time as _time
 
     from ..utils.metrics import SolverLog
@@ -306,6 +310,8 @@ def cluster_tint(tint: SegTint, cfg: ClusterConfig) -> tuple[list[dict], list[in
                 break
             informative = informative_segs(tint, ilp, remaining)
             inst = build_instance(tint, ilp, remaining, incomp, informative, cfg)
+            if instance_hook is not None:
+                instance_hook(inst)
             slog.dump_instance(p_idx, _round, inst)
             t0 = _time.perf_counter()
             res = _solve(inst, deadline_s=cfg.timeout * 60.0)

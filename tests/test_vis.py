@@ -106,3 +106,32 @@ def test_segment_vis_cli(full_run, tmp_path):
     ])
     segs, transcripts, reads = pickle.load(open(pkl, "rb"))
     assert sim.contig in segs and len(reads[sim.contig]) > 0
+
+
+def test_plot_truth_tids_and_tails(full_run):
+    """Reads carry their simulation-truth transcript id and parsed polyA
+    tail info through load_tints (the reference's truth-coloring workflow,
+    py/freddie_plot.py:359-376)."""
+    sim, out, gtf = full_run
+    from freddie_tpu.stages.plot import load_tints, truth_tid
+
+    tints = load_tints(
+        os.path.join(out, "cluster", sim.contig, f"cluster_{sim.contig}_0.tsv"),
+        os.path.join(out, "segment", sim.contig, f"segment_{sim.contig}_0.tsv"),
+    )
+    true_tids = {t.name for t in sim.transcripts}
+    seen_tids = set()
+    n_tails = 0
+    for tint in tints.values():
+        for part in tint["partitions"].values():
+            for iso in part["isoforms"].values():
+                for read in iso["reads"]:
+                    assert read["tid"] == truth_tid(read["name"])
+                    assert read["tid"] in true_tids
+                    seen_tids.add(read["tid"])
+                    assert len(read["gaps"]) == len(read["data"])
+                    t = read["tail"]
+                    if t["s_len"] or t["e_len"]:
+                        n_tails += 1
+    assert len(seen_tids) >= 2  # both isoforms' truth ids distinguished
+    assert n_tails > 0  # simulated polyA tails made it into the panels
