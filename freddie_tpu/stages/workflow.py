@@ -13,8 +13,13 @@ Config schema (YAML):
     outpath: out/
     samples:
       S1:
-        bam: path/to/S1.sorted.bam
+        bam: path/to/S1.sorted.bam      # either a pre-aligned BAM ...
         reads: [path/to/S1.fastq]
+      S2:
+        genome: path/to/genome.fa       # ... or a genome: the workflow
+        reads: [path/to/S2.fastq]       # runs minimap2 -a -x splice and
+                                        # sorts with the own BAM codec
+                                        # (io/align.py; Snakefile:30-47)
     stages:            # optional per-stage parameter overrides
       segment: {sigma: 5.0}
       cluster: {timeout: 1.0}
@@ -77,8 +82,26 @@ def run_workflow(config: dict, resume: bool = True, log=print) -> dict:
     for sample, spec in config["samples"].items():
         sample_out = os.path.join(outpath, "results", sample)
         log(f"[workflow] sample {sample} -> {sample_out}")
+        bam = spec.get("bam")
+        if bam is None:
+            # Alignment step (the reference's minimap2 rule,
+            # Snakefile:30-47): a sample may give `genome` + `reads`
+            # instead of a pre-aligned `bam`. Resume-skipped when the
+            # sorted BAM already exists, like every other stage.
+            from ..io.align import align_reads
+
+            genome = spec.get("genome")
+            assert genome, f"sample {sample}: provide either 'bam' or 'genome'"
+            bam = os.path.join(sample_out, f"{sample}.sorted.bam")
+            if not (resume and os.path.exists(bam)):
+                os.makedirs(sample_out, exist_ok=True)
+                n = align_reads(
+                    genome, list(spec["reads"]), bam,
+                    threads=int(spec.get("threads", 4)),
+                )
+                log(f"[workflow] aligned {sample}: {n} records -> {bam}")
         stats = run_pipeline(
-            spec["bam"], list(spec["reads"]), sample_out, pcfg, resume=resume, log=log
+            bam, list(spec["reads"]), sample_out, pcfg, resume=resume, log=log
         )
         results[sample] = stats
     return results
