@@ -26,6 +26,13 @@ Neither twin materializes an (N, 2^Mi) table -- per-structure candidate
 sets are computed on demand -- so memory is O(N + 2^Mi) at any Mi.
 The returned optimum is canonical (documented in PARITY.md) and its
 objective always equals the read-DFS optimum -- both solve the same ILP.
+
+For MAX_SEGS < Mi <= WIDE_MAX_SEGS, `solve_segment_enum_wide` (the
+device-assisted escalation) evaluates the per-mask optimistic bound with
+an XLA kernel (TPU when attached, XLA-CPU otherwise -- identical exact
+values either way, so dispatch stays content-only), filters masks that
+could beat the incumbent, and replays the SAME canonical visit order on
+the survivors; see its docstring for the equivalence argument.
 """
 
 from __future__ import annotations
@@ -34,7 +41,9 @@ import numpy as np
 
 from .exact import ClusterInstance, SolveResult
 
-MAX_SEGS = 20  # both twins: 2^20 masks enumerated at most
+MAX_SEGS = 20  # full-enumeration twins: 2^20 masks at most
+WIDE_MAX_SEGS = 26  # device-assisted bound-filtered enumeration ceiling
+WIDE_CANDIDATE_CAP = 200_000  # filtered-mask budget for the wide path
 
 # popcount of every 16-bit value; popcount(u32 x) = _PC16[x&0xFFFF] + _PC16[x>>16]
 _PC16 = np.array(
@@ -62,110 +71,82 @@ def _popcount_u32(x: np.ndarray) -> np.ndarray:
     return _PC16[x & np.uint32(0xFFFF)] + _PC16[x >> np.uint32(16)]
 
 
-def _solve_segment_enum_py(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult | None:
-    """Pure-Python structure enumeration (the canonical definition)."""
-    import time
+class _PerStructure:
+    """Per-instance state + the per-structure optimal-assignment scan
+    shared by the full enumeration and the wide (bound-filtered) path.
+    Semantics and tie-breaks mirror native/segenum.cpp exactly."""
 
-    Mi = len(inst.seg_len)
-    N = len(inst.rows)
-    if Mi > MAX_SEGS:
-        return None
-    if N == 0:
-        return SolveResult("OPTIMAL", 0.0, [], None)
-    t_end = time.monotonic() + deadline_s
+    def __init__(self, inst: ClusterInstance):
+        Mi = len(inst.seg_len)
+        N = len(inst.rows)
+        self.Mi, self.N = Mi, N
+        bit = 1 << np.arange(max(Mi, 1), dtype=np.uint32)
+        self.I_int = np.array(
+            [int((np.asarray(r.exons, bool) * bit[:Mi]).sum()) for r in inst.rows],
+            dtype=np.uint32,
+        )
+        self.C_int = np.array(
+            [int((np.asarray(r.corr, bool) * bit[:Mi]).sum()) for r in inst.rows],
+            dtype=np.uint32,
+        )
+        self.g = np.array([r.garbage for r in inst.rows], dtype=np.float64)
+        self.g_total = float(self.g.sum())
+        self.sc, self.eps, self.off = inst.eps_scale, inst.eps_scaled, inst.offset
+        self.seg_len = inst.seg_len.astype(np.int64)
+        gap_read, gap_mask_l, gap_len_l = [], [], []
+        for i, r in enumerate(inst.rows):
+            for mask, l in r.gaps:
+                gap_read.append(i)
+                gap_mask_l.append(int((np.asarray(mask, bool) * bit[:Mi]).sum()))
+                gap_len_l.append(int(l))
+        self.gap_read = np.array(gap_read, dtype=np.int64)
+        self.gap_masks = np.array(gap_mask_l, dtype=np.uint32)
+        self.gap_lens = np.array(gap_len_l, dtype=np.int64)
+        self.n_gaps = len(gap_read)
+        self.conflict = np.zeros((N, N), dtype=bool)
+        for a, b in inst.incomp:
+            self.conflict[a, b] = True
+            self.conflict[b, a] = True
+        self.any_conflict = self.conflict.any()
 
-    n_masks = 1 << Mi
-    bit = 1 << np.arange(Mi, dtype=np.uint32)
-    I_int = np.array(
-        [int((np.asarray(r.exons, bool) * bit).sum()) for r in inst.rows],
-        dtype=np.uint32,
-    )
-    C_int = np.array(
-        [int((np.asarray(r.corr, bool) * bit).sum()) for r in inst.rows],
-        dtype=np.uint32,
-    )
-    g = np.array([r.garbage for r in inst.rows], dtype=np.float64)
-    g_total = float(g.sum())
-
-    # Flat per-gap arrays for on-demand feasibility at each E.
-    sc, eps, off = inst.eps_scale, inst.eps_scaled, inst.offset
-    seg_len = inst.seg_len.astype(np.int64)
-    gap_read: list[int] = []
-    gap_mask_l: list[int] = []
-    gap_len_l: list[int] = []
-    for i, r in enumerate(inst.rows):
-        for mask, l in r.gaps:
-            gap_read.append(i)
-            gap_mask_l.append(int((np.asarray(mask, bool) * bit).sum()))
-            gap_len_l.append(int(l))
-    gap_read_a = np.array(gap_read, dtype=np.int64)
-    gap_masks = np.array(gap_mask_l, dtype=np.uint32)
-    gap_lens = np.array(gap_len_l, dtype=np.int64)
-    n_gaps = len(gap_read)
-
-    # Optimistic cost per E: all positive-profit subset-compatible reads
-    # assigned, ignoring gap windows, conflicts and coverage -- a valid
-    # lower bound per structure (dropping the gap filter only loosens it).
-    # Computed blockwise so no (N, 2^Mi) table is ever resident.
-    optimistic = np.empty(n_masks, dtype=np.float64)
-    block = 1 << 12
-    for lo in range(0, n_masks, block):
-        E_blk = np.arange(lo, min(lo + block, n_masks), dtype=np.uint32)
-        subset_ok = (I_int[:, None] & ~E_blk[None, :]) == 0  # (N, B)
-        corr_pc = _popcount_u32(C_int[:, None] & E_blk[None, :])  # (N, B)
-        d = g[:, None] - corr_pc
+    def optimistic_block(self, E_blk: np.ndarray) -> np.ndarray:
+        """Lower bound per structure: all positive-profit subset-compatible
+        reads assigned, ignoring gap windows, conflicts and coverage
+        (dropping the gap filter only loosens it)."""
+        subset_ok = (self.I_int[:, None] & ~E_blk[None, :]) == 0
+        d = self.g[:, None] - _popcount_u32(self.C_int[:, None] & E_blk[None, :])
         pos_gain = np.where(subset_ok & (d > 0), d, 0.0).sum(axis=0)
-        optimistic[lo : lo + len(E_blk)] = g_total - pos_gain
+        return self.g_total - pos_gain
 
-    conflict_mat = np.zeros((N, N), dtype=bool)
-    for a, b2 in inst.incomp:
-        conflict_mat[a, b2] = True
-        conflict_mat[b2, a] = True
-    any_conflict = conflict_mat.any()
-
-    best_cost = g_total  # E = 0, S = empty
-    best_E = 0
-    best_S: list[int] = []
-
-    # Deterministic visit order: most promising first, ties by mask value.
-    E_all = np.arange(n_masks, dtype=np.uint32)
-    order = np.lexsort((E_all, optimistic))
-    timed_out = False
-
-    for E in order:
-        E = int(E)
-        if optimistic[E] >= best_cost:
-            # visit order is ascending in optimistic cost: no later E can
-            # strictly improve on the incumbent.
-            break
-        if time.monotonic() > t_end:
-            timed_out = True
-            break
-        # On-demand candidate set for this E (mirrors the C++ per-E scan).
-        ok = (I_int & ~np.uint32(E)) == 0  # subset-compatible
-        if n_gaps:
-            gm = gap_masks & np.uint32(E)
-            G = np.zeros(n_gaps, dtype=np.int64)
-            for b in range(Mi):
+    def best_for(self, E: int):
+        """(cost, sorted assigned read list) of the optimal conflict-free
+        covering assignment for structure E, or (None, None) when E is
+        uncoverable. Candidate order, free-assignment and DFS tie-breaks
+        are identical to the C++ core's per-E scan."""
+        ok = (self.I_int & ~np.uint32(E)) == 0  # subset-compatible
+        if self.n_gaps:
+            gm = self.gap_masks & np.uint32(E)
+            G = np.zeros(self.n_gaps, dtype=np.int64)
+            for b in range(self.Mi):
                 if (E >> b) & 1:
-                    G += ((gm >> np.uint32(b)) & 1).astype(np.int64) * seg_len[b]
-            gok = ((sc - eps) * G <= sc * (gap_lens + off)) & (
-                sc * (gap_lens - off) <= (sc + eps) * G
+                    G += ((gm >> np.uint32(b)) & 1).astype(np.int64) * self.seg_len[b]
+            gok = ((self.sc - self.eps) * G <= self.sc * (self.gap_lens + self.off)) & (
+                self.sc * (self.gap_lens - self.off) <= (self.sc + self.eps) * G
             )
             if not gok.all():
-                bad = np.bincount(gap_read_a[~gok], minlength=N) > 0
+                bad = np.bincount(self.gap_read[~gok], minlength=self.N) > 0
                 ok &= ~bad
         cand = np.flatnonzero(ok)
         if E and not len(cand):
-            continue
+            return None, None
         # coverage requirement: union of chosen I must equal E
-        d = g[cand] - _popcount_u32(C_int[cand] & np.uint32(E))
+        d = self.g[cand] - _popcount_u32(self.C_int[cand] & np.uint32(E))
         # order candidates by descending profit, then index (deterministic)
         perm = np.lexsort((cand, -d))
         sub_order = cand[perm]
         sub_delta_all = d[perm]
-        if any_conflict and len(sub_order):
-            conf_sub = conflict_mat[np.ix_(sub_order, sub_order)]
+        if self.any_conflict and len(sub_order):
+            conf_sub = self.conflict[np.ix_(sub_order, sub_order)]
             has_conf = conf_sub.any(axis=1)
         else:
             conf_sub = None
@@ -176,12 +157,12 @@ def _solve_segment_enum_py(inst: ClusterInstance, deadline_s: float = 60.0) -> S
         free = ~has_conf & (sub_delta_all >= 0)
         base_gain = float(sub_delta_all[free].sum())
         base_union = 0
-        for v in I_int[sub_order[free]]:
+        for v in self.I_int[sub_order[free]]:
             base_union |= int(v)
         rest = np.flatnonzero(~free)
         rest_order = sub_order[rest]
         sub_delta = sub_delta_all[rest].tolist()
-        sub_I = [int(v) for v in I_int[rest_order]]
+        sub_I = [int(v) for v in self.I_int[rest_order]]
         n_sub = len(rest_order)
         if conf_sub is not None and n_sub:
             conf_rest = conf_sub[np.ix_(rest, rest)]
@@ -225,17 +206,144 @@ def _solve_segment_enum_py(inst: ClusterInstance, deadline_s: float = 60.0) -> S
         # an empty-structure isoform (union stays 0 == E).
         rec(0, base_gain, base_union, set())
         if best_sub is None:
+            return None, None
+        assigned = sorted(
+            [int(rest_order[p]) for p in best_sub]
+            + [int(v) for v in sub_order[free]]
+        )
+        return self.g_total - best_gain, assigned
+
+
+def _replay(ctx: _PerStructure, order, optimistic, t_end) -> SolveResult:
+    """The canonical incumbent loop over structures in (ascending
+    optimistic, mask) order; shared by the full and wide paths."""
+    import time
+
+    best_cost = ctx.g_total  # E = 0, S = empty
+    best_E = 0
+    best_S: list[int] = []
+    timed_out = False
+    for E in order:
+        E = int(E)
+        opt = optimistic[E]
+        if opt >= best_cost:
+            # ascending visit order: no later E can strictly improve.
+            break
+        if time.monotonic() > t_end:
+            timed_out = True
+            break
+        cost, assigned = ctx.best_for(E)
+        if assigned is None:
             continue
-        cost = g_total - best_gain
         if cost < best_cost:
             best_cost = cost
             best_E = E
-            best_S = sorted(
-                [int(rest_order[p]) for p in best_sub]
-                + [int(v) for v in sub_order[free]]
-            )
-
+            best_S = assigned
     if timed_out:
         return SolveResult("TIMEOUT", best_cost, [], None, 0)
-    iso = np.array([(best_E >> b) & 1 for b in range(Mi)], dtype=bool)
+    iso = np.array([(best_E >> b) & 1 for b in range(ctx.Mi)], dtype=bool)
     return SolveResult("OPTIMAL", best_cost, best_S, iso, 0)
+
+
+def _solve_segment_enum_py(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult | None:
+    """Pure-Python structure enumeration (the canonical definition)."""
+    import time
+
+    Mi = len(inst.seg_len)
+    N = len(inst.rows)
+    if Mi > MAX_SEGS:
+        return None
+    if N == 0:
+        return SolveResult("OPTIMAL", 0.0, [], None)
+    t_end = time.monotonic() + deadline_s
+    ctx = _PerStructure(inst)
+    n_masks = 1 << Mi
+    optimistic = np.empty(n_masks, dtype=np.float64)
+    block = 1 << 12
+    for lo in range(0, n_masks, block):
+        E_blk = np.arange(lo, min(lo + block, n_masks), dtype=np.uint32)
+        optimistic[lo : lo + len(E_blk)] = ctx.optimistic_block(E_blk)
+    E_all = np.arange(n_masks, dtype=np.uint32)
+    order = np.lexsort((E_all, optimistic))
+    return _replay(ctx, order, optimistic, t_end)
+
+
+def _optimistic_device(inst: ClusterInstance, n_masks: int) -> np.ndarray:
+    """Per-mask optimistic bounds via one jitted XLA scan (device when a
+    TPU is attached, XLA-CPU otherwise). All quantities are exact in f32
+    (profits are multiples of 0.5 well under 2**23), so the values -- and
+    therefore the canonical order -- are identical to the numpy path."""
+    import jax
+    import jax.numpy as jnp
+
+    I_int = np.array(
+        [int(sum((1 << b) for b in range(len(inst.seg_len)) if r.exons[b]))
+         for r in inst.rows], dtype=np.uint32,
+    )
+    C_int = np.array(
+        [int(sum((1 << b) for b in range(len(inst.seg_len)) if r.corr[b]))
+         for r in inst.rows], dtype=np.uint32,
+    )
+    g = np.array([r.garbage for r in inst.rows], dtype=np.float32)
+    g_total = np.float32(g.sum())
+    BS = 1 << 16
+    n_blocks = (n_masks + BS - 1) // BS
+
+    def popcount32(x):
+        x = x - ((x >> 1) & jnp.uint32(0x55555555))
+        x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+        x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+        return ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+    @jax.jit
+    def scan_blocks(I, C, gv):
+        def body(carry, b):
+            E = (b * BS + jnp.arange(BS, dtype=jnp.uint32)).astype(jnp.uint32)
+            subset_ok = (I[:, None] & ~E[None, :]) == 0
+            d = gv[:, None] - popcount32(C[:, None] & E[None, :]).astype(jnp.float32)
+            pos = jnp.where(subset_ok & (d > 0), d, 0.0).sum(axis=0)
+            return carry, g_total - pos
+
+        _, out = jax.lax.scan(body, 0, jnp.arange(n_blocks, dtype=jnp.uint32))
+        return out.reshape(-1)
+
+    out = np.asarray(scan_blocks(jnp.asarray(I_int), jnp.asarray(C_int), jnp.asarray(g)))
+    return out[:n_masks].astype(np.float64)
+
+
+def solve_segment_enum_wide(
+    inst: ClusterInstance,
+    incumbent_cost: float,
+    deadline_s: float = 60.0,
+) -> SolveResult | None:
+    """Bound-filtered structure enumeration for MAX_SEGS < Mi <=
+    WIDE_MAX_SEGS; None when Mi is out of range or the filtered candidate
+    set exceeds WIDE_CANDIDATE_CAP (the caller then escalates).
+
+    Equivalence to full enumeration: every structure whose TRUE cost can
+    reach the global optimum c* satisfies optimistic(E) <= c* <=
+    incumbent_cost, so filtering to optimistic <= incumbent_cost keeps
+    every structure the canonical loop could select; structures above the
+    threshold have cost > c* and can neither become the answer nor change
+    which earlier structure first attains c*. Replaying the canonical
+    (ascending optimistic, mask) loop over the survivors with the
+    standard g_total incumbent start therefore returns exactly what full
+    enumeration would."""
+    import time
+
+    Mi = len(inst.seg_len)
+    N = len(inst.rows)
+    if not (MAX_SEGS < Mi <= WIDE_MAX_SEGS):
+        return None
+    if N == 0:
+        return SolveResult("OPTIMAL", 0.0, [], None)
+    t_end = time.monotonic() + deadline_s
+    ctx = _PerStructure(inst)
+    n_masks = 1 << Mi
+    optimistic = _optimistic_device(inst, n_masks)
+    passing = np.flatnonzero(optimistic <= incumbent_cost + 1e-9)
+    if len(passing) > WIDE_CANDIDATE_CAP:
+        return None
+    order = passing[np.lexsort((passing, optimistic[passing]))]
+    opt_map = {int(E): float(optimistic[E]) for E in passing}
+    return _replay(ctx, order, opt_map, t_end)

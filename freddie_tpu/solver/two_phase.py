@@ -51,12 +51,21 @@ def solve_two_phase(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveRes
     # explodes: many near-duplicate rows under dense incompatibilities).
     # Declines purely on instance content (Mi > MAX_SEGS), so the
     # escalation path is identical with or without the native toolchain.
-    from .segenum import solve_segment_enum
+    from .segenum import solve_segment_enum, solve_segment_enum_wide
 
     remaining = max(deadline_s - (time.monotonic() - t0), 1.0)
     enum_res = solve_segment_enum(inst, remaining)
     if enum_res is not None and enum_res.status == "OPTIMAL":
         return enum_res
+    # Escalation 1b: for Mi in (MAX_SEGS, WIDE_MAX_SEGS], the XLA-assisted
+    # bound-filtered enumeration (content-only gate; the kernel computes
+    # identical exact values on TPU or CPU). The phase-1 incumbent is a
+    # valid upper bound for the mask filter.
+    if enum_res is None:
+        remaining = max(deadline_s - (time.monotonic() - t0), 1.0)
+        wide_res = solve_segment_enum_wide(inst, res.objective, remaining)
+        if wide_res is not None and wide_res.status == "OPTIMAL":
+            return wide_res
     # Escalation 2: LP bound proof of the phase-1 incumbent.
     gran = _objective_granularity(inst)
     bound = lp_lower_bound(inst)
