@@ -44,11 +44,13 @@ def audit_instance(
     'nonunique' means at least two distinct (structure, assignment) pairs
     attain the optimal objective -- the regime where Gurobi's result
     could differ from ours with both being correct."""
+    from .segenum import WIDE_MAX_SEGS, _optimistic_device
+
     Mi = len(inst.seg_len)
     N = len(inst.rows)
     if N == 0:
         return "unique"
-    if Mi > MAX_SEGS:
+    if Mi > WIDE_MAX_SEGS:
         return "unknown-mi"
     res = solve_two_phase(inst, deadline_s)
     if res.status != "OPTIMAL":
@@ -91,17 +93,26 @@ def audit_instance(
         conflict[b, a] = True
 
     n_masks = 1 << Mi
-    optimistic = np.empty(n_masks, dtype=np.float64)
-    block = 1 << 12
-    for lo in range(0, n_masks, block):
-        E_blk = np.arange(lo, min(lo + block, n_masks), dtype=np.uint32)
-        subset_ok = (I_int[:, None] & ~E_blk[None, :]) == 0
-        d = g[:, None] - _popcount_u32(C_int[:, None] & E_blk[None, :])
-        pos = np.where(subset_ok & (d > 0), d, 0.0).sum(axis=0)
-        optimistic[lo : lo + len(E_blk)] = g_total - pos
-
-    E_all = np.arange(n_masks, dtype=np.uint32)
-    order = np.lexsort((E_all, optimistic))
+    if Mi > MAX_SEGS:
+        # Every mask achieving the optimum has optimistic <= best_cost, so
+        # the bound-filtered candidate set is COMPLETE for uniqueness
+        # counting (same argument as solve_segment_enum_wide).
+        optimistic = _optimistic_device(inst, n_masks)
+        passing = np.flatnonzero(optimistic <= best_cost + 1e-9)
+        if len(passing) > 500_000:
+            return "unknown-timeout"
+        order = passing[np.lexsort((passing, optimistic[passing]))]
+    else:
+        optimistic = np.empty(n_masks, dtype=np.float64)
+        block = 1 << 12
+        for lo in range(0, n_masks, block):
+            E_blk = np.arange(lo, min(lo + block, n_masks), dtype=np.uint32)
+            subset_ok = (I_int[:, None] & ~E_blk[None, :]) == 0
+            d = g[:, None] - _popcount_u32(C_int[:, None] & E_blk[None, :])
+            pos = np.where(subset_ok & (d > 0), d, 0.0).sum(axis=0)
+            optimistic[lo : lo + len(E_blk)] = g_total - pos
+        E_all = np.arange(n_masks, dtype=np.uint32)
+        order = np.lexsort((E_all, optimistic))
     nodes = [0]
 
     def count_optimal(E: int):

@@ -143,12 +143,22 @@ def tint_isoforms(
     return gtf_records(isoforms)
 
 
+def _tint_isoforms_job(job: tuple[str, str, IsoformsConfig]):
+    cluster_tsv, split_tsv, cfg = job
+    return tint_isoforms(cluster_tsv, split_tsv, cfg)
+
+
 def run_isoforms(
     split_dir: str, cluster_dir: str, output: str, cfg: IsoformsConfig | None = None
 ) -> int:
-    """Full isoforms stage; returns the number of GTF transcript records."""
+    """Full isoforms stage; returns the number of GTF transcript records.
+
+    With cfg.threads > 1 tints are processed by a process pool (the
+    consensus work is pure Python, so threads would serialize on the GIL;
+    the reference pools processes here too, py/freddie_isoforms.py:274).
+    The final sort makes the output order pool-independent."""
     cfg = cfg or IsoformsConfig()
-    records: list[tuple[tuple, str]] = []
+    jobs: list[tuple[str, str, IsoformsConfig]] = []
     for contig in sorted(os.listdir(cluster_dir)):
         cdir = os.path.join(cluster_dir, contig)
         if not os.path.isdir(cdir):
@@ -159,7 +169,17 @@ def run_isoforms(
             tint_id = int(fn[:-4].split("_")[-1])
             split_tsv = os.path.join(split_dir, contig, f"split_{contig}_{tint_id}.tsv")
             assert os.path.isfile(split_tsv), split_tsv
-            records.extend(tint_isoforms(os.path.join(cdir, fn), split_tsv, cfg))
+            jobs.append((os.path.join(cdir, fn), split_tsv, cfg))
+    records: list[tuple[tuple, str]] = []
+    if cfg.threads > 1 and len(jobs) > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=cfg.threads) as ex:
+            for recs in ex.map(_tint_isoforms_job, jobs, chunksize=5):
+                records.extend(recs)
+    else:
+        for job in jobs:
+            records.extend(_tint_isoforms_job(job))
     records.sort()
     with open(output, "w") as f:
         for _key, text in records:

@@ -73,3 +73,32 @@ def test_pipeline_deterministic(tmp_path):
         run_pipeline(bam, [fq], out, PipelineConfig(), log=lambda *a: None)
         outs.append(open(os.path.join(out, "isoforms.gtf")).read())
     assert outs[0] == outs[1]
+
+
+def test_isoforms_process_pool_byte_identical(tmp_path):
+    """isoforms -t N (process pool over tints) == serial, byte for byte."""
+    import filecmp
+
+    from freddie_tpu.config import (ClusterConfig, IsoformsConfig,
+                                    SegmentConfig, SplitConfig)
+    from freddie_tpu.stages.cluster import run_cluster
+    from freddie_tpu.stages.isoforms import run_isoforms
+    from freddie_tpu.stages.segment import run_segment
+    from freddie_tpu.stages.split import run_split
+    from freddie_tpu.utils.sim import simulate
+
+    sim = simulate(seed=29, n_genes=4, isoforms_per_gene=2, reads_per_isoform=8,
+                   minus_strand_genes=True, truncate_prob=0.2, tail_prob=0.8)
+    bam, fq = str(tmp_path / "r.bam"), str(tmp_path / "r.fastq")
+    sim.write_bam(bam)
+    sim.write_fastq(fq)
+    run_split(bam, [fq], str(tmp_path / "split"), SplitConfig())
+    run_segment(str(tmp_path / "split"), str(tmp_path / "segment"), SegmentConfig())
+    run_cluster(str(tmp_path / "segment"), str(tmp_path / "cluster"), ClusterConfig())
+    a, b = str(tmp_path / "a.gtf"), str(tmp_path / "b.gtf")
+    n1 = run_isoforms(str(tmp_path / "split"), str(tmp_path / "cluster"), a,
+                      IsoformsConfig())
+    n2 = run_isoforms(str(tmp_path / "split"), str(tmp_path / "cluster"), b,
+                      IsoformsConfig(threads=2))
+    assert n1 == n2 > 0
+    assert filecmp.cmp(a, b, shallow=False)
