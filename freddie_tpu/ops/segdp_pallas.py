@@ -3,27 +3,40 @@
 Note: one problem per grid step. Tiling several problems per step behind
 an inner fori_loop was tried to amortize scheduling overhead, but the
 dynamic leading-index ref access it requires multiplies Mosaic compile
-time past practicality on this remote-compile backend; the per-step cost
-is accepted instead.
+time past practicality on this remote-compile backend; instead the
+phases are structured to minimize per-iteration sequencing cost (on-chip
+phase profiling at B=2048, P=64, R=512 showed the original 64 thin per-k
+phase-1 steps costing 170 ms of a 218 ms launch while the matmuls cost
+~4 ms -- the kernel is sequencing/VPU-bound, not FLOP-bound).
 
 The XLA path (ops.segdp._solve_batch_jax) streams (B,P,R) intermediates
 through HBM; this kernel keeps one problem's entire working set in VMEM --
 C (P,R), the pair tensors, the (P,P,P) outside tensor, and the DP state --
 so HBM traffic is just C in and the backpointers out, and the inner
-contractions are (P,R)x(R,P) MXU matmuls.
+contractions are MXU matmuls.
 
 Per grid step (one problem):
-  phase 1: for k in 0..P-1: threshold C against the precomputed scaled
-           bounds, two matmuls -> outside(.,k,.) slice + inside column;
+  phase 1 (blocked): KB leading-k values per loop iteration; 3-D
+           threshold compares build the weighted/plain indicator blocks,
+           one batched (KB,P,R)x(KB,P,R) dot per product -> KB
+           outside(.,k,.) slices + inside rows at once;
+  phase 1.5: one bulk transpose OT[j][k,k_] = O[k][j,k_] so every
+           wavefront step reads a contiguous plane;
   phase 2: backward wavefront over j: H[j,k] = inside(j,k) +
            max_k_ (outside(j,k,k_) + H[k,k_]) with min-segment masks,
-           recording first-argmax backpointers;
+           recording first-argmax backpointers; four j-steps per loop
+           iteration (strictly sequential, but batching steps amortizes
+           loop management);
   phase 3: top-level D0 row-major first-argmax vs the no-segmentation
            baseline.
 
-Bit-identical to ops.segdp.solve_host (integer thresholds, f32 scores).
-Threshold products are precomputed outside the kernel as (B,P,P) int32
-T_hi/T_lo (avoids in-kernel gathers from the length table).
+Bit-identical to ops.segdp.solve_host (integer thresholds, f32 scores;
+the weight-split trick in phase 1 keeps the fast single-pass MXU path
+exact for any integer weight <= 16383). Threshold products are
+precomputed outside the kernel as (B,P,P) int32 T_hi/T_lo (avoids
+in-kernel gathers from the length table). Debug statics: `phases` stops
+after phase 1 or 2 (phase profiling); `blocked=False` restores the
+per-k phase-1 loop; `unroll1/unroll2` fully unroll the loops.
 """
 
 from __future__ import annotations
@@ -31,10 +44,24 @@ from __future__ import annotations
 import functools
 
 
+def _phase1_block(P: int, R: int, wide_weights: bool) -> int:
+    """Leading-k block size for phase 1: the largest power-of-two divisor
+    of P whose live block tensors (one int32 + four/six f32 (KB,P,R))
+    stay within ~8 MB of VMEM (the (P,P,P) outside tensor, C, and the DP
+    state take the rest of the ~16 MB budget)."""
+    n_f32 = 6 if wide_weights else 4
+    budget = 11 << 20
+    kb = P
+    while kb > 1 and kb * P * R * 4 * (1 + n_f32) > budget:
+        kb //= 2
+    return kb
+
+
 def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
             K_ref,
-            O_ref, IN_ref, IN2_ref, H_ref, SM_ref,
-            *, P, R, scale, read_support, wide_weights, unroll1=False, unroll2=False, phases=3):
+            O_ref, OT_ref, IN_ref, IN2_ref, H_ref, SM_ref,
+            *, P, R, scale, read_support, wide_weights, blocked=True,
+            unroll1=False, unroll2=False, phases=3):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -62,8 +89,52 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
     W_lo = (W_int & 127).astype(jnp.float32)  # (1, R)
     W_hi = (W_int >> 7).astype(jnp.float32)
 
-    # ---- phase 1: outside slices O[k][j, k_] = outside(j, k, k_) and
-    # inside rows IN[k, p] = inside(p, k).
+    # ---- phase 1 (blocked): outside slices O[k][j, k_] = outside(j, k, k_)
+    # and inside rows IN[k, p] = inside(p, k), KB leading-k values per loop
+    # iteration. The per-k loop was sequencing-bound (64 thin steps cost
+    # ~170 ms/2048 problems while the matmuls cost ~4 ms); fat 3-D blocks
+    # amortize instruction issue and let the contraction run as one
+    # batched dot per block.
+    KB = _phase1_block(P, R, wide_weights)
+
+    def phase1_blocked(t, _):
+        k0 = t * KB
+        C_all = C_ref[0]  # (P, R) int32, pre-scaled
+        C_blk = C_ref[0, pl.ds(k0, KB), :]  # (KB, R)
+        T1 = C_blk[:, None, :] - C_all[None, :, :]  # (KB, P, R): k vs p
+        thiT = ThiT_ref[0, pl.ds(k0, KB), :][:, :, None]  # (KB, P, 1): (p, k)
+        tloT = TloT_ref[0, pl.ds(k0, KB), :][:, :, None]
+        thi = Thi_ref[0, pl.ds(k0, KB), :][:, :, None]  # (KB, P, 1): (k, p)
+        tlo = Tlo_ref[0, pl.ds(k0, KB), :][:, :, None]
+        zero = jnp.float32(0.0)
+        one = jnp.float32(1.0)
+        yea_to = T1 > thiT  # pair (p, k0+i)
+        nay_to = T1 < tloT
+        T2 = -T1
+        yea_from = jnp.where(T2 > thi, one, zero)  # pair (k0+i, p)
+        nay_from = jnp.where(T2 < tlo, one, zero)
+
+        def bdot(a, b):
+            return jax.lax.dot_general(
+                a, b, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+
+        yw_lo = jnp.where(yea_to, W_lo[None], zero)  # (KB, P, R)
+        nw_lo = jnp.where(nay_to, W_lo[None], zero)
+        out_blk = bdot(yw_lo, nay_from) + bdot(nw_lo, yea_from)  # (KB, P, P)
+        sum_yw = jnp.sum(yw_lo, axis=2)  # (KB, P)
+        sum_nw = jnp.sum(nw_lo, axis=2)
+        if wide_weights:
+            yw_hi = jnp.where(yea_to, W_hi[None], zero)
+            nw_hi = jnp.where(nay_to, W_hi[None], zero)
+            out_blk = out_blk + 128.0 * (bdot(yw_hi, nay_from) + bdot(nw_hi, yea_from))
+            sum_yw = sum_yw + 128.0 * jnp.sum(yw_hi, axis=2)
+            sum_nw = sum_nw + 128.0 * jnp.sum(nw_hi, axis=2)
+        O_ref[pl.ds(k0, KB)] = jnp.where(out_blk < gate, neg, out_blk)
+        IN_ref[pl.ds(k0, KB), :] = -(w_sum - sum_yw - sum_nw)
+        return 0
+
     def phase1(k, _):
         # C arrives pre-multiplied by `scale` (one subtract + compare per
         # threshold); weighted indicators come from selects, cheaper on
@@ -108,13 +179,20 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
         IN_ref[pl.ds(k, 1), :] = jnp.transpose(in_col)
         return 0
 
-    jax.lax.fori_loop(0, P, phase1, 0, unroll=(P if unroll1 else False))
+    if blocked:
+        jax.lax.fori_loop(0, P // KB, phase1_blocked, 0, unroll=False)
+    else:
+        jax.lax.fori_loop(0, P, phase1, 0, unroll=(P if unroll1 else False))
     if phases < 2:
         K_ref[0] = jnp.full((P, P), -1, dtype=jnp.int32)
         return
 
     # IN2[p, k] = inside(p, k) (transposed copy for sublane-dim reads).
     IN2_ref[...] = jnp.transpose(IN_ref[...])
+    # OT[j][k, k_] = O[k][j, k_]: one bulk relayout so every phase-2 step
+    # reads a CONTIGUOUS (1, P, P) plane instead of a strided gather
+    # across the leading dim.
+    OT_ref[...] = jnp.swapaxes(O_ref[...], 0, 1)
 
     small = SM_ref[...]  # (P, P) f32 0/1
     kk_row = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)  # second index
@@ -130,14 +208,13 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
     kmask_static = (kk_row > kk_col) & (kk_row <= end) & (small == 0.0)
     col_i = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)  # (1, P)
 
-    # ---- phase 2: backward wavefront over j = P-2 .. 0. The "outside"
-    # tensor O is laid out [k][j, k_]; the row we need at step j is
-    # O[., j, .], i.e. row j of every leading slice -- but the DP only
-    # reads pairs (k, k_) with k > j, and O[k][j, k_] = outside(j, k, k_),
-    # so gather the (P, P) plane vals[k, k_] = O[k, j, k_].
-    def phase2(t, _):
-        j = P - 2 - t
-        O_plane = O_ref[:, pl.ds(j, 1), :][:, 0, :]  # (P_k, P_k_)
+    # ---- phase 2: backward wavefront over j = P-2 .. 0, reading the
+    # outside plane vals[k, k_] = outside(j, k, k_) from the transposed
+    # copy OT[j]. UN j-steps run per loop iteration (the wavefront is
+    # strictly sequential, but batching steps amortizes loop management);
+    # the (P-1) % UN leftover steps run statically after the loop.
+    def p2_step(j):
+        O_plane = OT_ref[pl.ds(j, 1)][0]  # (P_k, P_k_)
         vals = jnp.where(kmask_static, O_plane + H_ref[...], neg)
         row_max = jnp.max(vals, axis=1, keepdims=True)  # (P, 1) over k_
         # First index attaining the max (argmax lowering is unsupported
@@ -159,15 +236,26 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
         row_H = jnp.where(keep_end, in_j, row_H)
         H_ref[pl.ds(j, 1), :] = row_H
         K_ref[0, pl.ds(j, 1), :] = jnp.where(valid_k, row_arg, -1)
+
+    UN = 4  # wavefront steps per loop iteration (sequencing amortization)
+    n_loop = (P - 1) // UN
+
+    def phase2(t, _):
+        j0 = P - 2 - UN * t
+        for i in range(UN):
+            p2_step(j0 - i)
         return 0
 
-    jax.lax.fori_loop(0, P - 1, phase2, 0, unroll=(P - 1 if unroll2 else False))
+    jax.lax.fori_loop(0, n_loop, phase2, 0,
+                      unroll=(n_loop if unroll2 else False))
+    for j in range((P - 1) % UN - 1, -1, -1):  # static remainder steps
+        p2_step(j)
     if phases < 3:
         return
 
     # ---- phase 3: D0[j, k] = inside(0, j) + outside(0, j, k) + H[j, k].
-    # outside(0, j, k) = O[j][0, k] -> plane [j, k] = O[:, 0, :].
-    O_plane0 = O_ref[:, pl.ds(0, 1), :][:, 0, :]  # (P_j, P_k)
+    # outside(0, j, k) = O[j][0, k] = OT[0][j, k].
+    O_plane0 = OT_ref[0]  # (P_j, P_k)
     # inside(0, j) over j: IN2[p, k] = inside(p, k) -> row 0 of IN2.
     in0 = jnp.transpose(IN2_ref[pl.ds(0, 1), :])  # (P, 1)
     small0 = SM_ref[pl.ds(0, 1), :]  # (1, P): small(0, j)
@@ -201,7 +289,7 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
 
 
 def solve_batch_pallas(C, y, W, n_cand, read_support, lookup, scale,
-                       interpret=False, wide_weights=True,
+                       interpret=False, wide_weights=True, blocked=True,
                        unroll1=False, unroll2=False, phases=3):
     """Same contract as ops.segdp._solve_batch_jax: returns (K, best_j,
     best_k). C:(B,P,R) i32, y:(B,P) i32, W:(B,R) f32, n_cand:(B,) i32.
@@ -230,8 +318,8 @@ def solve_batch_pallas(C, y, W, n_cand, read_support, lookup, scale,
 
     kernel = functools.partial(
         _kernel, P=P, R=R, scale=scale, read_support=read_support,
-        wide_weights=wide_weights, unroll1=unroll1, unroll2=unroll2,
-        phases=phases,
+        wide_weights=wide_weights, blocked=blocked,
+        unroll1=unroll1, unroll2=unroll2, phases=phases,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -250,6 +338,7 @@ def solve_batch_pallas(C, y, W, n_cand, read_support, lookup, scale,
         ],
         scratch_shapes=[
             pltpu.VMEM((P, P, P), jnp.float32),  # O [k][j, k_], gated
+            pltpu.VMEM((P, P, P), jnp.float32),  # OT = swapaxes(O, 0, 1)
             pltpu.VMEM((P, P), jnp.float32),  # IN: IN[k, p] = inside(p, k)
             pltpu.VMEM((P, P), jnp.float32),  # IN2 = transpose(IN)
             pltpu.VMEM((P, P), jnp.float32),  # H

@@ -172,9 +172,15 @@ def run_isoforms(
             jobs.append((os.path.join(cdir, fn), split_tsv, cfg))
     records: list[tuple[tuple, str]] = []
     if cfg.threads > 1 and len(jobs) > 1:
+        import multiprocessing
         from concurrent.futures import ProcessPoolExecutor
 
-        with ProcessPoolExecutor(max_workers=cfg.threads) as ex:
+        # spawn, not fork: the parent may hold JAX's threads, and forking
+        # a multithreaded process can deadlock the children.
+        with ProcessPoolExecutor(
+            max_workers=cfg.threads,
+            mp_context=multiprocessing.get_context("spawn"),
+        ) as ex:
             for recs in ex.map(_tint_isoforms_job, jobs, chunksize=5):
                 records.extend(recs)
     else:
