@@ -364,11 +364,21 @@ def solve_batch_device(
 
     P = rnd(max(len(problems[i].y) for i in work), pad_p_to)
     R = rnd(max(problems[i].C.shape[1] for i in work), pad_r_to)
+    # Pad the batch dim to a power of two: B is part of the compiled
+    # kernel shape, so without padding every dataset's batch counts force
+    # fresh (minutes-long on remote-compile backends) compilations; with
+    # it the shape set is stable across datasets and the persistent cache
+    # makes compiles one-time. Padding rows replicate problem 0 (their
+    # outputs are discarded); a power of two is also always a multiple of
+    # the (power-of-two) local device count for the sharded path.
     B = len(work)
-    C = np.zeros((B, P, R), dtype=np.int32)
-    y = np.zeros((B, P), dtype=np.int32)
-    W = np.zeros((B, R), dtype=np.float32)
-    n_cand = np.zeros((B,), dtype=np.int32)
+    B_pad = 8
+    while B_pad < B:
+        B_pad <<= 1
+    C = np.zeros((B_pad, P, R), dtype=np.int32)
+    y = np.zeros((B_pad, P), dtype=np.int32)
+    W = np.zeros((B_pad, R), dtype=np.float32)
+    n_cand = np.zeros((B_pad,), dtype=np.int32)
     rs = {problems[i].read_support for i in work}
     assert len(rs) == 1, "mixed read_support in one batch"
     for b, i in enumerate(work):
@@ -380,6 +390,11 @@ def solve_batch_device(
         y[b, p:] = pr.y[-1]
         W[b, :r] = pr.W
         n_cand[b] = p
+    if B_pad > B:
+        C[B:] = C[0]
+        y[B:] = y[0]
+        W[B:] = W[0]
+        n_cand[B:] = n_cand[0]
 
     # Device kernels compare thresholds in int32 (the Pallas path also
     # pre-multiplies C by scale); the host oracle uses int64. With the
@@ -399,12 +414,12 @@ def solve_batch_device(
         # process drives every attached chip (this outranks the Pallas
         # kernel -- N chips at XLA-kernel speed beat one chip at Pallas
         # speed; shard_map-wrapping the Pallas kernel is future work).
-        # Pad B to a mesh multiple by replicating the last problem (its
-        # outputs are discarded).
+        # B_pad (a power of two) already covers any power-of-two device
+        # count; pad further only for unusual mesh sizes.
         from ..parallel.mesh import loci_mesh, solve_batch_sharded
 
         mesh = loci_mesh(local=True)
-        pad_b = (-B) % n_local
+        pad_b = (-B_pad) % n_local
         if pad_b:
             C = np.concatenate([C, np.repeat(C[-1:], pad_b, axis=0)])
             y = np.concatenate([y, np.repeat(y[-1:], pad_b, axis=0)])
@@ -413,8 +428,6 @@ def solve_batch_device(
         K, best_j, best_k = solve_batch_sharded(
             C, y, W, n_cand, next(iter(rs)), thr.lookup, thr.scale, mesh
         )
-        if pad_b:
-            K, best_j, best_k = K[:B], best_j[:B], best_k[:B]
     elif use_pallas:
         fn = _get_jitted_pallas()
         K, best_j, best_k = fn(
