@@ -16,8 +16,10 @@ import numpy as np
 from .bam import BamRecord
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "bamdec.cpp")
-_LIB = os.path.join(_REPO_ROOT, "native", "libbamdec.so")
+_NATIVE = os.path.join(_REPO_ROOT, "native")
+_SRCS = [os.path.join(_NATIVE, "bamdec.cpp"), os.path.join(_NATIVE, "split_core.cpp")]
+_HDRS = [os.path.join(_NATIVE, "bam_io.h")]
+_LIB = os.path.join(_NATIVE, "libbamdec.so")
 
 _lib = None
 _build_failed = False
@@ -28,9 +30,10 @@ def _load():
     if _lib is not None or _build_failed:
         return _lib
     try:
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        src_mtime = max(os.path.getmtime(p) for p in _SRCS + _HDRS)
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < src_mtime:
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC, "-lz"],
+                ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, *_SRCS, "-lz"],
                 check=True,
                 capture_output=True,
             )
@@ -62,6 +65,13 @@ def _load():
             ctypes.c_longlong,
         ]
         lib.bamdec_close.argtypes = [ctypes.c_void_p]
+        lib.splitc_run.restype = ctypes.c_longlong
+        lib.splitc_run.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_char_p, ctypes.c_int,
+        ]
         _lib = lib
     except Exception:
         _build_failed = True
@@ -289,6 +299,48 @@ def iter_interval_records(reader: "NativeBamReader", max_del_size: int):
                 flag=fl_l[i],
                 intervals=intervals,
             )
+
+
+def run_split_native(
+    bam_path: str, read_files: list[str], outdir: str, cfg
+) -> dict[str, int]:
+    """Run the entire split stage in C++ (native/split_core.cpp): decode,
+    CIGAR walk, loci batching, tint building + oversize breaking, TSV
+    writing and FASTQ routing -- byte-identical to stages/split.py's
+    Python path (tests/test_native_split.py). Returns {contig: n_tints}."""
+    lib = _load()
+    assert lib is not None, "native split core unavailable"
+    counts_buf = ctypes.create_string_buffer(1 << 20)
+    err = ctypes.create_string_buffer(512)
+    rc = lib.splitc_run(
+        bam_path.encode(),
+        ";".join(read_files).encode(),
+        outdir.encode(),
+        cfg.max_del_size,
+        1 if cfg.consider_nonspliced else 0,
+        cfg.min_reads_per_tint,
+        cfg.max_tint_intervals,
+        cfg.max_tint_reads,
+        cfg.contig_min_size,
+        512,
+        counts_buf,
+        ctypes.c_longlong(len(counts_buf)),
+        err,
+        512,
+    )
+    if rc == -3 or rc == -4:
+        raise AssertionError(err.value.decode())
+    if rc < 0:
+        raise ValueError(f"native split failed (code {rc}): {err.value.decode()}")
+    counts: dict[str, int] = {}
+    for line in counts_buf.value.decode().splitlines():
+        contig, n = line.split("\t")
+        counts[contig] = int(n)
+    return counts
+
+
+def native_split_available() -> bool:
+    return _load() is not None
 
 
 def open_bam(path: str):

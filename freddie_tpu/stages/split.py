@@ -392,7 +392,25 @@ def run_split(
     Returns {contig: n_tints}."""
     cfg = cfg or SplitConfig()
     os.makedirs(outdir, exist_ok=True)
-    from ..io.bam_native import NativeBamReader, iter_interval_records, open_bam
+    from ..io.bam_native import (
+        NativeBamReader,
+        iter_interval_records,
+        native_split_available,
+        open_bam,
+        run_split_native,
+    )
+
+    # Engine dispatch is availability-only (never content): the C++ core
+    # (native/split_core.cpp) and this Python path are byte-identical twins
+    # (tests/test_native_split.py), so a missing toolchain only changes
+    # speed. FREDDIE_SPLIT_ENGINE=python forces the oracle twin.
+    engine = os.environ.get("FREDDIE_SPLIT_ENGINE", "auto")
+    if engine not in ("auto", "native", "python"):
+        raise ValueError(f"FREDDIE_SPLIT_ENGINE={engine!r} (want auto|native|python)")
+    if engine != "python" and native_split_available():
+        return run_split_native(bam_path, read_files, outdir, cfg)
+    if engine == "native":
+        raise RuntimeError("FREDDIE_SPLIT_ENGINE=native but the C++ core is unavailable")
 
     reader = open_bam(bam_path)
     keep = {

@@ -5,12 +5,11 @@
 // framework: BGZF block inflation (zlib) + BAM record parsing + 4-bit
 // sequence expansion, exposed as a batch API over flat arrays so the
 // Python side materializes no per-record intermediate objects it doesn't
-// need.
+// need. The decode core + CIGAR walk live in bam_io.h, shared with the
+// native split-stage driver (split_core.cpp).
 //
-// Build: g++ -O2 -shared -fPIC -o libbamdec.so bamdec.cpp -lz
+// Build: g++ -O2 -shared -fPIC -o libbamdec.so bamdec.cpp split_core.cpp -lz
 // Bindings: freddie_tpu/io/bam_native.py (ctypes).
-
-#include <zlib.h>
 
 #include <cstdint>
 #include <cstdio>
@@ -18,90 +17,11 @@
 #include <string>
 #include <vector>
 
-namespace {
+#include "bam_io.h"
 
-const char SEQ_NIBBLE[17] = "=ACMGRSVTWYHKDBN";
-
-struct Ref {
-  std::string name;
-  int64_t len;
-};
-
-struct Handle {
-  FILE* f = nullptr;
-  std::vector<uint8_t> buf;   // decompressed bytes not yet consumed
-  size_t pos = 0;             // read cursor in buf
-  std::vector<Ref> refs;
-  bool eof = false;
-  std::string err;
-};
-
-// Read one BGZF member; append payload to h.buf. False at EOF or error.
-bool read_block(Handle& h) {
-  uint8_t hdr[12];
-  size_t got = fread(hdr, 1, 12, h.f);
-  if (got == 0) { h.eof = true; return false; }
-  if (got < 12 || hdr[0] != 0x1f || hdr[1] != 0x8b || hdr[2] != 8) {
-    h.err = "bad BGZF header"; return false;
-  }
-  uint16_t xlen; memcpy(&xlen, hdr + 10, 2);
-  std::vector<uint8_t> extra(xlen);
-  if (fread(extra.data(), 1, xlen, h.f) != xlen) { h.err = "truncated extra"; return false; }
-  int bsize = -1;
-  for (size_t off = 0; off + 4 <= extra.size();) {
-    uint8_t si1 = extra[off], si2 = extra[off + 1];
-    uint16_t slen; memcpy(&slen, extra.data() + off + 2, 2);
-    if (si1 == 66 && si2 == 67 && slen == 2) {
-      uint16_t v; memcpy(&v, extra.data() + off + 4, 2); bsize = v;
-    }
-    off += 4 + slen;
-  }
-  if (bsize < 0) { h.err = "missing BC subfield"; return false; }
-  int cdata_len = bsize + 1 - 12 - xlen - 8;
-  std::vector<uint8_t> cdata(cdata_len);
-  if ((int)fread(cdata.data(), 1, cdata_len, h.f) != cdata_len) {
-    h.err = "truncated block"; return false;
-  }
-  uint8_t tail[8];
-  if (fread(tail, 1, 8, h.f) != 8) { h.err = "truncated footer"; return false; }
-  uint32_t isize; memcpy(&isize, tail + 4, 4);
-  size_t old = h.buf.size();
-  h.buf.resize(old + isize);
-  if (isize) {
-    z_stream zs{};
-    inflateInit2(&zs, -15);
-    zs.next_in = cdata.data();
-    zs.avail_in = cdata_len;
-    zs.next_out = h.buf.data() + old;
-    zs.avail_out = isize;
-    int rc = inflate(&zs, Z_FINISH);
-    inflateEnd(&zs);
-    if (rc != Z_STREAM_END) { h.err = "inflate failed"; return false; }
-  }
-  return true;
-}
-
-// Ensure at least n bytes are available at h.pos; compact as needed.
-bool ensure(Handle& h, size_t n) {
-  while (h.buf.size() - h.pos < n) {
-    if (h.pos > (1u << 20)) {  // compact
-      h.buf.erase(h.buf.begin(), h.buf.begin() + h.pos);
-      h.pos = 0;
-    }
-    if (!read_block(h)) return false;
-  }
-  return true;
-}
-
-template <typename T>
-T rd(Handle& h) {
-  T v;
-  memcpy(&v, h.buf.data() + h.pos, sizeof(T));
-  h.pos += sizeof(T);
-  return v;
-}
-
-}  // namespace
+using bamio::Handle;
+using bamio::ensure;
+using bamio::rd;
 
 extern "C" {
 
@@ -115,22 +35,7 @@ void* bamdec_open(const char* path, char* err, int errlen) {
     return nullptr;
   };
   if (!h->f) return fail("cannot open file");
-  if (!ensure(*h, 8)) return fail("truncated BAM: " + h->err);
-  if (memcmp(h->buf.data(), "BAM\x01", 4) != 0) return fail("not a BAM file");
-  h->pos = 4;
-  int32_t l_text = rd<int32_t>(*h);
-  if (!ensure(*h, l_text + 4)) return fail("truncated header");
-  h->pos += l_text;
-  int32_t n_ref = rd<int32_t>(*h);
-  for (int i = 0; i < n_ref; ++i) {
-    if (!ensure(*h, 4)) return fail("truncated refs");
-    int32_t l_name = rd<int32_t>(*h);
-    if (!ensure(*h, l_name + 4)) return fail("truncated refs");
-    std::string name((const char*)h->buf.data() + h->pos, l_name - 1);
-    h->pos += l_name;
-    int32_t l_ref = rd<int32_t>(*h);
-    h->refs.push_back(Ref{name, l_ref});
-  }
+  if (!bamio::parse_header(*h)) return fail(h->err);
   return h;
 }
 
@@ -187,7 +92,7 @@ long long bamdec_next_batch(
     const uint8_t* packed = h->buf.data() + h->pos;
     for (int32_t i = 0; i < l_seq; ++i) {
       uint8_t b = packed[i >> 1];
-      seq_buf[sb + i] = SEQ_NIBBLE[(i & 1) ? (b & 0xF) : (b >> 4)];
+      seq_buf[sb + i] = bamio::SEQ_NIBBLE[(i & 1) ? (b & 0xF) : (b >> 4)];
     }
     seq_off[n] = sb;
     seq_len[n] = l_seq;
@@ -201,13 +106,14 @@ long long bamdec_next_batch(
 // Array-native ingest for the split stage: decode records AND perform the
 // per-alignment CIGAR walk (the reference's get_intervals,
 // py/freddie_split.py:133-207) in one pass, returning flat interval
-// arrays. Mirrors freddie_tpu/core/cigar.py exactly: deletions longer
-// than max_del_size are reclassified as introns, each maximal run between
-// introns becomes one exonic interval with its exon-consuming cigar ops
-// rendered as text, and empty (target- or query-empty) intervals are
-// dropped (the record_to_read filter). Sequences are NOT expanded: the
-// split stage takes sequences from the FASTQ pass, so skipping the 4-bit
-// expansion removes the largest per-record cost of the generic batch API.
+// arrays. The walk (bamio::walk_intervals) mirrors
+// freddie_tpu/core/cigar.py exactly: deletions longer than max_del_size
+// are reclassified as introns, each maximal run between introns becomes
+// one exonic interval with its exon-consuming cigar ops rendered as text,
+// and empty (target- or query-empty) intervals are dropped (the
+// record_to_read filter). Sequences are NOT expanded: the split stage
+// takes sequences from the FASTQ pass, so skipping the 4-bit expansion
+// removes the largest per-record cost of the generic batch API.
 //
 // Records flagged unmapped/secondary/supplementary get iv_n = 0 and no
 // walk (the caller filters them anyway, and their qlen may not match).
@@ -225,7 +131,8 @@ long long bamdec_next_batch_iv(
   Handle* h = (Handle*)hp;
   long long n = 0;
   long long nb = 0, ivb = 0, cb = 0;
-  const char* OPS = "MIDNSHP=XB";
+  std::vector<bamio::Iv> scratch;
+  std::string cigtext;
   while (n < max_records) {
     if (!ensure(*h, 4)) {
       if (h->eof) break;
@@ -265,65 +172,23 @@ long long bamdec_next_batch_iv(
     iv_n[n] = 0;
     bool skip_walk = (fl & (4 | 256 | 2048)) != 0 || n_cigar == 0;
     if (!skip_walk) {
-      // qstart/qlen/qend bookkeeping (core/cigar.py:50-56).
-      int64_t qlen = 0;
-      for (uint16_t i = 0; i < n_cigar; ++i) {
-        uint32_t v;
-        memcpy(&v, cig + 4ull * i, 4);
-        uint32_t op = v & 0xF, c = v >> 4;
-        if (op == 1 || op == 4 || op == 0 || op == 7 || op == 8) qlen += c;
+      scratch.clear();
+      cigtext.clear();
+      if (bamio::walk_intervals(cig, n_cigar, rpos, l_seq, max_del_size,
+                                scratch, cigtext) != 0)
+        return -3;
+      memcpy(cig_buf + cb, cigtext.data(), cigtext.size());
+      for (const auto& iv : scratch) {
+        iv_ts[ivb] = iv.ts;
+        iv_te[ivb] = iv.te;
+        iv_qs[ivb] = iv.qs;
+        iv_qe[ivb] = iv.qe;
+        cig_off[ivb] = cb + iv.cig_off;
+        cig_len[ivb] = iv.cig_len;
+        ++ivb;
       }
-      if (qlen != l_seq) return -3;
-      uint32_t v0, vlast;
-      memcpy(&v0, cig, 4);
-      memcpy(&vlast, cig + 4ull * (n_cigar - 1), 4);
-      int64_t qstart = ((v0 & 0xF) == 4) ? (v0 >> 4) : 0;
-      int64_t qend = qlen - (((vlast & 0xF) == 4) ? (int64_t)(vlast >> 4) : 0);
-      if (qend <= qstart) return -3;  // the reference asserts this too
-      int64_t q_lo = qstart, q_hi = qstart;
-      int64_t t_lo = rpos, t_hi = rpos;
-      int64_t cig_start = cb;
-      long long first_iv = ivb;
-      auto close_interval = [&]() {
-        if (t_lo != t_hi && q_lo != q_hi) {
-          iv_ts[ivb] = t_lo;
-          iv_te[ivb] = t_hi;
-          iv_qs[ivb] = q_lo;
-          iv_qe[ivb] = q_hi;
-          cig_off[ivb] = cig_start;
-          cig_len[ivb] = (int32_t)(cb - cig_start);
-          ++ivb;
-        } else {
-          cb = cig_start;  // drop the rendered ops of an empty interval
-        }
-        cig_start = cb;
-      };
-      for (uint16_t i = 0; i < n_cigar; ++i) {
-        uint32_t v;
-        memcpy(&v, cig + 4ull * i, 4);
-        uint32_t op = v & 0xF;
-        uint32_t c = v >> 4;
-        if (op == 2 && (int)c > max_del_size) op = 3;  // D -> N rewrite
-        if (op == 1 || op == 2 || op == 0 || op == 7 || op == 8) {
-          cb += snprintf(cig_buf + cb, 13, "%u%c", c, OPS[op]);
-        }
-        if (op == 2) {
-          t_hi += c;
-        } else if (op == 1) {
-          q_hi += c;
-        } else if (op == 0 || op == 7 || op == 8) {
-          t_hi += c;
-          q_hi += c;
-        }
-        if (op == 3) {
-          close_interval();
-          t_hi += c;
-          t_lo = t_hi;
-          q_lo = q_hi;
-        }
-      }
-      if (t_lo < t_hi) close_interval();
-      iv_n[n] = (int32_t)(ivb - first_iv);
+      cb += (long long)cigtext.size();
+      iv_n[n] = (int32_t)scratch.size();
     }
     h->pos = rec_end;  // skip seq + qual + tags
     ++n;

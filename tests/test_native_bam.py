@@ -77,10 +77,11 @@ def test_interval_batch_matches_python_walk(tmp_path):
     assert n_iv > len(py)  # spliced reads -> multiple intervals each
 
 
-def test_split_native_ingest_byte_identical(tmp_path):
+def test_split_native_ingest_byte_identical(tmp_path, monkeypatch):
     """run_split through the array-native ingest == run_split through the
     Python BamReader fallback, byte for byte, with and without the
-    prefetch thread."""
+    prefetch thread. (Engine pinned to the Python stage: the C++ split
+    core has its own parity suite in test_native_split.py.)"""
     import filecmp
     import os
 
@@ -88,6 +89,7 @@ def test_split_native_ingest_byte_identical(tmp_path):
     from freddie_tpu.io import bam_native
     from freddie_tpu.stages.split import run_split
 
+    monkeypatch.setenv("FREDDIE_SPLIT_ENGINE", "python")
     sim = simulate(seed=17)
     bam, fq = str(tmp_path / "r.bam"), str(tmp_path / "r.fastq")
     sim.write_bam(bam)
