@@ -61,7 +61,7 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
             K_ref,
             O_ref, OT_ref, IN_ref, IN2_ref, H_ref, SM_ref,
             *, P, R, scale, read_support, wide_weights, blocked=True,
-            unroll1=False, unroll2=False, phases=3):
+            unroll1=False, unroll2=False, phases=3, kb_override=0, un=4):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -95,7 +95,7 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
     # ~170 ms/2048 problems while the matmuls cost ~4 ms); fat 3-D blocks
     # amortize instruction issue and let the contraction run as one
     # batched dot per block.
-    KB = _phase1_block(P, R, wide_weights)
+    KB = kb_override or _phase1_block(P, R, wide_weights)
 
     def phase1_blocked(t, _):
         k0 = t * KB
@@ -110,9 +110,11 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
         one = jnp.float32(1.0)
         yea_to = T1 > thiT  # pair (p, k0+i)
         nay_to = T1 < tloT
-        T2 = -T1
-        yea_from = jnp.where(T2 > thi, one, zero)  # pair (k0+i, p)
-        nay_from = jnp.where(T2 < tlo, one, zero)
+        # The "from" compares (-T1 vs t) fold the negation into the
+        # threshold side: -T1 > thi == T1 < -thi. Negating the (KB, P, 1)
+        # thresholds costs KB*P ops instead of a full (KB, P, R) pass.
+        yea_from = jnp.where(T1 < -thi, one, zero)  # pair (k0+i, p)
+        nay_from = jnp.where(T1 > -tlo, one, zero)
 
         def bdot(a, b):
             return jax.lax.dot_general(
@@ -237,7 +239,7 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
         H_ref[pl.ds(j, 1), :] = row_H
         K_ref[0, pl.ds(j, 1), :] = jnp.where(valid_k, row_arg, -1)
 
-    UN = 4  # wavefront steps per loop iteration (sequencing amortization)
+    UN = un  # wavefront steps per loop iteration (sequencing amortization)
     n_loop = (P - 1) // UN
 
     def phase2(t, _):
@@ -290,7 +292,8 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
 
 def solve_batch_pallas(C, y, W, n_cand, read_support, lookup, scale,
                        interpret=False, wide_weights=True, blocked=True,
-                       unroll1=False, unroll2=False, phases=3):
+                       unroll1=False, unroll2=False, phases=3,
+                       kb_override=0, un=4):
     """Same contract as ops.segdp._solve_batch_jax: returns (K, best_j,
     best_k). C:(B,P,R) i32, y:(B,P) i32, W:(B,R) f32, n_cand:(B,) i32.
 

@@ -162,3 +162,43 @@ def test_degenerate_cases():
         read_support=0,
     )
     assert solve_host(pr, thr) == []
+
+
+@pytest.mark.parametrize("wide", [False, True])
+def test_pallas_interpret_matches_xla(wide):
+    """The Pallas kernel (interpret mode, CPU) must be bit-identical to the
+    XLA kernel on the same padded batch: full backpointer tables for rows
+    0..P-2 plus the top-level (best_j, best_k) pair. Guards kernel edits
+    when no TPU is attached (the CPU suite otherwise never runs it)."""
+    import jax.numpy as jnp
+
+    from freddie_tpu.ops.segdp import _solve_batch_jax
+    from freddie_tpu.ops.segdp_pallas import solve_batch_pallas
+
+    rng = np.random.default_rng(7 if wide else 11)
+    thr = ScaledThresholds(0.9)
+    B, P, R = 4, 16, 128
+    C = np.zeros((B, P, R), dtype=np.int32)
+    y = np.zeros((B, P), dtype=np.int32)
+    W = np.zeros((B, R), dtype=np.float32)
+    n_cand = np.zeros((B,), dtype=np.int32)
+    for b in range(B):
+        p = int(rng.integers(6, P + 1))
+        pr = random_problem(rng, p, R)
+        C[b, :p] = pr.C
+        C[b, p:] = pr.C[-1]
+        y[b, :p] = pr.y
+        y[b, p:] = pr.y[-1]
+        W[b] = pr.W if not wide else pr.W * 97  # exercise the 7-bit split
+        n_cand[b] = p
+    lookup = jnp.asarray(thr.lookup)
+    Kx, bjx, bkx = _solve_batch_jax(
+        jnp.asarray(C), jnp.asarray(y), jnp.asarray(W), jnp.asarray(n_cand),
+        3, lookup, thr.scale)
+    Kp, bjp, bkp = solve_batch_pallas(
+        jnp.asarray(C), jnp.asarray(y), jnp.asarray(W), jnp.asarray(n_cand),
+        3, lookup, thr.scale, interpret=True, wide_weights=wide)
+    np.testing.assert_array_equal(np.asarray(bjx), np.asarray(bjp))
+    np.testing.assert_array_equal(np.asarray(bkx), np.asarray(bkp))
+    np.testing.assert_array_equal(
+        np.asarray(Kx)[:, : P - 1, :], np.asarray(Kp)[:, : P - 1, :])
