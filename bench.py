@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -188,34 +189,59 @@ def main():
     ref_dir, ref_dt = run_reference_segment(split_dir, workdir)
 
     # TPU work in a child (single-claim chip; abandonable on a hung
-    # remote compile). Falls back to in-process CPU/XLA measurement.
+    # remote compile). Remote compiles occasionally hang through the
+    # tunnel, so retry the child: compiled shapes persist in .jax_cache,
+    # making every retry strictly cheaper (a fresh claim + hot caches).
     child_env = dict(os.environ)
-    try:
-        child = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--tpu-child",
-             split_dir, workdir],
-            capture_output=True, text=True, env=child_env,
-            timeout=float(os.environ.get("FREDDIE_BENCH_PROBE_S", "2400")),
-        )
-    except subprocess.TimeoutExpired:
-        child = None
     stats = None
-    if child is not None and child.returncode == 0:
-        for line in child.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                stats = json.loads(line)
-    if stats is None:
-        sys.stderr.write("[bench] TPU child failed; measuring in-process\n")
+    probe_s = float(os.environ.get("FREDDIE_BENCH_PROBE_S", "2400"))
+    for attempt in range(int(os.environ.get("FREDDIE_BENCH_RETRIES", "3"))):
+        try:
+            child = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--tpu-child",
+                 split_dir, workdir],
+                capture_output=True, text=True, env=child_env,
+                timeout=probe_s,
+            )
+        except subprocess.TimeoutExpired:
+            child = None
+        if child is not None and child.returncode == 0:
+            for line in child.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    stats = json.loads(line)
+        if stats is not None:
+            break
+        sys.stderr.write(
+            f"[bench] TPU child attempt {attempt + 1} failed"
+            f"{'' if child is None else ' rc=' + str(child.returncode)};"
+            " retrying (chip claim releases in ~2 min)\n")
         if child is not None:
             sys.stderr.write(child.stderr[-2000:] + "\n")
+        time.sleep(150)  # let the single-claim chip release
+        # segment outdir must not pre-exist on retry
+        shutil.rmtree(os.path.join(workdir, "segment"), ignore_errors=True)
+    if stats is None:
+        # Last resort: in-process, bounded by SIGALRM so a hung remote
+        # compile cannot wedge the whole bench run forever.
+        sys.stderr.write("[bench] all TPU children failed; measuring in-process\n")
         import io
+        import signal
         from contextlib import redirect_stdout
 
+        def _alarm(signum, frame):
+            raise TimeoutError("in-process TPU measurement timed out")
+
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(int(probe_s))
+        shutil.rmtree(os.path.join(workdir, "segment"), ignore_errors=True)
         buf = io.StringIO()
-        with redirect_stdout(buf):
-            tpu_child(split_dir, workdir)
-        stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+        try:
+            with redirect_stdout(buf):
+                tpu_child(split_dir, workdir)
+            stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+        finally:
+            signal.alarm(0)
 
     n_cluster, cluster_dt = run_cluster_stage(workdir)
 

@@ -323,6 +323,7 @@ def solve_batch_pallas(C, y, W, n_cand, read_support, lookup, scale,
         _kernel, P=P, R=R, scale=scale, read_support=read_support,
         wide_weights=wide_weights, blocked=blocked,
         unroll1=unroll1, unroll2=unroll2, phases=phases,
+        kb_override=kb_override, un=un,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
