@@ -130,12 +130,17 @@ def tpu_child(split_dir, workdir):
     C, y, W, n_cand = gen()
     lookup = jax.device_put(np.asarray(thr.lookup))
     on_tpu = jax.default_backend() == "tpu"
-    impl = solve_batch_pallas if on_tpu else _solve_batch_jax
     if on_tpu:
-        fn = jax.jit(lambda C_, y_, W_, n_, l_: impl(
-            C_, y_, W_, n_, 3, l_, thr.scale, wide_weights=False))
+        # Same jitted signature as the production dispatch
+        # (ops.segdp._get_jitted_pallas), so tools/warm_kernels.py and the
+        # segment stage share this compile-cache entry.
+        jfn = jax.jit(solve_batch_pallas,
+                      static_argnames=("read_support", "scale", "wide_weights"))
+        fn = lambda C_, y_, W_, n_, l_: jfn(
+            C_, y_, W_, n_, read_support=3, lookup=l_, scale=thr.scale,
+            wide_weights=False)
     else:
-        fn = jax.jit(lambda C_, y_, W_, n_, l_: impl(
+        fn = jax.jit(lambda C_, y_, W_, n_, l_: _solve_batch_jax(
             C_, y_, W_, n_, 3, l_, thr.scale))
     _ = np.asarray(fn(C, y, W, n_cand, lookup)[1])  # warmup/compile
     times = []

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Warm the persistent JAX compile cache for the production DP kernel
+shapes, one subprocess per shape.
+
+Through the axon remote-compile tunnel a process reliably wedges after
+one or two fresh Mosaic compiles (indefinite socket wait, no error), so
+compiling N shapes in one process -- what the segment stage does on a
+cold cache -- stalls. One short-lived process per shape sidesteps that:
+each claims the chip, compiles exactly one shape into .jax_cache, and
+exits; already-cached shapes are a few-second no-op. Run this before
+bench.py after any kernel-source change.
+
+Usage: python tools/warm_kernels.py [B,P,R[,wide] ...]
+  (default: the segment-stage buckets + the bench microbench shape)
+
+NEVER run while another process holds the chip (single-claim).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SHAPES = [
+    (512, 16, 512, 0),
+    (64, 32, 512, 0),
+    (64, 64, 512, 0),
+    (2048, 64, 512, 0),  # bench.py kernel microbench
+]
+
+CHILD = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", os.path.join({repo!r}, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import jax.numpy as jnp
+from freddie_tpu.ops.segdp_pallas import solve_batch_pallas
+from freddie_tpu.ops.thresholds import ScaledThresholds
+
+B, P, R, wide = {shape!r}
+thr = ScaledThresholds(0.9)
+C = jnp.zeros((B, P, R), jnp.int32)
+y = jnp.tile(jnp.arange(P, dtype=jnp.int32)[None] * 100, (B, 1))
+W = jnp.ones((B, R), jnp.float32)
+n = jnp.full((B,), P, jnp.int32)
+fn = jax.jit(solve_batch_pallas,
+             static_argnames=("read_support", "scale", "wide_weights"))
+t0 = time.perf_counter()
+out = fn(C, y, W, n, read_support=3, lookup=jnp.asarray(thr.lookup),
+         scale=thr.scale, wide_weights=bool(wide))
+_ = np.asarray(out[1][:1])
+print(f"warm B={B} P={P} R={R} wide={wide}: {time.perf_counter() - t0:.0f}s",
+      flush=True)
+"""
+
+
+def main():
+    shapes = []
+    for arg in sys.argv[1:]:
+        parts = [int(x) for x in arg.split(",")]
+        shapes.append(tuple(parts + [0] * (4 - len(parts))))
+    shapes = shapes or DEFAULT_SHAPES
+    timeout_s = float(os.environ.get("FREDDIE_WARM_TIMEOUT_S", "600"))
+    for shape in shapes:
+        for attempt in range(3):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-c", CHILD.format(repo=REPO, shape=shape)],
+                    timeout=timeout_s, capture_output=True, text=True,
+                )
+            except subprocess.TimeoutExpired:
+                print(f"warm {shape}: attempt {attempt + 1} timed out; "
+                      "waiting for the chip claim to release", flush=True)
+                time.sleep(150)
+                continue
+            sys.stdout.write(proc.stdout)
+            if proc.returncode == 0:
+                break
+            print(f"warm {shape}: attempt {attempt + 1} rc={proc.returncode}\n"
+                  + proc.stderr[-1500:], flush=True)
+            time.sleep(150)
+        else:
+            print(f"warm {shape}: FAILED after 3 attempts", flush=True)
+
+
+if __name__ == "__main__":
+    main()
