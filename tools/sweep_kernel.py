@@ -30,16 +30,16 @@ B, P, R = 2048, 64, 512
 
 CHILD = r"""
 import os, sys, time, json
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, @REPO@)
 import numpy as np
 import jax
-jax.config.update("jax_compilation_cache_dir", os.path.join({repo!r}, ".jax_cache"))
+jax.config.update("jax_compilation_cache_dir", os.path.join(@REPO@, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 from freddie_tpu.ops.segdp_pallas import solve_batch_pallas
 from freddie_tpu.ops.thresholds import ScaledThresholds
 
-B, P, R, kb, un = {cfg!r}
+B, P, R, kb, un = @CFG@
 thr = ScaledThresholds(0.9)
 key = jax.random.PRNGKey(0)
 k1, k2, k3 = jax.random.split(key, 3)
@@ -90,8 +90,10 @@ def main():
         cfg = (B, P, R, kb, un)
         for attempt in range(3):
             try:
+                code = CHILD.replace("@REPO@", repr(REPO)).replace(
+                    "@CFG@", repr(cfg))
                 proc = subprocess.run(
-                    [sys.executable, "-c", CHILD.format(repo=REPO, cfg=cfg)],
+                    [sys.executable, "-c", code],
                     timeout=timeout_s, capture_output=True, text=True,
                 )
             except subprocess.TimeoutExpired:

@@ -34,16 +34,16 @@ DEFAULT_SHAPES = [
 
 CHILD = r"""
 import os, sys, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, @REPO@)
 import numpy as np
 import jax
-jax.config.update("jax_compilation_cache_dir", os.path.join({repo!r}, ".jax_cache"))
+jax.config.update("jax_compilation_cache_dir", os.path.join(@REPO@, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 from freddie_tpu.ops.segdp_pallas import solve_batch_pallas
 from freddie_tpu.ops.thresholds import ScaledThresholds
 
-B, P, R, wide = {shape!r}
+B, P, R, wide = @SHAPE@
 thr = ScaledThresholds(0.9)
 C = jnp.zeros((B, P, R), jnp.int32)
 y = jnp.tile(jnp.arange(P, dtype=jnp.int32)[None] * 100, (B, 1))
@@ -70,8 +70,10 @@ def main():
     for shape in shapes:
         for attempt in range(3):
             try:
+                code = CHILD.replace("@REPO@", repr(REPO)).replace(
+                    "@SHAPE@", repr(shape))
                 proc = subprocess.run(
-                    [sys.executable, "-c", CHILD.format(repo=REPO, shape=shape)],
+                    [sys.executable, "-c", code],
                     timeout=timeout_s, capture_output=True, text=True,
                 )
             except subprocess.TimeoutExpired:
