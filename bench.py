@@ -108,6 +108,22 @@ def tpu_child(split_dir, workdir, force_cpu=False):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
 
+    if not force_cpu:
+        # Claim the chip NOW, under a watchdog: the tunnel's claim
+        # acquisition stochastically wedges forever (no error, no
+        # timeout); failing fast here lets the parent's retry ladder
+        # cycle in ~4 min instead of burning the whole child budget.
+        import signal
+
+        def _claim_alarm(signum, frame):
+            sys.stderr.write("[bench-child] chip claim wedged; exiting\n")
+            os._exit(3)
+
+        signal.signal(signal.SIGALRM, _claim_alarm)
+        signal.alarm(int(os.environ.get("FREDDIE_CLAIM_PROBE_S", "240")))
+        _ = np.asarray(jnp.zeros((8, 8)).sum())
+        signal.alarm(0)
+
     from freddie_tpu.config import SegmentConfig
     from freddie_tpu.stages.segment import run_segment
 

@@ -32,6 +32,14 @@ DEFAULT_SHAPES = [
     (2048, 64, 512, 0),  # bench.py kernel microbench
 ]
 
+# (padded_rows, window_len) buckets of the polyA scan (ops.polya_batch)
+# for the bench dataset; enumerate others by spying on best_poly_batch.
+DEFAULT_POLYA_SHAPES = [
+    (8192, 1024),
+    (65536, 256),
+    (65536, 64),
+]
+
 CHILD = r"""
 import os, sys, time
 sys.path.insert(0, @REPO@)
@@ -59,18 +67,43 @@ print(f"warm B={B} P={P} R={R} wide={wide}: {time.perf_counter() - t0:.0f}s",
       flush=True)
 """
 
+POLYA_CHILD = r"""
+import os, sys, time
+sys.path.insert(0, @REPO@)
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", os.path.join(@REPO@, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import jax.numpy as jnp
+from freddie_tpu.ops.polya_batch import _get_scan
+
+B, L = @SHAPE@
+packed = jnp.zeros((B, L // 8), jnp.uint8)
+lens = jnp.full((B,), L, jnp.int32)
+t0 = time.perf_counter()
+out = _get_scan()(packed, lens)
+_ = np.asarray(out[0][:1])
+print(f"warm polyA B={B} L={L}: {time.perf_counter() - t0:.0f}s", flush=True)
+"""
+
 
 def main():
-    shapes = []
+    jobs = []
     for arg in sys.argv[1:]:
+        if arg.startswith("polya:"):
+            b, l = arg[len("polya:"):].split(",")
+            jobs.append((POLYA_CHILD, (int(b), int(l))))
+            continue
         parts = [int(x) for x in arg.split(",")]
-        shapes.append(tuple(parts + [0] * (4 - len(parts))))
-    shapes = shapes or DEFAULT_SHAPES
+        jobs.append((CHILD, tuple(parts + [0] * (4 - len(parts)))))
+    if not jobs:
+        jobs = [(CHILD, s) for s in DEFAULT_SHAPES]
+        jobs += [(POLYA_CHILD, s) for s in DEFAULT_POLYA_SHAPES]
     timeout_s = float(os.environ.get("FREDDIE_WARM_TIMEOUT_S", "600"))
-    for shape in shapes:
+    for template, shape in jobs:
         for attempt in range(3):
             try:
-                code = CHILD.replace("@REPO@", repr(REPO)).replace(
+                code = template.replace("@REPO@", repr(REPO)).replace(
                     "@SHAPE@", repr(shape))
                 proc = subprocess.run(
                     [sys.executable, "-c", code],
