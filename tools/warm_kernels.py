@@ -48,6 +48,13 @@ import jax
 jax.config.update("jax_compilation_cache_dir", os.path.join(@REPO@, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
+import signal
+def _claim_alarm(signum, frame):
+    sys.stderr.write("claim wedged\n"); os._exit(3)
+signal.signal(signal.SIGALRM, _claim_alarm)
+signal.alarm(int(os.environ.get("FREDDIE_CLAIM_PROBE_S", "240")))
+_ = np.asarray(jnp.zeros((8, 8)).sum())
+signal.alarm(0)
 from freddie_tpu.ops.segdp_pallas import solve_batch_pallas
 from freddie_tpu.ops.thresholds import ScaledThresholds
 
@@ -75,6 +82,13 @@ import jax
 jax.config.update("jax_compilation_cache_dir", os.path.join(@REPO@, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
+import signal
+def _claim_alarm(signum, frame):
+    sys.stderr.write("claim wedged\n"); os._exit(3)
+signal.signal(signal.SIGALRM, _claim_alarm)
+signal.alarm(int(os.environ.get("FREDDIE_CLAIM_PROBE_S", "240")))
+_ = np.asarray(jnp.zeros((8, 8)).sum())
+signal.alarm(0)
 from freddie_tpu.ops.polya_batch import _get_scan
 
 B, L = @SHAPE@
@@ -99,7 +113,7 @@ def main():
     if not jobs:
         jobs = [(CHILD, s) for s in DEFAULT_SHAPES]
         jobs += [(POLYA_CHILD, s) for s in DEFAULT_POLYA_SHAPES]
-    timeout_s = float(os.environ.get("FREDDIE_WARM_TIMEOUT_S", "600"))
+    timeout_s = float(os.environ.get("FREDDIE_WARM_TIMEOUT_S", "900"))
     for template, shape in jobs:
         for attempt in range(3):
             try:
