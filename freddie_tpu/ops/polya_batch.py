@@ -28,7 +28,15 @@ from __future__ import annotations
 
 import numpy as np
 
-MAX_WINDOW = 2048  # f32 purity ordering proof bound; longer windows -> host
+# Device-path cap on window length; longer windows use the host scorer
+# (byte-identical results either way -- the batch path is equivalence-
+# tested against it). Two forces bound this: the f32 purity-ordering
+# proof below needs L <= 2048, and the XLA:TPU lowering of the
+# associative scans grows steeply with L (measured executables:
+# L=64 -> 1.6 MB, L=256 -> 112 MB; L=1024 did not finish compiling
+# through the remote-compile tunnel). Long soft-clips are rare, so the
+# host Kadane absorbs them cheaply.
+MAX_WINDOW = 256
 
 
 def _scan_batch_packed(packed: "jnp.ndarray", lens: "jnp.ndarray"):
@@ -142,17 +150,20 @@ def _get_scan():
     return _jit_cache["fn"]
 
 
-_L_BUCKETS = (64, 256, 1024, MAX_WINDOW)
+_L_BUCKETS = (64, MAX_WINDOW)
+_MAX_ROWS = 8192  # compiled executable size also grows with rows; chunk
 
 
 def _pad_rows(b: int) -> int:
     """Round the batch dim to a coarse bucket so the compiled shape set
     stays tiny across calls (remote compiles cost minutes per shape; the
-    scan itself is cheap, so padding waste is the right trade)."""
-    for p in (1024, 8192, 65536):
+    scan itself is cheap, so padding waste is the right trade). Callers
+    chunk at _MAX_ROWS, so the full shape set is {1024, 8192} x
+    _L_BUCKETS."""
+    for p in (1024, _MAX_ROWS):
         if b <= p:
             return p
-    return ((b + 65535) // 65536) * 65536
+    raise AssertionError(f"chunk rows {b} > {_MAX_ROWS}")
 
 
 def best_poly_batch(windows: list[str], chars: list[str]):
@@ -188,31 +199,33 @@ def best_poly_batch(windows: list[str], chars: list[str]):
                     buckets.setdefault(edge, []).append(i)
                     break
     fn = _get_scan() if buckets else None
-    for L, dev_rows in sorted(buckets.items()):
-        B = _pad_rows(len(dev_rows))
-        # Vectorized host packing: scatter the concatenated window bytes
-        # into the padded (B, L) grid (row-major boolean assignment lays
-        # them out window-by-window), compare against each row's target
-        # char, bit-pack. No per-window Python loop, and the transfer is
-        # L/8 bytes per row instead of 2L.
-        lens_np = np.zeros(B, dtype=np.int32)
-        lens_np[: len(dev_rows)] = [len(windows[i]) for i in dev_rows]
-        grid = np.zeros((B, L), dtype=np.uint8)
-        mask = np.arange(L, dtype=np.int32)[None, :] < lens_np[:, None]
-        grid[mask] = np.frombuffer(
-            "".join(windows[i] for i in dev_rows).encode(), dtype=np.uint8
-        )
-        tchar = np.zeros((B, 1), dtype=np.uint8)
-        tchar[: len(dev_rows), 0] = [ord(chars[i]) for i in dev_rows]
-        packed = np.packbits(grid == tchar, axis=1)
-        found, first, length, cnt = fn(jnp.asarray(packed), jnp.asarray(lens_np))
-        found = np.asarray(found)
-        first = np.asarray(first)
-        length = np.asarray(length)
-        cnt = np.asarray(cnt)
-        for r, i in enumerate(dev_rows):
-            if found[r]:
-                results[i] = (int(first[r]), int(length[r]), int(cnt[r]))
+    for L, rows_all in sorted(buckets.items()):
+        for lo in range(0, len(rows_all), _MAX_ROWS):
+            dev_rows = rows_all[lo : lo + _MAX_ROWS]
+            B = _pad_rows(len(dev_rows))
+            # Vectorized host packing: scatter the concatenated window
+            # bytes into the padded (B, L) grid (row-major boolean
+            # assignment lays them out window-by-window), compare against
+            # each row's target char, bit-pack. No per-window Python
+            # loop, and the transfer is L/8 bytes per row instead of 2L.
+            lens_np = np.zeros(B, dtype=np.int32)
+            lens_np[: len(dev_rows)] = [len(windows[i]) for i in dev_rows]
+            grid = np.zeros((B, L), dtype=np.uint8)
+            mask = np.arange(L, dtype=np.int32)[None, :] < lens_np[:, None]
+            grid[mask] = np.frombuffer(
+                "".join(windows[i] for i in dev_rows).encode(), dtype=np.uint8
+            )
+            tchar = np.zeros((B, 1), dtype=np.uint8)
+            tchar[: len(dev_rows), 0] = [ord(chars[i]) for i in dev_rows]
+            packed = np.packbits(grid == tchar, axis=1)
+            found, first, length, cnt = fn(jnp.asarray(packed), jnp.asarray(lens_np))
+            found = np.asarray(found)
+            first = np.asarray(first)
+            length = np.asarray(length)
+            cnt = np.asarray(cnt)
+            for r, i in enumerate(dev_rows):
+                if found[r]:
+                    results[i] = (int(first[r]), int(length[r]), int(cnt[r]))
     return results
 
 

@@ -32,12 +32,15 @@ DEFAULT_SHAPES = [
     (2048, 64, 512, 0),  # bench.py kernel microbench
 ]
 
-# (padded_rows, window_len) buckets of the polyA scan (ops.polya_batch)
-# for the bench dataset; enumerate others by spying on best_poly_batch.
+# (padded_rows, window_len) buckets of the polyA scan: the full shape
+# set is {1024, 8192} x {64, 256} (ops.polya_batch caps device windows
+# at 256 chars and chunks rows at 8192 -- XLA:TPU scan executables grow
+# steeply with both dims).
 DEFAULT_POLYA_SHAPES = [
-    (8192, 1024),
-    (65536, 256),
-    (65536, 64),
+    (8192, 64),
+    (8192, 256),
+    (1024, 64),
+    (1024, 256),
 ]
 
 CHILD = r"""
