@@ -136,6 +136,62 @@ def _scan_batch(match: "jnp.ndarray", valid: "jnp.ndarray"):
     )
 
 
+def _scan_np(match: np.ndarray, lens: np.ndarray):
+    """Numpy twin of _scan_batch for arbitrary window lengths (the host
+    fallback for windows longer than MAX_WINDOW): one vectorized column
+    sweep across all rows instead of a pure-Python Kadane per window.
+    Purity comparisons run in float64, exactly like the per-window host
+    scorer (ops.polya.longest_poly_runs + max by (purity, -first));
+    returns the same (found, first, length, cnt) contract as the device
+    scan."""
+    B, L = match.shape
+    valid = np.arange(L, dtype=np.int32)[None, :] < lens[:, None]
+    m = np.where(valid, np.where(match, 1, -2), -(10**6)).astype(np.int64)
+    cnt_prefix = np.cumsum(match & valid, axis=1, dtype=np.int64)
+    rows = np.arange(B)
+
+    s = np.zeros(B, np.int64)
+    in_run = np.zeros(B, bool)
+    first = np.zeros(B, np.int64)
+    runbest = np.zeros(B, np.int64)  # s*(L+1)+i: max s, ties -> latest i
+    best_p = np.full(B, -1.0)
+    best_first = np.zeros(B, np.int64)
+    best_len = np.zeros(B, np.int64)
+    best_cnt = np.zeros(B, np.int64)
+
+    def close(ended, first, runbest):
+        if not ended.any():
+            return
+        best_idx = runbest % (L + 1)
+        length = best_idx + 1 - first
+        cnt = cnt_prefix[rows, best_idx] - np.where(
+            first > 0, cnt_prefix[rows, np.maximum(first - 1, 0)], 0
+        )
+        ok = ended & (length >= 20) & (20 * cnt >= 17 * length)
+        purity = np.where(ok, cnt / np.maximum(length, 1), -1.0)
+        better = ok & (purity > best_p)  # strict: earliest run wins ties
+        np.copyto(best_p, purity, where=better)
+        np.copyto(best_first, first, where=better)
+        np.copyto(best_len, length, where=better)
+        np.copyto(best_cnt, cnt, where=better)
+
+    for i in range(L):
+        prev_in = in_run
+        s = np.maximum(0, s + m[:, i])
+        in_run = s > 0
+        close(prev_in & ~in_run, first, runbest)
+        new_run = in_run & ~prev_in
+        first = np.where(new_run, i, first)
+        key = s * (L + 1) + i
+        runbest = np.where(
+            new_run, key, np.where(in_run, np.maximum(runbest, key), runbest)
+        )
+    close(in_run, first, runbest)
+
+    found = best_len > 0
+    return found, best_first, best_len, best_cnt
+
+
 _jit_cache: dict = {}
 
 
@@ -176,19 +232,23 @@ def best_poly_batch(windows: list[str], chars: list[str]):
     """
     import jax.numpy as jnp
 
-    from .polya import longest_poly_runs
-
     n = len(windows)
     results: list[tuple[int, int, int] | None] = [None] * n
-    for i in range(n):
-        if len(windows[i]) > MAX_WINDOW:
-            cands = [
-                (f, l, round(p * l))
-                for f, l, p in longest_poly_runs(windows[i], 0, len(windows[i]), 1, chars[i])
-                if l >= 20 and p >= 0.85
-            ]
-            if cands:
-                results[i] = max(cands, key=lambda t: (t[2] / t[1], -t[0]))
+    long_rows = [i for i in range(n) if len(windows[i]) > MAX_WINDOW]
+    for lo in range(0, len(long_rows), 1024):  # bound the (B, Lmax) grids
+        rows = long_rows[lo : lo + 1024]
+        Lmax = max(len(windows[i]) for i in rows)
+        lens_np = np.array([len(windows[i]) for i in rows], dtype=np.int32)
+        grid = np.zeros((len(rows), Lmax), dtype=np.uint8)
+        mask = np.arange(Lmax, dtype=np.int32)[None, :] < lens_np[:, None]
+        grid[mask] = np.frombuffer(
+            "".join(windows[i] for i in rows).encode(), dtype=np.uint8
+        )
+        tchar = np.array([[ord(chars[i])] for i in rows], dtype=np.uint8)
+        found, first, length, cnt = _scan_np(grid == tchar, lens_np)
+        for r, i in enumerate(rows):
+            if found[r]:
+                results[i] = (int(first[r]), int(length[r]), int(cnt[r]))
 
     buckets: dict[int, list[int]] = {}
     for i in range(n):

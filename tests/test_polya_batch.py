@@ -115,3 +115,20 @@ def test_annotate_batch_matches_host_per_read():
         # at least one read actually carries a polyA token on each side key
         joined = {tok[0] for toks in got for tok in toks if tok[:2] in ("SA", "ST", "EA", "ET")}
         assert joined, "simulation produced no polyA tails; test is vacuous"
+
+
+def test_long_window_vectorized_fallback_fuzz():
+    """The numpy column-sweep twin (_scan_np) handles every window above
+    MAX_WINDOW; pin it to the per-window host scorer across many lengths,
+    purities and both scan chars (incl. rows chunked past one batch)."""
+    from freddie_tpu.ops.polya_batch import MAX_WINDOW
+
+    rng = np.random.default_rng(11)
+    windows, chars = [], []
+    for _ in range(250):
+        n = int(rng.integers(MAX_WINDOW + 1, 2200))
+        windows.append(random_window(rng, n, polya_prob=float(rng.uniform(0, 0.3))))
+        chars.append(rng.choice(["A", "T"]))
+    got = best_poly_batch(windows, chars)
+    want = [host_best(w, c) for w, c in zip(windows, chars)]
+    assert got == want
