@@ -89,15 +89,15 @@ def cigar_to_str(cigar: list[tuple[int, int]]) -> str:
     return "".join(f"{c}{CIGAR_OPS[t]}" for t, c in cigar)
 
 
+_CIGAR_RE = None
+
+
 def str_to_cigar(s: str) -> list[tuple[int, int]]:
     from ..io.bam import CIGAR_OP_CODE
 
-    out = []
-    num = 0
-    for ch in s:
-        if ch.isdigit():
-            num = num * 10 + ord(ch) - 48
-        else:
-            out.append((CIGAR_OP_CODE[ch], num))
-            num = 0
-    return out
+    global _CIGAR_RE
+    if _CIGAR_RE is None:
+        import re
+
+        _CIGAR_RE = re.compile(r"(\d+)([A-Z=])")
+    return [(CIGAR_OP_CODE[op], int(n)) for n, op in _CIGAR_RE.findall(s)]

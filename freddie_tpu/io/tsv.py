@@ -28,6 +28,8 @@ from dataclasses import dataclass, field
 
 from ..core.cigar import str_to_cigar
 
+_IV_RE = re.compile(r"(\d+)-(\d+):(\d+)-(\d+):(.*)")
+
 # ---------------------------------------------------------------------- split
 
 
@@ -78,10 +80,12 @@ def parse_split_tsv(path: str) -> SplitTint:
         else:
             ivs = []
             for f in fields[5:]:
-                t_part, q_part, cig = f.split(":")
-                ts, te = (int(x) for x in t_part.split("-"))
-                qs, qe = (int(x) for x in q_part.split("-"))
-                ivs.append((ts, te, qs, qe, str_to_cigar(cig)))
+                m = _IV_RE.match(f)
+                ts, te, qs, qe = (
+                    int(m.group(1)), int(m.group(2)),
+                    int(m.group(3)), int(m.group(4)),
+                )
+                ivs.append((ts, te, qs, qe, str_to_cigar(m.group(5))))
             assert all(
                 a[1] <= b[0] and a[3] <= b[2] for a, b in zip(ivs[:-1], ivs[1:])
             )
