@@ -133,6 +133,7 @@ def main():
                 continue
             sys.stdout.write(proc.stdout)
             if proc.returncode == 0:
+                time.sleep(20)  # let the released claim settle
                 break
             print(f"warm {shape}: attempt {attempt + 1} rc={proc.returncode}\n"
                   + proc.stderr[-1500:], flush=True)
