@@ -45,6 +45,11 @@ MAX_SEGS = 20  # full-enumeration twins: 2^20 masks at most
 WIDE_MAX_SEGS = 26  # device-assisted bound-filtered enumeration ceiling
 WIDE_CANDIDATE_CAP = 200_000  # filtered-mask budget for the wide path
 
+
+class _DfsTimeout(Exception):
+    """Raised inside a per-structure conflict DFS past its deadline."""
+
+
 # popcount of every 16-bit value; popcount(u32 x) = _PC16[x&0xFFFF] + _PC16[x>>16]
 _PC16 = np.array(
     [bin(v).count("1") for v in range(1 << 16)], dtype=np.int32
@@ -118,11 +123,16 @@ class _PerStructure:
         pos_gain = np.where(subset_ok & (d > 0), d, 0.0).sum(axis=0)
         return self.g_total - pos_gain
 
-    def best_for(self, E: int):
+    def best_for(self, E: int, t_end: float | None = None):
         """(cost, sorted assigned read list) of the optimal conflict-free
         covering assignment for structure E, or (None, None) when E is
         uncoverable. Candidate order, free-assignment and DFS tie-breaks
-        are identical to the C++ core's per-E scan."""
+        are identical to the C++ core's per-E scan.
+
+        Raises _DfsTimeout past t_end: one structure's conflict DFS can
+        blow up exponentially under dense incompatibilities, so (like the
+        C++ core) the wall check lives inside the recursion, not only in
+        the caller's per-mask loop."""
         ok = (self.I_int & ~np.uint32(E)) == 0  # subset-compatible
         if self.n_gaps:
             gm = self.gap_masks & np.uint32(E)
@@ -180,9 +190,16 @@ class _PerStructure:
         best_gain = -np.inf
         best_sub: list[int] | None = None
         chosen: list[int] = []
+        nodes = 0
 
         def rec(p: int, gain: float, union: int, chosen_set: set):
-            nonlocal best_gain, best_sub
+            nonlocal best_gain, best_sub, nodes
+            nodes += 1
+            if t_end is not None and (nodes & 0xFFFF) == 0:
+                import time
+
+                if time.monotonic() > t_end:
+                    raise _DfsTimeout
             # prune: remaining reads cannot complete the coverage of E
             if (union | suff_union[p]) & E != E:
                 return
@@ -232,7 +249,11 @@ def _replay(ctx: _PerStructure, order, optimistic, t_end) -> SolveResult:
         if time.monotonic() > t_end:
             timed_out = True
             break
-        cost, assigned = ctx.best_for(E)
+        try:
+            cost, assigned = ctx.best_for(E, t_end)
+        except _DfsTimeout:
+            timed_out = True
+            break
         if assigned is None:
             continue
         if cost < best_cost:

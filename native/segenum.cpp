@@ -34,9 +34,21 @@ struct SubCtx {
   std::vector<int> best_sub;
   std::vector<int> chosen;
   std::vector<uint64_t> chosen_bits;
+  // Deadline plumbing: one mask's conflict DFS can blow up exponentially
+  // (dense incompatibilities), so the wall check must live INSIDE the
+  // recursion, not only in the outer mask loop.
+  std::chrono::steady_clock::time_point t_end;
+  int64_t nodes = 0;
+  bool timed_out = false;
 };
 
 void rec(SubCtx& c, int p, double gain, uint32_t uni) {
+  if (c.timed_out) return;
+  if ((++c.nodes & 0xFFFF) == 0 &&
+      std::chrono::steady_clock::now() > c.t_end) {
+    c.timed_out = true;
+    return;
+  }
   if (((uni | c.suff_union[p]) & c.E) != c.E) return;
   if (gain + c.suff_pos[p] <= c.best_gain) return;
   if (p == c.n_sub) {
@@ -244,7 +256,12 @@ int solve_segenum(
     sctx.suff_union = suff_union.data();
     sctx.best_gain = NEG;
     sctx.chosen_bits.assign(cw, 0);
+    sctx.t_end = t_end;
     rec(sctx, 0, base_gain, base_union);
+    if (sctx.timed_out) {
+      timed_out = true;
+      break;
+    }
     if (sctx.best_gain == NEG) continue;
     double cost = g_total - sctx.best_gain;
     if (cost < best_cost) {
