@@ -191,8 +191,17 @@ class _PerStructure:
         best_sub: list[int] | None = None
         chosen: list[int] = []
         nodes = 0
+        dplus = [max(d, 0.0) for d in sub_delta]
+        # excluded[q] = how many chosen positions conflict with q. The
+        # conflict-aware prune subtracts already-conflicted remaining
+        # positive profits from suff_pos: a valid upper bound (no
+        # extension can assign them), and a valid bound under strict
+        # incumbent updates cannot cut the first-in-DFS-order optimum
+        # before it is found -- the canonical result is unchanged, only
+        # the node count (mirrors native/segenum.cpp).
+        excluded = [0] * n_sub
 
-        def rec(p: int, gain: float, union: int, chosen_set: set):
+        def rec(p: int, gain: float, union: int):
             nonlocal best_gain, best_sub, nodes
             nodes += 1
             if t_end is not None and (nodes & 0xFFFF) == 0:
@@ -203,7 +212,11 @@ class _PerStructure:
             # prune: remaining reads cannot complete the coverage of E
             if (union | suff_union[p]) & E != E:
                 return
-            if gain + suff_pos[p] <= best_gain:
+            exc = 0.0
+            for q in range(p, n_sub):
+                if excluded[q]:
+                    exc += dplus[q]
+            if gain + suff_pos[p] - exc <= best_gain:
                 return
             if p == n_sub:
                 if union == E and gain > best_gain:
@@ -211,17 +224,19 @@ class _PerStructure:
                     best_sub = list(chosen)
                 return
             # assign p if conflict-free
-            if not (sub_conf[p] & chosen_set):
+            if not excluded[p]:
                 chosen.append(p)
-                chosen_set.add(p)
-                rec(p + 1, gain + sub_delta[p], union | sub_I[p], chosen_set)
-                chosen_set.remove(p)
+                for q in sub_conf[p]:
+                    excluded[q] += 1
+                rec(p + 1, gain + sub_delta[p], union | sub_I[p])
+                for q in sub_conf[p]:
+                    excluded[q] -= 1
                 chosen.pop()
-            rec(p + 1, gain, union, chosen_set)
+            rec(p + 1, gain, union)
 
         # E == 0 is NOT special: reads with no exons can profitably join
         # an empty-structure isoform (union stays 0 == E).
-        rec(0, base_gain, base_union, set())
+        rec(0, base_gain, base_union)
         if best_sub is None:
             return None, None
         assigned = sorted(

@@ -34,6 +34,16 @@ struct SubCtx {
   std::vector<int> best_sub;
   std::vector<int> chosen;
   std::vector<uint64_t> chosen_bits;
+  // excluded[q] = how many chosen positions conflict with q; dplus[q] =
+  // max(delta[q], 0). The conflict-aware prune subtracts the positive
+  // profit of already-conflicted remaining positions from suff_pos --
+  // a valid upper bound (no extension can assign them), and pruning
+  // with a valid bound under strict incumbent updates cannot cut the
+  // first-in-DFS-order optimum before it is found, so the canonical
+  // result is unchanged; only the node count shrinks (dense-conflict
+  // instances previously blew up exponentially here).
+  std::vector<int32_t> excluded;
+  const double* dplus;
   // Deadline plumbing: one mask's conflict DFS can blow up exponentially
   // (dense incompatibilities), so the wall check must live INSIDE the
   // recursion, not only in the outer mask loop.
@@ -50,7 +60,10 @@ void rec(SubCtx& c, int p, double gain, uint32_t uni) {
     return;
   }
   if (((uni | c.suff_union[p]) & c.E) != c.E) return;
-  if (gain + c.suff_pos[p] <= c.best_gain) return;
+  double exc = 0.0;
+  for (int q = p; q < c.n_sub; ++q)
+    if (c.excluded[q]) exc += c.dplus[q];
+  if (gain + c.suff_pos[p] - exc <= c.best_gain) return;
   if (p == c.n_sub) {
     if (uni == c.E && gain > c.best_gain) {
       c.best_gain = gain;
@@ -58,16 +71,28 @@ void rec(SubCtx& c, int p, double gain, uint32_t uni) {
     }
     return;
   }
-  bool conflicted = false;
-  for (int w = 0; w < c.conf_words; ++w)
-    if (c.conf[(size_t)p * c.conf_words + w] & c.chosen_bits[w]) {
-      conflicted = true;
-      break;
-    }
+  bool conflicted = c.excluded[p] != 0;
   if (!conflicted) {
+    const uint64_t* crow = c.conf + (size_t)p * c.conf_words;
     c.chosen.push_back(p);
     c.chosen_bits[p >> 6] |= 1ull << (p & 63);
+    for (int w = 0; w < c.conf_words; ++w) {
+      uint64_t bits = crow[w];
+      while (bits) {
+        int b = __builtin_ctzll(bits);
+        ++c.excluded[(w << 6) + b];
+        bits &= bits - 1;
+      }
+    }
     rec(c, p + 1, gain + c.delta[p], uni | c.I[p]);
+    for (int w = 0; w < c.conf_words; ++w) {
+      uint64_t bits = crow[w];
+      while (bits) {
+        int b = __builtin_ctzll(bits);
+        --c.excluded[(w << 6) + b];
+        bits &= bits - 1;
+      }
+    }
     c.chosen_bits[p >> 6] &= ~(1ull << (p & 63));
     c.chosen.pop_back();
   }
@@ -240,8 +265,10 @@ int solve_segenum(
     }
     std::vector<double> suff_pos(n_sub + 1, 0.0);
     std::vector<uint32_t> suff_union(n_sub + 1, 0);
+    std::vector<double> dplus(n_sub, 0.0);
     for (int p = n_sub - 1; p >= 0; --p) {
-      suff_pos[p] = suff_pos[p + 1] + std::max(sub_delta[p], 0.0);
+      dplus[p] = std::max(sub_delta[p], 0.0);
+      suff_pos[p] = suff_pos[p + 1] + dplus[p];
       suff_union[p] = suff_union[p + 1] | sub_I[p];
     }
 
@@ -256,6 +283,8 @@ int solve_segenum(
     sctx.suff_union = suff_union.data();
     sctx.best_gain = NEG;
     sctx.chosen_bits.assign(cw, 0);
+    sctx.excluded.assign((size_t)cw * 64, 0);
+    sctx.dplus = dplus.data();
     sctx.t_end = t_end;
     rec(sctx, 0, base_gain, base_union);
     if (sctx.timed_out) {
