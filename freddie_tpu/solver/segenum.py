@@ -209,13 +209,19 @@ class _PerStructure:
 
                 if time.monotonic() > t_end:
                     raise _DfsTimeout
-            # prune: remaining reads cannot complete the coverage of E
-            if (union | suff_union[p]) & E != E:
-                return
+            # One pass over the remaining positions feeds both prunes:
+            # conflicted-out positive profit (bound) and the union of
+            # still-assignable structures (coverage; tighter than the
+            # static suffix union).
             exc = 0.0
+            avail_uni = 0
             for q in range(p, n_sub):
                 if excluded[q]:
                     exc += dplus[q]
+                else:
+                    avail_uni |= sub_I[q]
+            if (union | avail_uni) & E != E:
+                return
             if gain + suff_pos[p] - exc <= best_gain:
                 return
             if p == n_sub:

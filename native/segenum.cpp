@@ -59,10 +59,19 @@ void rec(SubCtx& c, int p, double gain, uint32_t uni) {
     c.timed_out = true;
     return;
   }
-  if (((uni | c.suff_union[p]) & c.E) != c.E) return;
+  // One pass over the remaining positions feeds both prunes: the
+  // conflicted-out positive profit (bound) and the union of still-
+  // assignable structures (coverage; tighter than the static
+  // suff_union, which counts excluded positions as available).
   double exc = 0.0;
-  for (int q = p; q < c.n_sub; ++q)
-    if (c.excluded[q]) exc += c.dplus[q];
+  uint32_t avail_uni = 0;
+  for (int q = p; q < c.n_sub; ++q) {
+    if (c.excluded[q])
+      exc += c.dplus[q];
+    else
+      avail_uni |= c.I[q];
+  }
+  if (((uni | avail_uni) & c.E) != c.E) return;
   if (gain + c.suff_pos[p] - exc <= c.best_gain) return;
   if (p == c.n_sub) {
     if (uni == c.E && gain > c.best_gain) {
