@@ -349,7 +349,8 @@ def main():
         cluster_loci_per_s=round(n_cluster / cluster_dt, 2),
         cluster_s=round(cluster_dt, 2),
         cluster_timeout_min=cluster_t_min,
-        cpu_segment_s=cpu_stats["segment_s"] if cpu_stats else None,
+        cpu_segment_s=(cpu_stats.get("segment_hot_s") or cpu_stats["segment_s"])
+        if cpu_stats else None,
         kernel_reads_per_s=stats["kernel_reads_per_s"],
         kernel_tflops=stats["kernel_tflops"],
         backend=stats["backend"],
