@@ -12,12 +12,20 @@ microbenchmark with its useful-FLOPs roofline (the matmul FLOPs of the
 Prints exactly ONE JSON line on stdout:
   {"metric": "segment_stage_reads_per_s", "value": N, "unit": "reads/s",
    "vs_baseline": ours_vs_reference_wallclock, ...extra fields...}
+The headline uses the steady-state (hot) segment run -- the production
+workflow runner amortizes one-time per-shape program loads across
+samples -- with the cold first run reported as segment_cold_s.
 
-Stage structure: everything that needs the TPU runs in a child process
-(the chip is single-claim through the axon tunnel and a stuck remote
-compile can then be abandoned); the parent generates data, runs the
-reference baseline (subprocess, CPU), the split stage and the cluster
-stage, then assembles the JSON.
+Rung structure: everything that needs the TPU runs in a disposable child
+process (the chip is single-claim through the axon tunnel; claims and
+fresh remote compiles can wedge forever, so the child claims first under
+a watchdog and the parent retries -- compiled shapes persist in
+.jax_cache, so every retry is strictly cheaper). If every TPU child
+fails, a CPU-backend child measures the same production stage
+tunnel-free and the "backend" field reports what ran. The parent
+generates data, runs the reference baseline (subprocess, CPU), the split
+stage and the cluster stage, then assembles the JSON. After a kernel
+source change, pre-warm shapes with tools/warm_kernels.py.
 """
 
 from __future__ import annotations
