@@ -139,11 +139,16 @@ def clip_context(data: list[int], segs: list[tuple[int, int]], intervals, seq: s
     if 1 not in data:
         return None
     runs = []
-    for d, grp in groupby(enumerate(data), lambda t: t[1]):
-        if d != 1:
-            continue
-        grp = list(grp)
-        runs.append((grp[0][0], grp[-1][0]))
+    run_start = -1
+    for i, d in enumerate(data):
+        if d == 1:
+            if run_start < 0:
+                run_start = i
+        elif run_start >= 0:
+            runs.append((run_start, i - 1))
+            run_start = -1
+    if run_start >= 0:
+        runs.append((run_start, len(data) - 1))
     assert runs, data
     read_len = len(seq)
     start = segs[runs[0][0]][0]
