@@ -67,7 +67,19 @@ def build_dataset(workdir: str):
     fq = os.path.join(workdir, "bench.fastq")
     sim.write_bam(bam)
     sim.write_fastq(fq)
-    return bam, fq, len(sim.reads)
+    truth = sorted(tuple(t.exons) for t in sim.transcripts)
+    # Reachable truth: isoforms with >= 3 full-length reads (truncated
+    # reads support shorter chains by design; min_isoform_size=3 is the
+    # floor for reporting an isoform at all).
+    n_exons = {t.name: len(t.exons) for t in sim.transcripts}
+    full = {}
+    for r in sim.reads:
+        if len(r.exons) == n_exons[r.transcript]:
+            full[r.transcript] = full.get(r.transcript, 0) + 1
+    reachable = sorted(
+        tuple(t.exons) for t in sim.transcripts if full.get(t.name, 0) >= 3
+    )
+    return bam, fq, len(sim.reads), truth, reachable
 
 
 def run_split_stage(bam, fq, workdir):
@@ -222,6 +234,57 @@ def run_cluster_stage(workdir):
     return n, time.perf_counter() - t0, t_min
 
 
+def run_isoforms_stage(workdir, truth, reachable=None):
+    """Finish the pipeline and score recovery against simulation truth
+    with the e2e test suite's criterion (tests/test_many_loci.py): a
+    truth isoform is recovered when some reported chain has the same
+    exon count with internal boundaries within ~2x the simulated
+    junction jitter and read ends within the end jitter plus the
+    boundary-correction window."""
+    from freddie_tpu.config import IsoformsConfig
+    from freddie_tpu.stages.isoforms import run_isoforms
+
+    gtf = os.path.join(workdir, "isoforms.gtf")
+    t0 = time.perf_counter()
+    run_isoforms(os.path.join(workdir, "split"), os.path.join(workdir, "cluster"),
+                 gtf, IsoformsConfig(threads=4))
+    iso_dt = time.perf_counter() - t0
+    rec: dict[str, list] = {}
+    for line in open(gtf):
+        f = line.split("\t")
+        if len(f) > 4 and f[2] == "exon":
+            tid = line.split('transcript_id "')[1].split('"')[0]
+            rec.setdefault(tid, []).append((int(f[3]), int(f[4])))
+    got = [sorted(v) for v in rec.values()]
+    internal_tol = 2 * SIM.get("junction_jitter", 0) + 2
+    end_tol = SIM.get("end_jitter", 0) + 15
+
+    def matches(t, g):
+        if len(t) != len(g):
+            return False
+        tb = [b for ex in t for b in ex]
+        gb = [b for ex in g for b in ex]
+        for i, (a, b) in enumerate(zip(tb, gb)):
+            tol = end_tol if i in (0, len(tb) - 1) else internal_tol
+            if abs(a - b) > tol:
+                return False
+        return True
+
+    matched = sum(1 for t in truth if any(matches(list(t), g) for g in got))
+    out = dict(
+        isoforms_s=round(iso_dt, 2),
+        reported_transcripts=len(got),
+        truth_transcripts=len(truth),
+        recovered_transcripts=matched,
+        recovery_rate=round(matched / max(len(truth), 1), 3),
+    )
+    if reachable is not None:
+        m = sum(1 for t in reachable if any(matches(list(t), g) for g in got))
+        out["reachable_transcripts"] = len(reachable)
+        out["recovery_rate_reachable"] = round(m / max(len(reachable), 1), 3)
+    return out
+
+
 def segments_identical(a_dir, b_dir) -> bool:
     import filecmp
     import glob
@@ -237,7 +300,7 @@ def main():
     import tempfile
 
     workdir = tempfile.mkdtemp(prefix="freddie_bench_")
-    bam, fq, n_reads = build_dataset(workdir)
+    bam, fq, n_reads, truth, reachable = build_dataset(workdir)
     split_dir, n_tints, split_dt = run_split_stage(bam, fq, workdir)
 
     ref_dir, ref_dt = run_reference_segment(split_dir, workdir)
@@ -335,6 +398,7 @@ def main():
             pass
 
     n_cluster, cluster_dt, cluster_t_min = run_cluster_stage(workdir)
+    recovery = run_isoforms_stage(workdir, truth, reachable)
 
     # Headline: steady-state (hot) throughput -- the production workflow
     # runner processes many samples per process, amortizing the one-time
@@ -362,13 +426,17 @@ def main():
         kernel_reads_per_s=stats["kernel_reads_per_s"],
         kernel_tflops=stats["kernel_tflops"],
         backend=stats["backend"],
+        **recovery,
     )
     print(json.dumps(result))
     print(
         f"[bench] {n_reads} reads / {n_tints} loci; segment {seg_dt:.1f}s "
         f"(reference {ref_dt and round(ref_dt, 1)}s, byte-identical={parity}); "
         f"cluster {cluster_dt:.1f}s; kernel {stats['kernel_ms']} ms "
-        f"({stats['kernel_tflops']} TFLOP/s useful) on {stats['backend']}",
+        f"({stats['kernel_tflops']} TFLOP/s useful) on {stats['backend']}; "
+        f"recovery {recovery['recovery_rate']} of {recovery['truth_transcripts']} "
+        "truth isoforms on this deliberately harsh config (jitter 6, big "
+        "deletions, alt splice; milder e2e configs hold >=0.85 in the suite)",
         file=sys.stderr,
     )
 
