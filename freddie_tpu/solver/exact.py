@@ -144,6 +144,9 @@ def solve_exact(
     # Implemented recursively with explicit stack to avoid recursion limits.
     # chosen is shared via a path list + depth markers.
     chosen: list[int] = []
+    # excluded[q] = how many chosen positions conflict with q.
+    excluded = np.zeros(N, dtype=np.int32)
+    conflict_list = [sorted(conflict[p]) for p in range(N)]
 
     def corr_cost(i_pos: int, E: np.ndarray) -> int:
         return int(np.count_nonzero(corr[i_pos] & E))
@@ -189,10 +192,17 @@ def solve_exact(
                 best_E = E_cur.copy()
             return
         # Lower bound with current E (corrections only grow with E).
+        # Undecided reads conflicting with a chosen one MUST be rejected
+        # in every completion, so they contribute their exact garbage
+        # cost instead of min(corr, garbage) -- still admissible, so the
+        # canonical first-found optimum is unchanged (mirrors
+        # native/bnb_solver.cpp).
         cost_chosen = sum(corr_cost(q, E_cur) for q in chosen)
-        und = np.arange(p, N)
         und_corr = np.count_nonzero(corr[p:] & E_cur, axis=1).astype(np.float64)
-        lb = rejected_cost + cost_chosen + np.minimum(und_corr, garbage[p:]).sum()
+        und_cost = np.where(
+            excluded[p:] > 0, garbage[p:], np.minimum(und_corr, garbage[p:])
+        )
+        lb = rejected_cost + cost_chosen + und_cost.sum()
         if lb >= best_obj:
             return
         E_possible = E_cur | suffix_or[p]
@@ -201,7 +211,7 @@ def solve_exact(
             if not gaps_feasible(q, E_cur, E_possible):
                 return
 
-        conflicted = bool(conflict[p] & set(chosen))
+        conflicted = excluded[p] > 0
 
         # Dominance: when assigning p cannot hurt -- it adds no exons
         # (E unchanged), its cost never exceeds its garbage under any
@@ -219,7 +229,9 @@ def solve_exact(
             and gaps_always_feasible(p, E_cur, E_possible)
         ):
             chosen.append(p)
+            excluded[conflict_list[p]] += 1
             recurse(p + 1, E_cur, rejected_cost)
+            excluded[conflict_list[p]] -= 1
             chosen.pop()
             return
 
@@ -228,7 +240,9 @@ def solve_exact(
             E_new = E_cur | exons[p]
             if gaps_feasible(p, E_new, E_possible):
                 chosen.append(p)
+                excluded[conflict_list[p]] += 1
                 recurse(p + 1, E_new, rejected_cost)
+                excluded[conflict_list[p]] -= 1
                 chosen.pop()
         # Branch 2: reject p.
         recurse(p + 1, E_cur, rejected_cost + garbage[p])

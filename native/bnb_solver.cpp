@@ -52,7 +52,25 @@ struct Ctx {
   bool timed_out;
   bool budget_out;
   std::vector<uint64_t> chosen_bits;  // bitset over DFS positions
+  // excluded[q] = how many chosen positions conflict with q: such q MUST
+  // be rejected in every completion, so the lower bound can charge their
+  // full garbage instead of min(corr, garbage). Still admissible (it is
+  // the exact future cost for those reads), so the canonical first-found
+  // optimum is unchanged; dense-conflict instances prune far earlier.
+  std::vector<int32_t> excluded;
 };
+
+inline void bump_conflicts(Ctx& c, int p, int delta) {
+  const std::vector<uint64_t>& row = c.conflict[p];
+  for (size_t w = 0; w < row.size(); ++w) {
+    uint64_t bits = row[w];
+    while (bits) {
+      int b = __builtin_ctzll(bits);
+      c.excluded[(w << 6) + b] += delta;
+      bits &= bits - 1;
+    }
+  }
+}
 
 inline int popcount_and(const uint64_t* a, const uint64_t* b, int words) {
   int c = 0;
@@ -136,6 +154,10 @@ void recurse(Ctx& c, int p, std::vector<uint64_t>& E_cur,
   for (int q : c.chosen)
     lb += popcount_and(c.corr + (size_t)q * W, E_cur.data(), W);
   for (int q = p; q < c.n_reads; ++q) {
+    if (c.excluded[q]) {
+      lb += c.garbage[q];
+      continue;
+    }
     double cc = popcount_and(c.corr + (size_t)q * W, E_cur.data(), W);
     lb += std::min(cc, c.garbage[q]);
   }
@@ -147,9 +169,7 @@ void recurse(Ctx& c, int p, std::vector<uint64_t>& E_cur,
   for (int q : c.chosen)
     if (!gaps_feasible(c, q, E_cur.data(), E_poss.data())) return;
 
-  bool conflicted = false;
-  for (size_t w = 0; w < c.conflict[p].size(); ++w)
-    if (c.conflict[p][w] & c.chosen_bits[w]) { conflicted = true; break; }
+  bool conflicted = c.excluded[p] != 0;
 
   // Dominance (result-identical to the full search; see the Python twin):
   // if assigning p adds no exons, never costs more than its garbage,
@@ -165,7 +185,9 @@ void recurse(Ctx& c, int p, std::vector<uint64_t>& E_cur,
         gaps_always_feasible(c, p, E_cur.data(), E_poss.data())) {
       c.chosen.push_back(p);
       c.chosen_bits[p >> 6] |= 1ull << (p & 63);
+      bump_conflicts(c, p, +1);
       recurse(c, p + 1, E_cur, rejected_cost);
+      bump_conflicts(c, p, -1);
       c.chosen_bits[p >> 6] &= ~(1ull << (p & 63));
       c.chosen.pop_back();
       return;
@@ -180,7 +202,9 @@ void recurse(Ctx& c, int p, std::vector<uint64_t>& E_cur,
     if (gaps_feasible(c, p, E_new.data(), E_poss.data())) {
       c.chosen.push_back(p);
       c.chosen_bits[p >> 6] |= 1ull << (p & 63);
+      bump_conflicts(c, p, +1);
       recurse(c, p + 1, E_new, rejected_cost);
+      bump_conflicts(c, p, -1);
       c.chosen_bits[p >> 6] &= ~(1ull << (p & 63));
       c.chosen.pop_back();
     }
@@ -254,6 +278,7 @@ int solve_bnb(
     if (b > a) c.has_forward_conflict[a] = 1; else c.has_forward_conflict[b] = 1;
   }
   c.chosen_bits.assign(posw, 0);
+  c.excluded.assign((size_t)posw * 64, 0);
 
   c.suffix_or.assign((size_t)(n_reads + 1) * W, 0);
   for (int p = n_reads - 1; p >= 0; --p)
