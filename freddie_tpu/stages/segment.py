@@ -60,23 +60,54 @@ class TintWork:
 
 def build_splice_signal(tint: SplitTint, consider_ends: bool):
     """Raw splice signal per tint interval + per-interval read-rep interval
-    arrays in y-space (py/freddie_segment.py:648-678)."""
+    arrays in y-space (py/freddie_segment.py:648-678).
+
+    One vectorized searchsorted maps every rep interval to its tint
+    interval (vs one scalar call per interval); signal accumulation uses
+    np.add.at. y_raw entries are integer-valued counts in float64, so the
+    accumulation order cannot change the result."""
     iv_bounds = np.array(tint.intervals, dtype=np.int64)  # (n_iv, 2)
     y_raws = [np.zeros(e - s + 1) for s, e in tint.intervals]
     per_iv: list[list[tuple[int, int, int]]] = [[] for _ in tint.intervals]
+    ts_l: list[int] = []
+    te_l: list[int] = []
+    rep_l: list[int] = []
+    mult_l: list[int] = []
+    first_l: list[bool] = []
+    last_l: list[bool] = []
     for rep_idx, (rep_key, ridxs) in enumerate(tint.read_reps):
         mult = len(ridxs)
         n = len(rep_key)
         for idx, (ts, te) in enumerate(rep_key):
-            iv = int(np.searchsorted(iv_bounds[:, 0], ts, side="right")) - 1
-            s, e = tint.intervals[iv]
-            assert s <= ts <= te <= e, (ts, te, s, e)
-            y_s, y_e = ts - s, te - s
-            if consider_ends or idx != 0:
-                y_raws[iv][y_s] += mult
-            if consider_ends or idx != n - 1:
-                y_raws[iv][y_e] += mult
-            per_iv[iv].append((y_s, y_e, rep_idx))
+            ts_l.append(ts)
+            te_l.append(te)
+            rep_l.append(rep_idx)
+            mult_l.append(mult)
+            first_l.append(idx == 0)
+            last_l.append(idx == n - 1)
+    if not ts_l:
+        return y_raws, per_iv
+    ts_a = np.array(ts_l, dtype=np.int64)
+    te_a = np.array(te_l, dtype=np.int64)
+    iv_a = np.searchsorted(iv_bounds[:, 0], ts_a, side="right") - 1
+    s_a = iv_bounds[iv_a, 0]
+    e_a = iv_bounds[iv_a, 1]
+    assert np.all((s_a <= ts_a) & (ts_a <= te_a) & (te_a <= e_a))
+    ys_a = ts_a - s_a
+    ye_a = te_a - s_a
+    mult_a = np.array(mult_l, dtype=np.float64)
+    start_on = np.array(first_l) <= consider_ends  # consider_ends or not first
+    end_on = np.array(last_l) <= consider_ends
+    rep_a = np.array(rep_l, dtype=np.int64)
+    for iv in range(len(tint.intervals)):
+        m = iv_a == iv
+        if not m.any():
+            continue
+        sm = m & start_on
+        em = m & end_on
+        np.add.at(y_raws[iv], ys_a[sm], mult_a[sm])
+        np.add.at(y_raws[iv], ye_a[em], mult_a[em])
+        per_iv[iv] = list(zip(ys_a[m].tolist(), ye_a[m].tolist(), rep_a[m].tolist()))
     return y_raws, per_iv
 
 
