@@ -129,6 +129,38 @@ def solve_exact(
     has_forward_conflict = [
         any(q > p for q in conflict[p]) for p in range(N)
     ]
+    # Greedy clique cover of the conflict graph (DFS-position order,
+    # first-fit): members of one clique mutually conflict, so any feasible
+    # completion assigns at most ONE read per clique. The lower bound can
+    # therefore grant at most the best single saving per clique instead of
+    # every read's saving -- strictly tighter on dense conflict graphs,
+    # still admissible (each assigned read's true saving garbage - corr(E_final)
+    # never exceeds its current saving, corrections being monotone in E),
+    # so under strict incumbent updates the canonical optimum is unchanged.
+    # Conflict-free reads form singleton cliques (identical to the old
+    # per-read min(corr, garbage) bound). Mirrors native/bnb_solver.cpp:
+    # the construction and the bound arithmetic (exact multiples of 0.5 in
+    # double) are bit-identical, keeping the twins' node paths equal.
+    conflict_bits = [0] * N
+    for p in range(N):
+        for q in conflict[p]:
+            conflict_bits[p] |= 1 << q
+    clique_id = np.zeros(N, dtype=np.int64)
+    clique_members: list[int] = []  # bitset per clique
+    for p in range(N):
+        cb = conflict_bits[p]
+        for k, members in enumerate(clique_members):
+            if members & ~cb == 0:  # p conflicts with every member
+                clique_id[p] = k
+                clique_members[k] = members | (1 << p)
+                break
+        else:
+            clique_id[p] = len(clique_members)
+            clique_members.append(1 << p)
+    n_cliques = len(clique_members)
+    suffix_garbage = np.zeros(N + 1, dtype=np.float64)
+    for p in range(N - 1, -1, -1):
+        suffix_garbage[p] = suffix_garbage[p + 1] + garbage[p]
 
     sc, eps, off = inst.eps_scale, inst.eps_scaled, inst.offset
 
@@ -191,18 +223,24 @@ def solve_exact(
                 best_set = list(chosen)
                 best_E = E_cur.copy()
             return
-        # Lower bound with current E (corrections only grow with E).
-        # Undecided reads conflicting with a chosen one MUST be rejected
-        # in every completion, so they contribute their exact garbage
-        # cost instead of min(corr, garbage) -- still admissible, so the
+        # Lower bound with current E (corrections only grow with E):
+        # every undecided read is charged its garbage, minus at most one
+        # saving per conflict clique (see the clique-cover construction
+        # above). Undecided reads conflicting with a chosen one MUST be
+        # rejected in every completion (saving 0; their clique-mates with
+        # a chosen member are likewise excluded). Admissible, so the
         # canonical first-found optimum is unchanged (mirrors
         # native/bnb_solver.cpp).
         cost_chosen = sum(corr_cost(q, E_cur) for q in chosen)
         und_corr = np.count_nonzero(corr[p:] & E_cur, axis=1).astype(np.float64)
-        und_cost = np.where(
-            excluded[p:] > 0, garbage[p:], np.minimum(und_corr, garbage[p:])
+        saving = np.where(
+            excluded[p:] > 0,
+            0.0,
+            garbage[p:] - np.minimum(und_corr, garbage[p:]),
         )
-        lb = rejected_cost + cost_chosen + und_cost.sum()
+        cmax = np.zeros(n_cliques, dtype=np.float64)
+        np.maximum.at(cmax, clique_id[p:], saving)
+        lb = rejected_cost + cost_chosen + suffix_garbage[p] - cmax.sum()
         if lb >= best_obj:
             return
         E_possible = E_cur | suffix_or[p]

@@ -180,26 +180,42 @@ class _PerStructure:
         else:
             empty = frozenset()
             sub_conf = [empty] * n_sub
-        # suffix positive-profit sums for pruning; suffix unions for coverage
-        suff_pos = [0.0] * (n_sub + 1)
-        suff_union = [0] * (n_sub + 1)
-        for p in range(n_sub - 1, -1, -1):
-            suff_pos[p] = suff_pos[p + 1] + max(sub_delta[p], 0.0)
-            suff_union[p] = suff_union[p + 1] | sub_I[p]
-
         best_gain = -np.inf
         best_sub: list[int] | None = None
         chosen: list[int] = []
         nodes = 0
         dplus = [max(d, 0.0) for d in sub_delta]
         # excluded[q] = how many chosen positions conflict with q. The
-        # conflict-aware prune subtracts already-conflicted remaining
-        # positive profits from suff_pos: a valid upper bound (no
-        # extension can assign them), and a valid bound under strict
-        # incumbent updates cannot cut the first-in-DFS-order optimum
-        # before it is found -- the canonical result is unchanged, only
-        # the node count (mirrors native/segenum.cpp).
+        # conflict-aware prune grants at most ONE positive profit per
+        # conflict clique among the non-excluded remaining positions
+        # (clique members mutually conflict, so any extension assigns at
+        # most one of them): a valid upper bound, and a valid bound under
+        # strict incumbent updates cannot cut the first-in-DFS-order
+        # optimum before it is found -- the canonical result is
+        # unchanged, only the node count (mirrors native/segenum.cpp).
         excluded = [0] * n_sub
+        # Greedy first-fit clique cover in DFS (profit) order; conflict-
+        # free positions land in singleton cliques, where the bound
+        # degenerates to the plain positive-profit suffix sum.
+        conf_bits = [0] * n_sub
+        for p in range(n_sub):
+            for q in sub_conf[p]:
+                conf_bits[p] |= 1 << int(q)
+        clique_of = [0] * n_sub
+        clique_members: list[int] = []
+        for p in range(n_sub):
+            cb = conf_bits[p]
+            for k in range(len(clique_members)):
+                if clique_members[k] & ~cb == 0:
+                    clique_of[p] = k
+                    clique_members[k] |= 1 << p
+                    break
+            else:
+                clique_of[p] = len(clique_members)
+                clique_members.append(1 << p)
+        n_cliques = len(clique_members)
+        clique_max = [0.0] * n_cliques
+        clique_epoch = [-1] * n_cliques
 
         def rec(p: int, gain: float, union: int):
             nonlocal best_gain, best_sub, nodes
@@ -210,19 +226,25 @@ class _PerStructure:
                 if time.monotonic() > t_end:
                     raise _DfsTimeout
             # One pass over the remaining positions feeds both prunes:
-            # conflicted-out positive profit (bound) and the union of
-            # still-assignable structures (coverage; tighter than the
-            # static suffix union).
-            exc = 0.0
+            # the per-clique best remaining profit (bound, accumulated
+            # incrementally under per-node epoch stamps) and the union of
+            # still-assignable positions (coverage; tighter than a static
+            # suffix union).
+            total_max = 0.0
+            epoch = nodes
             avail_uni = 0
             for q in range(p, n_sub):
-                if excluded[q]:
-                    exc += dplus[q]
-                else:
+                if not excluded[q]:
                     avail_uni |= sub_I[q]
+                    k = clique_of[q]
+                    prev = clique_max[k] if clique_epoch[k] == epoch else 0.0
+                    if dplus[q] > prev:
+                        total_max += dplus[q] - prev
+                        clique_max[k] = dplus[q]
+                        clique_epoch[k] = epoch
             if (union | avail_uni) & E != E:
                 return
-            if gain + suff_pos[p] - exc <= best_gain:
+            if gain + total_max <= best_gain:
                 return
             if p == n_sub:
                 if union == E and gain > best_gain:
@@ -380,12 +402,22 @@ def solve_segment_enum_wide(
     if N == 0:
         return SolveResult("OPTIMAL", 0.0, [], None)
     t_end = time.monotonic() + deadline_s
-    ctx = _PerStructure(inst)
     n_masks = 1 << Mi
     optimistic = _optimistic_device(inst, n_masks)
     passing = np.flatnonzero(optimistic <= incumbent_cost + 1e-9)
     if len(passing) > WIDE_CANDIDATE_CAP:
         return None
     order = passing[np.lexsort((passing, optimistic[passing]))]
+    # Engine choice (C++ replay preferred, Python fallback) only changes
+    # speed: the per-E scan twins are bit-equal, the list and its visit
+    # order are computed identically here either way.
+    from .native import solve_segenum_list_native
+
+    native = solve_segenum_list_native(
+        inst, order, optimistic[order], max(t_end - time.monotonic(), 0.001)
+    )
+    if native is not None:
+        return native
+    ctx = _PerStructure(inst)
     opt_map = {int(E): float(optimistic[E]) for E in passing}
     return _replay(ctx, order, opt_map, t_end)

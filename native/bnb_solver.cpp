@@ -58,6 +58,18 @@ struct Ctx {
   // the exact future cost for those reads), so the canonical first-found
   // optimum is unchanged; dense-conflict instances prune far earlier.
   std::vector<int32_t> excluded;
+  // Greedy clique cover of the conflict graph (DFS order, first-fit):
+  // clique members mutually conflict, so at most ONE read per clique can
+  // be assigned in any completion -- the lower bound grants only the best
+  // single saving per clique. Conflict-free reads sit in singleton
+  // cliques (bound unchanged there). Twin of the identical construction
+  // in freddie_tpu/solver/exact.py; all bound terms are exact multiples
+  // of 0.5 in double, so the twins' node paths stay bit-equal.
+  std::vector<int32_t> clique_id;
+  int n_cliques;
+  std::vector<double> clique_max;    // per-clique best saving (epoch-gated)
+  std::vector<long> clique_epoch;    // node stamp for clique_max validity
+  std::vector<double> suffix_garbage;  // [n_reads+1]
 };
 
 inline void bump_conflicts(Ctx& c, int p, int delta) {
@@ -149,18 +161,27 @@ void recurse(Ctx& c, int p, std::vector<uint64_t>& E_cur,
     }
     return;
   }
-  // Lower bound.
+  // Lower bound: every undecided read charged its garbage, minus at most
+  // one saving per conflict clique (see clique_id above). Excluded reads
+  // (conflicting with a chosen one) must be rejected: saving 0.
   double lb = rejected_cost;
   for (int q : c.chosen)
     lb += popcount_and(c.corr + (size_t)q * W, E_cur.data(), W);
+  double total_max = 0.0;
+  const long epoch = c.nodes;
   for (int q = p; q < c.n_reads; ++q) {
-    if (c.excluded[q]) {
-      lb += c.garbage[q];
-      continue;
-    }
+    if (c.excluded[q]) continue;
     double cc = popcount_and(c.corr + (size_t)q * W, E_cur.data(), W);
-    lb += std::min(cc, c.garbage[q]);
+    double saving = c.garbage[q] - std::min(cc, c.garbage[q]);
+    int k = c.clique_id[q];
+    double prev = (c.clique_epoch[k] == epoch) ? c.clique_max[k] : 0.0;
+    if (saving > prev) {
+      total_max += saving - prev;
+      c.clique_max[k] = saving;
+      c.clique_epoch[k] = epoch;
+    }
   }
+  lb += c.suffix_garbage[p] - total_max;
   if (lb >= c.best_obj) return;
   // E_possible = E_cur | suffix_or[p]
   std::vector<uint64_t> E_poss(W);
@@ -279,6 +300,32 @@ int solve_bnb(
   }
   c.chosen_bits.assign(posw, 0);
   c.excluded.assign((size_t)posw * 64, 0);
+
+  // Greedy first-fit clique cover in DFS order (twin of exact.py).
+  c.clique_id.assign(n_reads, 0);
+  std::vector<std::vector<uint64_t>> clique_members;  // bitsets over positions
+  for (int p2 = 0; p2 < n_reads; ++p2) {
+    const std::vector<uint64_t>& cb = c.conflict[p2];
+    int placed = -1;
+    for (size_t k = 0; k < clique_members.size(); ++k) {
+      bool subset = true;
+      for (int w = 0; w < posw; ++w)
+        if (clique_members[k][w] & ~cb[w]) { subset = false; break; }
+      if (subset) { placed = (int)k; break; }
+    }
+    if (placed < 0) {
+      placed = (int)clique_members.size();
+      clique_members.emplace_back(posw, 0);
+    }
+    c.clique_id[p2] = placed;
+    clique_members[placed][p2 >> 6] |= 1ull << (p2 & 63);
+  }
+  c.n_cliques = (int)clique_members.size();
+  c.clique_max.assign(c.n_cliques, 0.0);
+  c.clique_epoch.assign(c.n_cliques, -1);
+  c.suffix_garbage.assign(n_reads + 1, 0.0);
+  for (int p2 = n_reads - 1; p2 >= 0; --p2)
+    c.suffix_garbage[p2] = c.suffix_garbage[p2 + 1] + garbage[p2];
 
   c.suffix_or.assign((size_t)(n_reads + 1) * W, 0);
   for (int p = n_reads - 1; p >= 0; --p)

@@ -28,22 +28,27 @@ struct SubCtx {
   const uint32_t* I;          // [n_sub]
   const uint64_t* conf;       // [n_sub][conf_words] bitset over sub positions
   int conf_words;
-  const double* suff_pos;     // [n_sub+1]
-  const uint32_t* suff_union; // [n_sub+1]
   double best_gain;
   std::vector<int> best_sub;
   std::vector<int> chosen;
   std::vector<uint64_t> chosen_bits;
   // excluded[q] = how many chosen positions conflict with q; dplus[q] =
-  // max(delta[q], 0). The conflict-aware prune subtracts the positive
-  // profit of already-conflicted remaining positions from suff_pos --
-  // a valid upper bound (no extension can assign them), and pruning
+  // max(delta[q], 0). The conflict-aware prune grants at most ONE
+  // positive profit per conflict clique among the non-excluded remaining
+  // positions (clique members mutually conflict, so any extension
+  // assigns at most one of them) -- a valid upper bound, and pruning
   // with a valid bound under strict incumbent updates cannot cut the
   // first-in-DFS-order optimum before it is found, so the canonical
   // result is unchanged; only the node count shrinks (dense-conflict
-  // instances previously blew up exponentially here).
+  // instances previously blew up exponentially here). Twin of the
+  // identical construction in solver/segenum.py (exact multiples of 0.5
+  // in double keep the node paths bit-equal).
   std::vector<int32_t> excluded;
   const double* dplus;
+  const int32_t* clique_of;   // [n_sub] greedy first-fit cover, DFS order
+  int n_cliques;
+  std::vector<double> clique_max;
+  std::vector<int64_t> clique_epoch;
   // Deadline plumbing: one mask's conflict DFS can blow up exponentially
   // (dense incompatibilities), so the wall check must live INSIDE the
   // recursion, not only in the outer mask loop.
@@ -60,19 +65,25 @@ void rec(SubCtx& c, int p, double gain, uint32_t uni) {
     return;
   }
   // One pass over the remaining positions feeds both prunes: the
-  // conflicted-out positive profit (bound) and the union of still-
-  // assignable structures (coverage; tighter than the static
-  // suff_union, which counts excluded positions as available).
-  double exc = 0.0;
+  // per-clique best remaining profit (bound) and the union of still-
+  // assignable positions (coverage; tighter than a static suffix union,
+  // which would count excluded positions as available).
+  double total_max = 0.0;
+  const int64_t epoch = c.nodes;
   uint32_t avail_uni = 0;
   for (int q = p; q < c.n_sub; ++q) {
-    if (c.excluded[q])
-      exc += c.dplus[q];
-    else
-      avail_uni |= c.I[q];
+    if (c.excluded[q]) continue;
+    avail_uni |= c.I[q];
+    int k = c.clique_of[q];
+    double prev = (c.clique_epoch[k] == epoch) ? c.clique_max[k] : 0.0;
+    if (c.dplus[q] > prev) {
+      total_max += c.dplus[q] - prev;
+      c.clique_max[k] = c.dplus[q];
+      c.clique_epoch[k] = epoch;
+    }
   }
   if (((uni | avail_uni) & c.E) != c.E) return;
-  if (gain + c.suff_pos[p] - exc <= c.best_gain) return;
+  if (gain + total_max <= c.best_gain) return;
   if (p == c.n_sub) {
     if (uni == c.E && gain > c.best_gain) {
       c.best_gain = gain;
@@ -108,34 +119,24 @@ void rec(SubCtx& c, int p, double gain, uint32_t uni) {
   rec(c, p + 1, gain, uni);
 }
 
-}  // namespace
-
-extern "C" {
-
-// Returns 0 = OPTIMAL, 1 = TIMEOUT, -1 = Mi too large.
-// Mi up to 20 is supported (no O(N * 2^Mi) tables are materialized).
-int solve_segenum(
-    int n_reads, int n_segs,
-    const uint32_t* I_masks,   // [n_reads]
-    const uint32_t* C_masks,   // [n_reads]
-    const double* garbage,     // [n_reads]
-    const int64_t* seg_len,    // [n_segs]
-    const int32_t* gap_counts, // [n_reads]
-    const uint32_t* gap_masks, // [total_gaps]
-    const int64_t* gap_lens,   // [total_gaps]
-    int n_incomp,
-    const int32_t* incomp_pairs,  // [n_incomp][2] (read indices)
+// The canonical incumbent loop over structures: visits `order` (already
+// sorted ascending by (optimistic, mask)), solving the per-E optimal
+// conflict-free covering assignment by DFS; identical semantics and
+// tie-breaks to solver/segenum.py's _replay + _PerStructure.best_for.
+// Shared by the full-enumeration entry (solve_segenum) and the
+// bound-filtered wide entry (solve_segenum_list).
+int run_enum(
+    int n_reads,
+    const uint32_t* I_masks, const uint32_t* C_masks, const double* garbage,
+    const int64_t* seg_len,
+    const int32_t* gap_counts, const uint32_t* gap_masks,
+    const int64_t* gap_lens,
+    int n_incomp, const int32_t* incomp_pairs,
     int64_t sc, int64_t eps, int64_t off,
-    double deadline_s,
-    // outputs
+    const uint32_t* order, const double* order_opt, int64_t n_order,
+    std::chrono::steady_clock::time_point t_end,
     int32_t* out_assigned, int32_t* out_n_assigned,
     double* out_objective, uint32_t* out_E) {
-  if (n_segs > 20) return -1;
-  const int Mi = n_segs;
-  const uint32_t n_masks = 1u << Mi;
-  auto t_end = std::chrono::steady_clock::now() +
-               std::chrono::microseconds((int64_t)(deadline_s * 1e6));
-
   double g_total = 0;
   for (int i = 0; i < n_reads; ++i) g_total += garbage[i];
 
@@ -144,29 +145,6 @@ int solve_segenum(
   for (int i = 0; i < n_reads; ++i) gap_off[i + 1] = gap_off[i] + gap_counts[i];
 
   const double NEG = -std::numeric_limits<double>::infinity();
-
-  // Optimistic cost per structure: subset-compatible positive-profit
-  // reads, ignoring gap windows (a valid lower bound; gap checks are
-  // deferred to the per-E candidate scan so no (N x 2^Mi) table with gap
-  // loops is materialized).
-  std::vector<double> optimistic(n_masks, 0.0);
-  for (uint32_t E = 0; E < n_masks; ++E) {
-    double pos_gain = 0.0;
-    for (int i = 0; i < n_reads; ++i) {
-      if (I_masks[i] & ~E) continue;
-      double d = garbage[i] - (double)__builtin_popcount(C_masks[i] & E);
-      if (d > 0) pos_gain += d;
-    }
-    optimistic[E] = g_total - pos_gain;
-  }
-
-  // Visit order: ascending (optimistic, E).
-  std::vector<uint32_t> order(n_masks);
-  for (uint32_t e = 0; e < n_masks; ++e) order[e] = e;
-  std::stable_sort(order.begin(), order.end(), [&](uint32_t a, uint32_t b) {
-    if (optimistic[a] != optimistic[b]) return optimistic[a] < optimistic[b];
-    return a < b;
-  });
 
   // Conflict matrix as bitsets over read indices.
   int rw = (n_reads + 63) / 64;
@@ -188,9 +166,9 @@ int solve_segenum(
   std::vector<int> rest_idx;  // positions (into sub_all) that go to DFS
   bool timed_out = false;
 
-  for (uint32_t oi = 0; oi < n_masks; ++oi) {
+  for (int64_t oi = 0; oi < n_order; ++oi) {
     uint32_t E = order[oi];
-    if (optimistic[E] >= best_cost) break;
+    if (order_opt[oi] >= best_cost) break;
     if (std::chrono::steady_clock::now() > t_end) {
       timed_out = true;
       break;
@@ -235,8 +213,6 @@ int solve_segenum(
     double base_gain = 0.0;
     uint32_t base_union = 0;
     rest_idx.clear();
-    std::vector<char> in_cand(n_reads, 0);
-    for (int i : sub_all) in_cand[i] = 1;
     std::vector<int> free_reads;
     for (int p = 0; p < n_all; ++p) {
       int i = sub_all[p];
@@ -272,13 +248,28 @@ int solve_segenum(
           sub_conf[(size_t)p * cw + (q >> 6)] |= 1ull << (q & 63);
       }
     }
-    std::vector<double> suff_pos(n_sub + 1, 0.0);
-    std::vector<uint32_t> suff_union(n_sub + 1, 0);
     std::vector<double> dplus(n_sub, 0.0);
-    for (int p = n_sub - 1; p >= 0; --p) {
-      dplus[p] = std::max(sub_delta[p], 0.0);
-      suff_pos[p] = suff_pos[p + 1] + dplus[p];
-      suff_union[p] = suff_union[p + 1] | sub_I[p];
+    for (int p = n_sub - 1; p >= 0; --p) dplus[p] = std::max(sub_delta[p], 0.0);
+
+    // Greedy first-fit clique cover of the sub-conflict graph in DFS
+    // (profit) order -- twin of solver/segenum.py's construction.
+    std::vector<int32_t> clique_of(n_sub, 0);
+    std::vector<std::vector<uint64_t>> cl_members;
+    for (int p = 0; p < n_sub; ++p) {
+      const uint64_t* cb = sub_conf.data() + (size_t)p * cw;
+      int placed = -1;
+      for (size_t k = 0; k < cl_members.size(); ++k) {
+        bool subset = true;
+        for (int w = 0; w < cw; ++w)
+          if (cl_members[k][w] & ~cb[w]) { subset = false; break; }
+        if (subset) { placed = (int)k; break; }
+      }
+      if (placed < 0) {
+        placed = (int)cl_members.size();
+        cl_members.emplace_back(cw, 0);
+      }
+      clique_of[p] = placed;
+      cl_members[placed][p >> 6] |= 1ull << (p & 63);
     }
 
     SubCtx sctx;
@@ -288,8 +279,10 @@ int solve_segenum(
     sctx.I = sub_I.data();
     sctx.conf = sub_conf.data();
     sctx.conf_words = cw;
-    sctx.suff_pos = suff_pos.data();
-    sctx.suff_union = suff_union.data();
+    sctx.clique_of = clique_of.data();
+    sctx.n_cliques = (int)cl_members.size();
+    sctx.clique_max.assign(cl_members.size(), 0.0);
+    sctx.clique_epoch.assign(cl_members.size(), -1);
     sctx.best_gain = NEG;
     sctx.chosen_bits.assign(cw, 0);
     sctx.excluded.assign((size_t)cw * 64, 0);
@@ -317,6 +310,98 @@ int solve_segenum(
   *out_n_assigned = (int32_t)best_S.size();
   for (size_t i = 0; i < best_S.size(); ++i) out_assigned[i] = best_S[i];
   return timed_out ? 1 : 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 = OPTIMAL, 1 = TIMEOUT, -1 = Mi too large.
+// Mi up to 20 is supported (no O(N * 2^Mi) tables are materialized).
+int solve_segenum(
+    int n_reads, int n_segs,
+    const uint32_t* I_masks,   // [n_reads]
+    const uint32_t* C_masks,   // [n_reads]
+    const double* garbage,     // [n_reads]
+    const int64_t* seg_len,    // [n_segs]
+    const int32_t* gap_counts, // [n_reads]
+    const uint32_t* gap_masks, // [total_gaps]
+    const int64_t* gap_lens,   // [total_gaps]
+    int n_incomp,
+    const int32_t* incomp_pairs,  // [n_incomp][2] (read indices)
+    int64_t sc, int64_t eps, int64_t off,
+    double deadline_s,
+    // outputs
+    int32_t* out_assigned, int32_t* out_n_assigned,
+    double* out_objective, uint32_t* out_E) {
+  if (n_segs > 20) return -1;
+  const int Mi = n_segs;
+  const uint32_t n_masks = 1u << Mi;
+  auto t_end = std::chrono::steady_clock::now() +
+               std::chrono::microseconds((int64_t)(deadline_s * 1e6));
+
+  double g_total = 0;
+  for (int i = 0; i < n_reads; ++i) g_total += garbage[i];
+
+  // Optimistic cost per structure: subset-compatible positive-profit
+  // reads, ignoring gap windows (a valid lower bound; gap checks are
+  // deferred to the per-E candidate scan so no (N x 2^Mi) table with gap
+  // loops is materialized).
+  std::vector<double> optimistic(n_masks, 0.0);
+  for (uint32_t E = 0; E < n_masks; ++E) {
+    double pos_gain = 0.0;
+    for (int i = 0; i < n_reads; ++i) {
+      if (I_masks[i] & ~E) continue;
+      double d = garbage[i] - (double)__builtin_popcount(C_masks[i] & E);
+      if (d > 0) pos_gain += d;
+    }
+    optimistic[E] = g_total - pos_gain;
+  }
+
+  // Visit order: ascending (optimistic, E).
+  std::vector<uint32_t> order(n_masks);
+  for (uint32_t e = 0; e < n_masks; ++e) order[e] = e;
+  std::stable_sort(order.begin(), order.end(), [&](uint32_t a, uint32_t b) {
+    if (optimistic[a] != optimistic[b]) return optimistic[a] < optimistic[b];
+    return a < b;
+  });
+  std::vector<double> order_opt(n_masks);
+  for (uint32_t e = 0; e < n_masks; ++e) order_opt[e] = optimistic[order[e]];
+
+  return run_enum(n_reads, I_masks, C_masks, garbage, seg_len, gap_counts,
+                  gap_masks, gap_lens, n_incomp, incomp_pairs, sc, eps, off,
+                  order.data(), order_opt.data(), (int64_t)n_masks, t_end,
+                  out_assigned, out_n_assigned, out_objective, out_E);
+}
+
+// Bound-filtered replay for the wide path (20 < Mi <= 26): the caller
+// (solver/segenum.py solve_segment_enum_wide) computes every mask's
+// optimistic bound with the XLA kernel, filters masks that could beat
+// the incumbent, sorts ascending (optimistic, mask), and passes the
+// surviving (order, optimistic) pair here. Per-E semantics are the
+// established bit-equal twin of the Python best_for, so the result is
+// identical to the Python _replay over the same list.
+int solve_segenum_list(
+    int n_reads, int n_segs,
+    const uint32_t* I_masks, const uint32_t* C_masks, const double* garbage,
+    const int64_t* seg_len,
+    const int32_t* gap_counts, const uint32_t* gap_masks,
+    const int64_t* gap_lens,
+    int n_incomp, const int32_t* incomp_pairs,
+    int64_t sc, int64_t eps, int64_t off,
+    const uint32_t* order,      // [n_order] pre-sorted masks
+    const double* order_opt,    // [n_order] their optimistic bounds
+    int64_t n_order,
+    double deadline_s,
+    int32_t* out_assigned, int32_t* out_n_assigned,
+    double* out_objective, uint32_t* out_E) {
+  if (n_segs > 32) return -1;
+  auto t_end = std::chrono::steady_clock::now() +
+               std::chrono::microseconds((int64_t)(deadline_s * 1e6));
+  return run_enum(n_reads, I_masks, C_masks, garbage, seg_len, gap_counts,
+                  gap_masks, gap_lens, n_incomp, incomp_pairs, sc, eps, off,
+                  order, order_opt, n_order, t_end,
+                  out_assigned, out_n_assigned, out_objective, out_E);
 }
 
 }  // extern "C"
