@@ -223,12 +223,12 @@ def run_cluster_stage(workdir):
 
     seg_dir = os.path.join(workdir, "segment")
     out = os.path.join(workdir, "cluster")
-    # Bench-only tighter per-instance solver deadline (default is the
-    # reference's 1 min): this noisy dataset has tints whose hard
-    # instances hit the deadline every round, so the stage cost is
-    # ~(hard instances x deadline); 15 s bounds the bench at the same
-    # TIMEOUT->garbage semantics. Reported as cluster_timeout_min.
-    t_min = float(os.environ.get("FREDDIE_BENCH_CLUSTER_TIMEOUT_MIN", "0.25"))
+    # Per-instance solver deadline; the default is the reference's 1 min
+    # (config.yaml:6). Since the union-closure escalation landed, every
+    # instance in this dataset solves to proven optimality well under it
+    # (slowest ~2.5 s), so the deadline no longer shapes the stage time.
+    # Reported as cluster_timeout_min.
+    t_min = float(os.environ.get("FREDDIE_BENCH_CLUSTER_TIMEOUT_MIN", "1"))
     t0 = time.perf_counter()
     n = run_cluster(seg_dir, out, ClusterConfig(threads=4, timeout=t_min))
     return n, time.perf_counter() - t0, t_min

@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 from .exact import ClusterInstance
-from .segenum import MAX_SEGS, _popcount_u32
+from .segenum import MAX_SEGS, _popcount_u64
 from .two_phase import solve_two_phase
 
 
@@ -44,13 +44,18 @@ def audit_instance(
     'nonunique' means at least two distinct (structure, assignment) pairs
     attain the optimal objective -- the regime where Gurobi's result
     could differ from ours with both being correct."""
-    from .segenum import WIDE_MAX_SEGS, _optimistic_device
+    from .segenum import (
+        CLOSURE_CAP,
+        CLOSURE_MAX_SEGS,
+        WIDE_MAX_SEGS,
+        _optimistic_device,
+    )
 
     Mi = len(inst.seg_len)
     N = len(inst.rows)
     if N == 0:
         return "unique"
-    if Mi > WIDE_MAX_SEGS:
+    if Mi > CLOSURE_MAX_SEGS:
         return "unknown-mi"
     res = solve_two_phase(inst, deadline_s)
     if res.status != "OPTIMAL":
@@ -63,15 +68,14 @@ def audit_instance(
     S_star = frozenset(res.assigned)
     t_end = time.monotonic() + deadline_s
 
-    bit = 1 << np.arange(max(Mi, 1), dtype=np.uint32)
-    I_int = np.array(
-        [int((np.asarray(r.exons, bool) * bit[:Mi]).sum()) for r in inst.rows],
-        dtype=np.uint32,
-    )
-    C_int = np.array(
-        [int((np.asarray(r.corr, bool) * bit[:Mi]).sum()) for r in inst.rows],
-        dtype=np.uint32,
-    )
+    def to_int(vec):
+        bits = 0
+        for b in np.flatnonzero(np.asarray(vec, bool)):
+            bits |= 1 << int(b)
+        return bits
+
+    I_int = np.array([to_int(r.exons) for r in inst.rows], dtype=np.uint64)
+    C_int = np.array([to_int(r.corr) for r in inst.rows], dtype=np.uint64)
     g = np.array([r.garbage for r in inst.rows], dtype=np.float64)
     g_total = float(g.sum())
     sc, eps, off = inst.eps_scale, inst.eps_scaled, inst.offset
@@ -80,10 +84,10 @@ def audit_instance(
     for i, r in enumerate(inst.rows):
         for mask, l in r.gaps:
             gap_read.append(i)
-            gap_mask_l.append(int((np.asarray(mask, bool) * bit[:Mi]).sum()))
+            gap_mask_l.append(to_int(mask))
             gap_len_l.append(int(l))
     gap_read_a = np.array(gap_read, dtype=np.int64)
-    gap_masks = np.array(gap_mask_l, dtype=np.uint32)
+    gap_masks = np.array(gap_mask_l, dtype=np.uint64)
     gap_lens = np.array(gap_len_l, dtype=np.int64)
     n_gaps = len(gap_read)
 
@@ -92,39 +96,66 @@ def audit_instance(
         conflict[a, b] = True
         conflict[b, a] = True
 
-    n_masks = 1 << Mi
+    def opt_block(E_blk):
+        E_blk = np.asarray(E_blk, dtype=np.uint64)
+        subset_ok = (I_int[:, None] & ~E_blk[None, :]) == 0
+        d = g[:, None] - _popcount_u64(C_int[:, None] & E_blk[None, :])
+        pos = np.where(subset_ok & (d > 0), d, 0.0).sum(axis=0)
+        return g_total - pos
+
     if Mi > MAX_SEGS:
-        # Every mask achieving the optimum has optimistic <= best_cost, so
-        # the bound-filtered candidate set is COMPLETE for uniqueness
-        # counting (same argument as solve_segment_enum_wide).
-        optimistic = _optimistic_device(inst, n_masks)
-        passing = np.flatnonzero(optimistic <= best_cost + 1e-9)
-        if len(passing) > 500_000:
+        # Candidate set 1: the union closure of the reads' I-masks --
+        # exactly the coverable structures (solve_segment_enum_closure's
+        # equivalence argument), COMPLETE for uniqueness counting at any
+        # Mi. When the closure overflows its cap and Mi permits, fall
+        # back to the XLA bound filter over all 2^Mi masks (every mask
+        # achieving the optimum has optimistic <= best_cost).
+        closure = {0}
+        for m in sorted({to_int(r.exons) for r in inst.rows}):
+            closure |= {e | m for e in closure}
+            if len(closure) > CLOSURE_CAP:
+                closure = None
+                break
+        if closure is not None:
+            masks = np.array(sorted(closure), dtype=np.uint64)
+            opt_of = np.empty(len(masks), dtype=np.float64)
+            for lo in range(0, len(masks), 1 << 12):
+                opt_of[lo : lo + (1 << 12)] = opt_block(masks[lo : lo + (1 << 12)])
+            keep = opt_of <= best_cost + 1e-9
+            masks, opt_of = masks[keep], opt_of[keep]
+            perm = np.lexsort((masks, opt_of))
+            order = masks[perm]
+            optimistic = {int(E): float(o) for E, o in zip(masks, opt_of)}
+        elif Mi <= WIDE_MAX_SEGS:
+            opt_all = _optimistic_device(inst, 1 << Mi)
+            passing = np.flatnonzero(opt_all <= best_cost + 1e-9)
+            if len(passing) > 500_000:
+                return "unknown-timeout"
+            order = passing[np.lexsort((passing, opt_all[passing]))]
+            optimistic = {int(E): float(opt_all[E]) for E in passing}
+        else:
             return "unknown-timeout"
-        order = passing[np.lexsort((passing, optimistic[passing]))]
     else:
-        optimistic = np.empty(n_masks, dtype=np.float64)
-        block = 1 << 12
-        for lo in range(0, n_masks, block):
-            E_blk = np.arange(lo, min(lo + block, n_masks), dtype=np.uint32)
-            subset_ok = (I_int[:, None] & ~E_blk[None, :]) == 0
-            d = g[:, None] - _popcount_u32(C_int[:, None] & E_blk[None, :])
-            pos = np.where(subset_ok & (d > 0), d, 0.0).sum(axis=0)
-            optimistic[lo : lo + len(E_blk)] = g_total - pos
-        E_all = np.arange(n_masks, dtype=np.uint32)
-        order = np.lexsort((E_all, optimistic))
+        n_masks = 1 << Mi
+        opt_all = np.empty(n_masks, dtype=np.float64)
+        for lo in range(0, n_masks, 1 << 12):
+            E_blk = np.arange(lo, min(lo + (1 << 12), n_masks), dtype=np.uint64)
+            opt_all[lo : lo + len(E_blk)] = opt_block(E_blk)
+        E_all = np.arange(n_masks, dtype=np.uint64)
+        order = E_all[np.lexsort((E_all, opt_all))]
+        optimistic = {int(E): float(o) for E, o in zip(E_all, opt_all)}
     nodes = [0]
 
     def count_optimal(E: int):
         """(max_gain, count<=2, one_assignment) over candidate subsets
         covering E without conflicts; (-inf, 0, None) when infeasible."""
-        ok = (I_int & ~np.uint32(E)) == 0
+        ok = (I_int & ~np.uint64(E)) == 0
         if n_gaps:
-            gm = gap_masks & np.uint32(E)
+            gm = gap_masks & np.uint64(E)
             G = np.zeros(n_gaps, dtype=np.int64)
             for b in range(Mi):
                 if (E >> b) & 1:
-                    G += ((gm >> np.uint32(b)) & 1).astype(np.int64) * seg_len[b]
+                    G += ((gm >> np.uint64(b)) & 1).astype(np.int64) * seg_len[b]
             gok = ((sc - eps) * G <= sc * (gap_lens + off)) & (
                 sc * (gap_lens - off) <= (sc + eps) * G
             )
@@ -134,7 +165,7 @@ def audit_instance(
         cand = np.flatnonzero(ok)
         if E and not len(cand):
             return -np.inf, 0, None
-        d = g[cand] - _popcount_u32(C_int[cand] & np.uint32(E))
+        d = g[cand] - _popcount_u64(C_int[cand] & np.uint64(E))
         conf_sub = conflict[np.ix_(cand, cand)]
         has_conf = conf_sub.any(axis=1)
         forced = ~has_conf & (d > 0)  # strict: ties go to the DFS

@@ -149,27 +149,30 @@ def solve_exact_native(
     )
 
 
-def _pack_segenum(inst: ClusterInstance):
-    """Flat u32-mask arrays for the segenum entry points."""
+def _pack_segenum(inst: ClusterInstance, dtype=np.uint32):
+    """Flat bitmask arrays for the segenum entry points (u32 for the full
+    enumeration ABI, u64 for the list-replay ABI)."""
     rows = inst.rows
     M = len(inst.seg_len)
-    bitvals = 1 << np.arange(M, dtype=np.uint32)
 
     def to_mask(vec):
-        return np.uint32((np.asarray(vec, bool) * bitvals).sum())
+        bits = 0
+        for b in np.flatnonzero(np.asarray(vec, bool)):
+            bits |= 1 << int(b)
+        return dtype(bits)
 
-    I_masks = np.array([to_mask(r.exons) for r in rows], dtype=np.uint32)
-    C_masks = np.array([to_mask(r.corr) for r in rows], dtype=np.uint32)
+    I_masks = np.array([to_mask(r.exons) for r in rows], dtype=dtype)
+    C_masks = np.array([to_mask(r.corr) for r in rows], dtype=dtype)
     garbage = np.array([r.garbage for r in rows], dtype=np.float64)
     seg_len = np.ascontiguousarray(inst.seg_len, dtype=np.int64)
     gap_counts = np.array([len(r.gaps) for r in rows], dtype=np.int32)
     if int(gap_counts.sum()):
         gap_masks = np.array(
-            [to_mask(m) for r in rows for (m, _l) in r.gaps], dtype=np.uint32
+            [to_mask(m) for r in rows for (m, _l) in r.gaps], dtype=dtype
         )
         gap_lens = np.array([l for r in rows for (_m, l) in r.gaps], dtype=np.int64)
     else:
-        gap_masks = np.zeros(1, dtype=np.uint32)
+        gap_masks = np.zeros(1, dtype=dtype)
         gap_lens = np.zeros(1, dtype=np.int64)
     incomp = np.array(list(inst.incomp), dtype=np.int32).reshape(-1, 2)
     return I_masks, C_masks, garbage, seg_len, gap_counts, gap_masks, gap_lens, incomp
@@ -184,7 +187,7 @@ def _segenum_result(status, out_assigned, out_n, out_obj, out_E, M):
         return None
     if status == 1:
         return SolveResult("TIMEOUT", out_obj.value, [], None, 0)
-    E = np.array([(out_E.value >> b) & 1 for b in range(M)], dtype=bool)
+    E = np.array([(int(out_E.value) >> b) & 1 for b in range(M)], dtype=bool)
     assigned = sorted(out_assigned[: out_n.value].tolist())
     return SolveResult("OPTIMAL", out_obj.value, assigned, E, 0)
 
@@ -243,43 +246,43 @@ def solve_segenum_list_native(
     deadline_s: float = 60.0,
 ) -> SolveResult | None:
     """Native canonical replay over an explicit pre-sorted (mask,
-    optimistic) list -- the wide path's engine (see
-    segenum.solve_segment_enum_wide). None when the library is
-    unavailable; the caller then replays the same list in Python with
-    identical results."""
+    optimistic) list -- the engine behind the wide and union-closure
+    escalations (see segenum.solve_segment_enum_wide/_closure). None when
+    the library is unavailable; the caller then replays the same list in
+    Python with identical results."""
     lib = _load()
     M = len(inst.seg_len)
-    if lib is None or M > 32:
+    if lib is None or M > 64:
         return None
     N = len(inst.rows)
     if N == 0:
         return SolveResult("OPTIMAL", 0.0, [], None)
 
     (I_masks, C_masks, garbage, seg_len, gap_counts, gap_masks, gap_lens,
-     incomp) = _pack_segenum(inst)
-    order = np.ascontiguousarray(order, dtype=np.uint32)
+     incomp) = _pack_segenum(inst, dtype=np.uint64)
+    order = np.ascontiguousarray(order, dtype=np.uint64)
     order_opt = np.ascontiguousarray(order_opt, dtype=np.float64)
     out_assigned = np.zeros(N, dtype=np.int32)
     out_n = ctypes.c_int32(0)
     out_obj = ctypes.c_double(0.0)
-    out_E = ctypes.c_uint32(0)
+    out_E = ctypes.c_uint64(0)
 
     status = lib.solve_segenum_list(
         ctypes.c_int(N),
         ctypes.c_int(M),
-        _ptr(I_masks, ctypes.c_uint32),
-        _ptr(C_masks, ctypes.c_uint32),
+        _ptr(I_masks, ctypes.c_uint64),
+        _ptr(C_masks, ctypes.c_uint64),
         _ptr(garbage, ctypes.c_double),
         _ptr(seg_len, ctypes.c_int64),
         _ptr(gap_counts, ctypes.c_int32),
-        _ptr(np.ascontiguousarray(gap_masks), ctypes.c_uint32),
+        _ptr(np.ascontiguousarray(gap_masks), ctypes.c_uint64),
         _ptr(np.ascontiguousarray(gap_lens), ctypes.c_int64),
         ctypes.c_int(len(incomp)),
         _ptr(np.ascontiguousarray(incomp), ctypes.c_int32),
         ctypes.c_int64(inst.eps_scale),
         ctypes.c_int64(inst.eps_scaled),
         ctypes.c_int64(inst.offset),
-        _ptr(order, ctypes.c_uint32),
+        _ptr(order, ctypes.c_uint64),
         _ptr(order_opt, ctypes.c_double),
         ctypes.c_int64(len(order)),
         ctypes.c_double(deadline_s),

@@ -27,12 +27,24 @@ sets are computed on demand -- so memory is O(N + 2^Mi) at any Mi.
 The returned optimum is canonical (documented in PARITY.md) and its
 objective always equals the read-DFS optimum -- both solve the same ILP.
 
-For MAX_SEGS < Mi <= WIDE_MAX_SEGS, `solve_segment_enum_wide` (the
-device-assisted escalation) evaluates the per-mask optimistic bound with
-an XLA kernel (TPU when attached, XLA-CPU otherwise -- identical exact
-values either way, so dispatch stays content-only), filters masks that
-could beat the incumbent, and replays the SAME canonical visit order on
-the survivors; see its docstring for the equivalence argument.
+Above MAX_SEGS two further escalations enumerate without touching all
+2^Mi masks, both returning EXACTLY the full enumeration's canonical
+answer (equivalence arguments in their docstrings):
+
+- `solve_segment_enum_closure` (MAX_SEGS < Mi <= CLOSURE_MAX_SEGS):
+  enumerates the OR-closure of the reads' distinct I-masks -- provably
+  the complete set of coverable structures -- in the canonical order;
+  measured closures on production timeout instances are 10^2..10^4
+  masks even at Mi in the 40s, so this is the workhorse escalation.
+- `solve_segment_enum_wide` (MAX_SEGS < Mi <= WIDE_MAX_SEGS, used when
+  the closure overflows its cap): evaluates every mask's optimistic
+  bound with an XLA kernel (TPU when attached, XLA-CPU otherwise --
+  identical exact values either way, so dispatch stays content-only),
+  filters masks that could beat the incumbent, and replays the SAME
+  canonical visit order on the survivors.
+
+Both replay through the C++ core's solve_segenum_list when available,
+with the Python _replay as the bit-equal fallback.
 """
 
 from __future__ import annotations
@@ -44,13 +56,16 @@ from .exact import ClusterInstance, SolveResult
 MAX_SEGS = 20  # full-enumeration twins: 2^20 masks at most
 WIDE_MAX_SEGS = 26  # device-assisted bound-filtered enumeration ceiling
 WIDE_CANDIDATE_CAP = 200_000  # filtered-mask budget for the wide path
+CLOSURE_MAX_SEGS = 64  # union-closure enumeration ceiling (u64 masks)
+CLOSURE_CAP = 100_000  # closure-size budget for the closure path
 
 
 class _DfsTimeout(Exception):
     """Raised inside a per-structure conflict DFS past its deadline."""
 
 
-# popcount of every 16-bit value; popcount(u32 x) = _PC16[x&0xFFFF] + _PC16[x>>16]
+# popcount of every 16-bit value; popcount(u64 x) = sum over its four
+# 16-bit chunks
 _PC16 = np.array(
     [bin(v).count("1") for v in range(1 << 16)], dtype=np.int32
 )
@@ -72,8 +87,15 @@ def solve_segment_enum(inst: ClusterInstance, deadline_s: float = 60.0) -> Solve
     return _solve_segment_enum_py(inst, deadline_s)
 
 
-def _popcount_u32(x: np.ndarray) -> np.ndarray:
-    return _PC16[x & np.uint32(0xFFFF)] + _PC16[x >> np.uint32(16)]
+def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, dtype=np.uint64)
+    m = np.uint64(0xFFFF)
+    return (
+        _PC16[(x & m).astype(np.int64)]
+        + _PC16[((x >> np.uint64(16)) & m).astype(np.int64)]
+        + _PC16[((x >> np.uint64(32)) & m).astype(np.int64)]
+        + _PC16[(x >> np.uint64(48)).astype(np.int64)]
+    )
 
 
 class _PerStructure:
@@ -85,14 +107,18 @@ class _PerStructure:
         Mi = len(inst.seg_len)
         N = len(inst.rows)
         self.Mi, self.N = Mi, N
-        bit = 1 << np.arange(max(Mi, 1), dtype=np.uint32)
+
+        def to_int(vec):
+            bits = 0
+            for b in np.flatnonzero(np.asarray(vec, bool)):
+                bits |= 1 << int(b)
+            return bits
+
         self.I_int = np.array(
-            [int((np.asarray(r.exons, bool) * bit[:Mi]).sum()) for r in inst.rows],
-            dtype=np.uint32,
+            [to_int(r.exons) for r in inst.rows], dtype=np.uint64
         )
         self.C_int = np.array(
-            [int((np.asarray(r.corr, bool) * bit[:Mi]).sum()) for r in inst.rows],
-            dtype=np.uint32,
+            [to_int(r.corr) for r in inst.rows], dtype=np.uint64
         )
         self.g = np.array([r.garbage for r in inst.rows], dtype=np.float64)
         self.g_total = float(self.g.sum())
@@ -102,10 +128,10 @@ class _PerStructure:
         for i, r in enumerate(inst.rows):
             for mask, l in r.gaps:
                 gap_read.append(i)
-                gap_mask_l.append(int((np.asarray(mask, bool) * bit[:Mi]).sum()))
+                gap_mask_l.append(to_int(mask))
                 gap_len_l.append(int(l))
         self.gap_read = np.array(gap_read, dtype=np.int64)
-        self.gap_masks = np.array(gap_mask_l, dtype=np.uint32)
+        self.gap_masks = np.array(gap_mask_l, dtype=np.uint64)
         self.gap_lens = np.array(gap_len_l, dtype=np.int64)
         self.n_gaps = len(gap_read)
         self.conflict = np.zeros((N, N), dtype=bool)
@@ -118,8 +144,9 @@ class _PerStructure:
         """Lower bound per structure: all positive-profit subset-compatible
         reads assigned, ignoring gap windows, conflicts and coverage
         (dropping the gap filter only loosens it)."""
+        E_blk = np.asarray(E_blk, dtype=np.uint64)
         subset_ok = (self.I_int[:, None] & ~E_blk[None, :]) == 0
-        d = self.g[:, None] - _popcount_u32(self.C_int[:, None] & E_blk[None, :])
+        d = self.g[:, None] - _popcount_u64(self.C_int[:, None] & E_blk[None, :])
         pos_gain = np.where(subset_ok & (d > 0), d, 0.0).sum(axis=0)
         return self.g_total - pos_gain
 
@@ -133,13 +160,13 @@ class _PerStructure:
         blow up exponentially under dense incompatibilities, so (like the
         C++ core) the wall check lives inside the recursion, not only in
         the caller's per-mask loop."""
-        ok = (self.I_int & ~np.uint32(E)) == 0  # subset-compatible
+        ok = (self.I_int & ~np.uint64(E)) == 0  # subset-compatible
         if self.n_gaps:
-            gm = self.gap_masks & np.uint32(E)
+            gm = self.gap_masks & np.uint64(E)
             G = np.zeros(self.n_gaps, dtype=np.int64)
             for b in range(self.Mi):
                 if (E >> b) & 1:
-                    G += ((gm >> np.uint32(b)) & 1).astype(np.int64) * self.seg_len[b]
+                    G += ((gm >> np.uint64(b)) & 1).astype(np.int64) * self.seg_len[b]
             gok = ((self.sc - self.eps) * G <= self.sc * (self.gap_lens + self.off)) & (
                 self.sc * (self.gap_lens - self.off) <= (self.sc + self.eps) * G
             )
@@ -150,7 +177,7 @@ class _PerStructure:
         if E and not len(cand):
             return None, None
         # coverage requirement: union of chosen I must equal E
-        d = self.g[cand] - _popcount_u32(self.C_int[cand] & np.uint32(E))
+        d = self.g[cand] - _popcount_u64(self.C_int[cand] & np.uint64(E))
         # order candidates by descending profit, then index (deterministic)
         perm = np.lexsort((cand, -d))
         sub_order = cand[perm]
@@ -420,4 +447,80 @@ def solve_segment_enum_wide(
         return native
     ctx = _PerStructure(inst)
     opt_map = {int(E): float(optimistic[E]) for E in passing}
+    return _replay(ctx, order, opt_map, t_end)
+
+
+def solve_segment_enum_closure(
+    inst: ClusterInstance, deadline_s: float = 60.0
+) -> SolveResult | None:
+    """Union-closure structure enumeration for MAX_SEGS < Mi <=
+    CLOSURE_MAX_SEGS; None when Mi is out of range or the closure exceeds
+    CLOSURE_CAP (the caller then escalates). Content-only decline, so the
+    escalation path is platform-independent.
+
+    Equivalence to full 2^Mi enumeration: a structure E is coverable --
+    best_for(E) can return an assignment -- only if E equals the union of
+    some subset of the reads' I-masks (chosen reads are subset-compatible,
+    I_i a subset of E, and the coverage constraint demands their union be
+    exactly E; conversely any union U of I-masks is covered by the masks
+    that formed it, all subsets of U). The coverable structures are
+    therefore EXACTLY the OR-closure of the distinct I-masks (plus 0, the
+    empty union). Masks outside the closure can never update the
+    incumbent, and skipping them does not change which coverable mask the
+    canonical ascending-(optimistic, mask) loop selects first, nor the
+    early break (the break fires at the first visited mask whose
+    optimistic bound reaches the incumbent; skipped masks between two
+    closure members could not have updated the incumbent in the full
+    loop). Replaying the canonical loop over the closure in the same
+    order therefore returns exactly what full enumeration would -- at any
+    Mi, which is what lifts the ceiling past the wide path's 2^Mi bound
+    computation.
+
+    Note the per-read gap windows are irrelevant to the argument: gap
+    filtering only shrinks best_for's candidate set, so it can only turn
+    closure members uncoverable, never make a non-closure mask coverable.
+    """
+    import time
+
+    Mi = len(inst.seg_len)
+    N = len(inst.rows)
+    if not (MAX_SEGS < Mi <= CLOSURE_MAX_SEGS):
+        return None
+    if N == 0:
+        return SolveResult("OPTIMAL", 0.0, [], None)
+    t_end = time.monotonic() + deadline_s
+
+    distinct = set()
+    for r in inst.rows:
+        bits = 0
+        for b in np.flatnonzero(np.asarray(r.exons, bool)):
+            bits |= 1 << int(b)
+        distinct.add(bits)
+    closure = {0}
+    for m in sorted(distinct):
+        closure |= {e | m for e in closure}
+        if len(closure) > CLOSURE_CAP:
+            return None
+    masks = np.array(sorted(closure), dtype=np.uint64)
+
+    ctx = _PerStructure(inst)
+    optimistic = np.empty(len(masks), dtype=np.float64)
+    block = 1 << 12
+    for lo in range(0, len(masks), block):
+        optimistic[lo : lo + block] = ctx.optimistic_block(masks[lo : lo + block])
+    perm = np.lexsort((masks, optimistic))
+    order = masks[perm]
+    order_opt = optimistic[perm]
+
+    # Engine choice (C++ replay preferred, Python fallback) only changes
+    # speed: the per-E scan twins are bit-equal and the list is computed
+    # identically here either way.
+    from .native import solve_segenum_list_native
+
+    native = solve_segenum_list_native(
+        inst, order, order_opt, max(t_end - time.monotonic(), 0.001)
+    )
+    if native is not None:
+        return native
+    opt_map = {int(E): float(o) for E, o in zip(masks, optimistic)}
     return _replay(ctx, order, opt_map, t_end)

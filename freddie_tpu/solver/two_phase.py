@@ -51,21 +51,37 @@ def solve_two_phase(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveRes
     # explodes: many near-duplicate rows under dense incompatibilities).
     # Declines purely on instance content (Mi > MAX_SEGS), so the
     # escalation path is identical with or without the native toolchain.
-    from .segenum import solve_segment_enum, solve_segment_enum_wide
+    from .segenum import (
+        solve_segment_enum,
+        solve_segment_enum_closure,
+        solve_segment_enum_wide,
+    )
 
     remaining = max(deadline_s - (time.monotonic() - t0), 1.0)
     enum_res = solve_segment_enum(inst, remaining)
     if enum_res is not None and enum_res.status == "OPTIMAL":
         return enum_res
-    # Escalation 1b: for Mi in (MAX_SEGS, WIDE_MAX_SEGS], the XLA-assisted
-    # bound-filtered enumeration (content-only gate; the kernel computes
-    # identical exact values on TPU or CPU). The phase-1 incumbent is a
-    # valid upper bound for the mask filter.
     if enum_res is None:
+        # Escalation 1b: for Mi in (MAX_SEGS, CLOSURE_MAX_SEGS], enumerate
+        # the union closure of the reads' I-masks -- exactly the coverable
+        # structures, so the canonical answer equals full enumeration's
+        # (equivalence proof in solve_segment_enum_closure). Content-only
+        # gate (Mi range + closure-size cap).
         remaining = max(deadline_s - (time.monotonic() - t0), 1.0)
-        wide_res = solve_segment_enum_wide(inst, res.objective, remaining)
-        if wide_res is not None and wide_res.status == "OPTIMAL":
-            return wide_res
+        closure_res = solve_segment_enum_closure(inst, remaining)
+        if closure_res is not None and closure_res.status == "OPTIMAL":
+            return closure_res
+        # Escalation 1c: for Mi in (MAX_SEGS, WIDE_MAX_SEGS] with an
+        # oversized closure, the XLA-assisted bound-filtered enumeration
+        # (content-only gate; the kernel computes identical exact values
+        # on TPU or CPU). The phase-1 incumbent is a valid upper bound
+        # for the mask filter. Same canonical answer as 1b when both
+        # complete, so trying 1b first only changes speed.
+        if closure_res is None:
+            remaining = max(deadline_s - (time.monotonic() - t0), 1.0)
+            wide_res = solve_segment_enum_wide(inst, res.objective, remaining)
+            if wide_res is not None and wide_res.status == "OPTIMAL":
+                return wide_res
     # Escalation 2: LP bound proof of the phase-1 incumbent.
     gran = _objective_granularity(inst)
     bound = lp_lower_bound(inst)

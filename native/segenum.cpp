@@ -23,9 +23,9 @@ namespace {
 
 struct SubCtx {
   int n_sub;
-  uint32_t E;
+  uint64_t E;
   const double* delta;        // [n_sub]
-  const uint32_t* I;          // [n_sub]
+  const uint64_t* I;          // [n_sub]
   const uint64_t* conf;       // [n_sub][conf_words] bitset over sub positions
   int conf_words;
   double best_gain;
@@ -57,7 +57,7 @@ struct SubCtx {
   bool timed_out = false;
 };
 
-void rec(SubCtx& c, int p, double gain, uint32_t uni) {
+void rec(SubCtx& c, int p, double gain, uint64_t uni) {
   if (c.timed_out) return;
   if ((++c.nodes & 0xFFFF) == 0 &&
       std::chrono::steady_clock::now() > c.t_end) {
@@ -70,7 +70,7 @@ void rec(SubCtx& c, int p, double gain, uint32_t uni) {
   // which would count excluded positions as available).
   double total_max = 0.0;
   const int64_t epoch = c.nodes;
-  uint32_t avail_uni = 0;
+  uint64_t avail_uni = 0;
   for (int q = p; q < c.n_sub; ++q) {
     if (c.excluded[q]) continue;
     avail_uni |= c.I[q];
@@ -127,16 +127,16 @@ void rec(SubCtx& c, int p, double gain, uint32_t uni) {
 // bound-filtered wide entry (solve_segenum_list).
 int run_enum(
     int n_reads,
-    const uint32_t* I_masks, const uint32_t* C_masks, const double* garbage,
+    const uint64_t* I_masks, const uint64_t* C_masks, const double* garbage,
     const int64_t* seg_len,
-    const int32_t* gap_counts, const uint32_t* gap_masks,
+    const int32_t* gap_counts, const uint64_t* gap_masks,
     const int64_t* gap_lens,
     int n_incomp, const int32_t* incomp_pairs,
     int64_t sc, int64_t eps, int64_t off,
-    const uint32_t* order, const double* order_opt, int64_t n_order,
+    const uint64_t* order, const double* order_opt, int64_t n_order,
     std::chrono::steady_clock::time_point t_end,
     int32_t* out_assigned, int32_t* out_n_assigned,
-    double* out_objective, uint32_t* out_E) {
+    double* out_objective, uint64_t* out_E) {
   double g_total = 0;
   for (int i = 0; i < n_reads; ++i) g_total += garbage[i];
 
@@ -157,7 +157,7 @@ int run_enum(
   }
 
   double best_cost = g_total;
-  uint32_t best_E = 0;
+  uint64_t best_E = 0;
   std::vector<int> best_S;
 
   std::vector<int> cand;
@@ -167,7 +167,7 @@ int run_enum(
   bool timed_out = false;
 
   for (int64_t oi = 0; oi < n_order; ++oi) {
-    uint32_t E = order[oi];
+    uint64_t E = order[oi];
     if (order_opt[oi] >= best_cost) break;
     if (std::chrono::steady_clock::now() > t_end) {
       timed_out = true;
@@ -179,10 +179,10 @@ int run_enum(
       if (I_masks[i] & ~E) continue;
       bool ok = true;
       for (int gidx = gap_off[i]; gidx < gap_off[i + 1]; ++gidx) {
-        uint32_t gm = gap_masks[gidx] & E;
+        uint64_t gm = gap_masks[gidx] & E;
         int64_t G = 0;
         while (gm) {
-          int b = __builtin_ctz(gm);
+          int b = __builtin_ctzll(gm);
           G += seg_len[b];
           gm &= gm - 1;
         }
@@ -194,7 +194,7 @@ int run_enum(
         }
       }
       if (!ok) continue;
-      cand_delta[i] = garbage[i] - (double)__builtin_popcount(C_masks[i] & E);
+      cand_delta[i] = garbage[i] - (double)__builtin_popcountll(C_masks[i] & E);
       cand.push_back(i);
     }
     if (E && cand.empty()) continue;
@@ -211,7 +211,7 @@ int run_enum(
 
     // has_conf within the candidate set; free-assign unconflicted d>=0.
     double base_gain = 0.0;
-    uint32_t base_union = 0;
+    uint64_t base_union = 0;
     rest_idx.clear();
     std::vector<int> free_reads;
     for (int p = 0; p < n_all; ++p) {
@@ -233,7 +233,7 @@ int run_enum(
     }
     int n_sub = (int)rest_idx.size();
     std::vector<double> sub_delta(n_sub);
-    std::vector<uint32_t> sub_I(n_sub);
+    std::vector<uint64_t> sub_I(n_sub);
     int cw = (n_sub + 63) / 64;
     if (cw == 0) cw = 1;
     std::vector<uint64_t> sub_conf((size_t)n_sub * cw, 0);
@@ -343,6 +343,18 @@ int solve_segenum(
   double g_total = 0;
   for (int i = 0; i < n_reads; ++i) g_total += garbage[i];
 
+  // Widen the u32 ABI inputs once; run_enum works on u64 masks so the
+  // same loop serves this full enumeration and the wide/closure replays.
+  std::vector<uint64_t> I64(n_reads), C64(n_reads);
+  for (int i = 0; i < n_reads; ++i) {
+    I64[i] = I_masks[i];
+    C64[i] = C_masks[i];
+  }
+  int total_gaps = 0;
+  for (int i = 0; i < n_reads; ++i) total_gaps += gap_counts[i];
+  std::vector<uint64_t> gm64(total_gaps ? total_gaps : 1, 0);
+  for (int g = 0; g < total_gaps; ++g) gm64[g] = gap_masks[g];
+
   // Optimistic cost per structure: subset-compatible positive-profit
   // reads, ignoring gap windows (a valid lower bound; gap checks are
   // deferred to the per-E candidate scan so no (N x 2^Mi) table with gap
@@ -359,43 +371,50 @@ int solve_segenum(
   }
 
   // Visit order: ascending (optimistic, E).
-  std::vector<uint32_t> order(n_masks);
+  std::vector<uint64_t> order(n_masks);
   for (uint32_t e = 0; e < n_masks; ++e) order[e] = e;
-  std::stable_sort(order.begin(), order.end(), [&](uint32_t a, uint32_t b) {
+  std::stable_sort(order.begin(), order.end(), [&](uint64_t a, uint64_t b) {
     if (optimistic[a] != optimistic[b]) return optimistic[a] < optimistic[b];
     return a < b;
   });
   std::vector<double> order_opt(n_masks);
   for (uint32_t e = 0; e < n_masks; ++e) order_opt[e] = optimistic[order[e]];
 
-  return run_enum(n_reads, I_masks, C_masks, garbage, seg_len, gap_counts,
-                  gap_masks, gap_lens, n_incomp, incomp_pairs, sc, eps, off,
-                  order.data(), order_opt.data(), (int64_t)n_masks, t_end,
-                  out_assigned, out_n_assigned, out_objective, out_E);
+  uint64_t E64 = 0;
+  int status = run_enum(n_reads, I64.data(), C64.data(), garbage, seg_len,
+                        gap_counts, gm64.data(), gap_lens, n_incomp,
+                        incomp_pairs, sc, eps, off, order.data(),
+                        order_opt.data(), (int64_t)n_masks, t_end,
+                        out_assigned, out_n_assigned, out_objective, &E64);
+  *out_E = (uint32_t)E64;
+  return status;
 }
 
-// Bound-filtered replay for the wide path (20 < Mi <= 26): the caller
-// (solver/segenum.py solve_segment_enum_wide) computes every mask's
-// optimistic bound with the XLA kernel, filters masks that could beat
-// the incumbent, sorts ascending (optimistic, mask), and passes the
-// surviving (order, optimistic) pair here. Per-E semantics are the
-// established bit-equal twin of the Python best_for, so the result is
-// identical to the Python _replay over the same list.
+// Canonical replay over an explicit pre-sorted (mask, optimistic) list.
+// Serves two escalations (both computed by solver/segenum.py):
+//   - wide (20 < Mi <= 26): the XLA kernel bounds every mask, masks that
+//     could beat the incumbent survive;
+//   - union-closure (20 < Mi <= 64): the closure of the reads' I-masks
+//     under OR -- exactly the coverable structures -- with bounds from
+//     the same formula.
+// Per-E semantics are the established bit-equal twin of the Python
+// best_for, so the result is identical to the Python _replay over the
+// same list.
 int solve_segenum_list(
     int n_reads, int n_segs,
-    const uint32_t* I_masks, const uint32_t* C_masks, const double* garbage,
+    const uint64_t* I_masks, const uint64_t* C_masks, const double* garbage,
     const int64_t* seg_len,
-    const int32_t* gap_counts, const uint32_t* gap_masks,
+    const int32_t* gap_counts, const uint64_t* gap_masks,
     const int64_t* gap_lens,
     int n_incomp, const int32_t* incomp_pairs,
     int64_t sc, int64_t eps, int64_t off,
-    const uint32_t* order,      // [n_order] pre-sorted masks
+    const uint64_t* order,      // [n_order] pre-sorted masks
     const double* order_opt,    // [n_order] their optimistic bounds
     int64_t n_order,
     double deadline_s,
     int32_t* out_assigned, int32_t* out_n_assigned,
-    double* out_objective, uint32_t* out_E) {
-  if (n_segs > 32) return -1;
+    double* out_objective, uint64_t* out_E) {
+  if (n_segs > 64) return -1;
   auto t_end = std::chrono::steady_clock::now() +
                std::chrono::microseconds((int64_t)(deadline_s * 1e6));
   return run_enum(n_reads, I_masks, C_masks, garbage, seg_len, gap_counts,

@@ -125,3 +125,73 @@ def test_wide_native_replay_equals_python(seed, monkeypatch):
     assert native.objective == pure.objective == dfs.objective
     assert native.assigned == pure.assigned
     assert np.array_equal(np.asarray(native.isoform), np.asarray(pure.isoform))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_closure_large_mi_matches_dfs_value(seed):
+    """Union-closure enumeration on Mi in (26, 45]: same optimum value as
+    the read-DFS, constraint-valid assignment, objective reproducible."""
+    from freddie_tpu.solver.segenum import solve_segment_enum_closure
+
+    rng = np.random.default_rng(seed + 8100)
+    M = int(rng.integers(27, 46))
+    inst = dense_instance(rng, 22, M, density=0.5)
+    dfs = solve_exact(inst, deadline_s=120.0)
+    assert dfs.status == "OPTIMAL"
+    clo = solve_segment_enum_closure(inst, deadline_s=120.0)
+    assert clo is not None and clo.status == "OPTIMAL"
+    assert clo.objective == dfs.objective
+    E = np.zeros(M, dtype=bool)
+    for i in clo.assigned:
+        E |= inst.rows[i].exons
+    if clo.assigned:
+        assert np.array_equal(E, np.asarray(clo.isoform))
+    obj = sum(
+        int(np.count_nonzero(inst.rows[i].corr & E))
+        if i in clo.assigned
+        else inst.rows[i].garbage
+        for i in range(len(inst.rows))
+    )
+    assert obj == clo.objective
+    for a, b in inst.incomp:
+        assert not (a in clo.assigned and b in clo.assigned)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_closure_equals_full_enumeration_canon(seed, monkeypatch):
+    """On Mi small enough for the full-enumeration oracle, the closure
+    path must return the identical canonical answer (objective,
+    assignment, AND structure) -- the equivalence proof in its docstring,
+    exercised end to end."""
+    import freddie_tpu.solver.segenum as segenum_mod
+
+    rng = np.random.default_rng(seed + 8200)
+    M = int(rng.integers(8, 14))
+    inst = dense_instance(rng, 14, M, density=0.4)
+    full = _solve_segment_enum_py(inst, deadline_s=120.0)
+    assert full is not None and full.status == "OPTIMAL"
+    monkeypatch.setattr(segenum_mod, "MAX_SEGS", 4)  # activate closure
+    clo = segenum_mod.solve_segment_enum_closure(inst, deadline_s=120.0)
+    assert clo is not None and clo.status == "OPTIMAL"
+    assert clo.objective == full.objective
+    assert clo.assigned == full.assigned
+    assert np.array_equal(np.asarray(clo.isoform), np.asarray(full.isoform))
+    # and the Python replay fallback agrees with the native replay
+    import freddie_tpu.solver.native as native_mod
+
+    monkeypatch.setattr(native_mod, "solve_segenum_list_native", lambda *a, **k: None)
+    pure = segenum_mod.solve_segment_enum_closure(inst, deadline_s=120.0)
+    assert pure is not None and pure.status == "OPTIMAL"
+    assert pure.objective == clo.objective
+    assert pure.assigned == clo.assigned
+    assert np.array_equal(np.asarray(pure.isoform), np.asarray(clo.isoform))
+
+
+def test_closure_gates():
+    """Content-only decline: Mi <= MAX_SEGS and Mi > CLOSURE_MAX_SEGS are
+    not the closure path's job."""
+    from freddie_tpu.solver.segenum import solve_segment_enum_closure
+
+    rng = np.random.default_rng(5)
+    assert solve_segment_enum_closure(dense_instance(rng, 8, 12)) is None
+    assert solve_segment_enum_closure(dense_instance(rng, 8, 70)) is None

@@ -111,8 +111,9 @@ def test_wide_deterministic():
 
 def test_two_phase_uses_wide_escalation(monkeypatch):
     """An instance above the (lowered) enumeration cap whose read-DFS
-    exhausts the node budget must be solved optimally via the wide
-    escalation -- dispatch by content, no availability gate."""
+    exhausts the node budget and whose union closure exceeds the (zeroed)
+    cap must be solved optimally via the wide escalation -- dispatch by
+    content, no availability gate."""
     from freddie_tpu.solver import two_phase as tp
 
     rng = np.random.default_rng(11)
@@ -127,8 +128,37 @@ def test_two_phase_uses_wide_escalation(monkeypatch):
         return real_wide(inst_, inc, deadline_s)
 
     monkeypatch.setattr(segenum, "MAX_SEGS", 8)
+    monkeypatch.setattr(segenum, "CLOSURE_CAP", 0)  # force past closure
     monkeypatch.setattr(segenum, "solve_segment_enum_wide", spy)
     monkeypatch.setattr(tp, "NODE_BUDGET", 1)  # force the escalation
     res = tp.solve_two_phase(inst, deadline_s=120.0)
     assert res.status == "OPTIMAL" and res.objective == want.objective
     assert calls, "wide escalation was not attempted"
+
+
+def test_two_phase_uses_closure_escalation(monkeypatch):
+    """Same setup without the closure cap: the union-closure escalation
+    fires first and returns the identical canonical answer."""
+    from freddie_tpu.solver import two_phase as tp
+
+    rng = np.random.default_rng(11)
+    inst = random_instance(rng, 16, 12)
+    want = _solve_segment_enum_py(inst, deadline_s=120.0)
+    assert want.status == "OPTIMAL"
+    calls = []
+    real = segenum.solve_segment_enum_closure
+
+    def spy(inst_, deadline_s=60.0):
+        res = real(inst_, deadline_s)
+        calls.append(res)
+        return res
+
+    monkeypatch.setattr(segenum, "MAX_SEGS", 8)
+    monkeypatch.setattr(segenum, "solve_segment_enum_closure", spy)
+    monkeypatch.setattr(tp, "NODE_BUDGET", 1)
+    res = tp.solve_two_phase(inst, deadline_s=120.0)
+    assert calls and calls[0] is not None, "closure escalation did not fire"
+    assert res.status == "OPTIMAL"
+    assert res.objective == want.objective
+    assert res.assigned == want.assigned
+    assert np.array_equal(np.asarray(res.isoform), np.asarray(want.isoform))
