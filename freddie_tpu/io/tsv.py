@@ -56,9 +56,46 @@ class SplitTint:
     read_reps: list = field(default_factory=list)  # [(key, [read_idx,...])]
 
 
-def parse_split_tsv(path: str) -> SplitTint:
-    """Parse one split TSV (exactly one tint per file, as the reference
-    asserts at py/freddie_segment.py:699)."""
+_tsvparse_mod = None
+_tsvparse_failed = False
+
+
+def _load_tsvparse():
+    """Build/load the C split-TSV parser (native/tsvparse.c) on first use;
+    None when no toolchain is available (callers fall back to the Python
+    parser transparently -- results are identical,
+    tests/test_native_tsvparse.py)."""
+    global _tsvparse_mod, _tsvparse_failed
+    if _tsvparse_mod is not None or _tsvparse_failed:
+        return _tsvparse_mod
+    try:
+        import importlib.util
+        import os
+        import subprocess
+        import sysconfig
+
+        root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        src = os.path.join(root, "native", "tsvparse.c")
+        lib = os.path.join(root, "native", "tsvparse.so")
+        if not os.path.exists(lib) or os.path.getmtime(lib) < os.path.getmtime(src):
+            inc = sysconfig.get_paths()["include"]
+            subprocess.run(
+                ["gcc", "-O2", "-shared", "-fPIC", f"-I{inc}", "-o", lib, src],
+                check=True, capture_output=True,
+            )
+        spec = importlib.util.spec_from_file_location("tsvparse", lib)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _tsvparse_mod = mod
+    except Exception:
+        _tsvparse_failed = True
+        _tsvparse_mod = None
+    return _tsvparse_mod
+
+
+def _parse_split_tsv_py(path: str) -> SplitTint:
+    """Pure-Python split-TSV parser (the semantic oracle; also the
+    fallback when the C extension is unavailable or raises)."""
     tint = None
     for line in open(path):
         fields = line.rstrip("\n").split("\t")
@@ -101,6 +138,11 @@ def parse_split_tsv(path: str) -> SplitTint:
                 )
             )
     assert tint is not None and len(tint.reads) == tint.read_count
+    _fill_read_reps(tint)
+    return tint
+
+
+def _fill_read_reps(tint: SplitTint) -> None:
     # Read representatives: reads sharing the same exonic-interval tuple
     # (py/freddie_segment.py:163-170).
     reps: dict[tuple, list[int]] = {}
@@ -108,7 +150,39 @@ def parse_split_tsv(path: str) -> SplitTint:
         key = tuple((ts, te) for ts, te, _, _, _ in read.intervals)
         reps.setdefault(key, []).append(ridx)
     tint.read_reps = list(reps.items())
-    return tint
+
+
+def parse_split_tsv(path: str) -> SplitTint:
+    """Parse one split TSV (exactly one tint per file, as the reference
+    asserts at py/freddie_segment.py:699). Uses the C extension when a
+    toolchain is available; any C-side exception falls back to the
+    Python oracle, so acceptance/rejection of a file never depends on the
+    toolchain."""
+    mod = _load_tsvparse()
+    if mod is not None:
+        from .bam import CIGAR_OPS
+
+        try:
+            chrom, tint_id, intervals, n_reads, rows = mod.parse_split_file(
+                path, CIGAR_OPS
+            )
+        except Exception:
+            return _parse_split_tsv_py(path)
+        tint = SplitTint(
+            id=tint_id,
+            chrom=chrom,
+            intervals=intervals,
+            read_count=n_reads,
+            reads=[
+                TintRead(id=rid, name=name, chrom=rchrom, strand=strand,
+                         tint=rtint, intervals=ivs)
+                for rid, name, rchrom, strand, rtint, ivs in rows
+            ],
+        )
+        assert len(tint.reads) == tint.read_count
+        _fill_read_reps(tint)
+        return tint
+    return _parse_split_tsv_py(path)
 
 
 def load_read_sequences(tint: SplitTint, reads_tsv: str) -> None:

@@ -1,0 +1,91 @@
+"""C split-TSV parser (native/tsvparse.c) vs the Python oracle:
+object-for-object identical parses, identical rejection of malformed
+files (the wrapper falls back to Python on any C-side exception, so
+acceptance never depends on the toolchain)."""
+
+import pytest
+
+from freddie_tpu.io.tsv import (
+    _load_tsvparse,
+    _parse_split_tsv_py,
+    parse_split_tsv,
+)
+
+pytestmark = pytest.mark.skipif(
+    _load_tsvparse() is None, reason="no C toolchain available"
+)
+
+
+def make_split(tmp_path, text):
+    p = tmp_path / "split_chr1_1.tsv"
+    p.write_text(text)
+    return str(p)
+
+
+GOOD = (
+    "#chr1\t1\t100-200,300-400\t3\n"
+    "0\tread_a\tchr1\t+\t1\t100-200:0-100:100M\n"
+    "1\tread_b\tchr1\t-\t1\t100-150:0-50:25M5D25M\t300-400:50-150:60M40=\n"
+    "2\tread_c soft\tchr1\t+\t1\t120-200:10-90:80M\n"
+)
+
+
+def assert_same(a, b):
+    assert (a.id, a.chrom, a.intervals, a.read_count) == (
+        b.id, b.chrom, b.intervals, b.read_count
+    )
+    assert len(a.reads) == len(b.reads)
+    for ra, rb in zip(a.reads, b.reads):
+        assert (ra.id, ra.name, ra.chrom, ra.strand, ra.tint) == (
+            rb.id, rb.name, rb.chrom, rb.strand, rb.tint
+        )
+        assert ra.intervals == rb.intervals
+    assert a.read_reps == b.read_reps
+
+
+def test_equal_on_basic(tmp_path):
+    p = make_split(tmp_path, GOOD)
+    assert_same(parse_split_tsv(p), _parse_split_tsv_py(p))
+
+
+def test_equal_on_simulated(tmp_path):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from freddie_tpu.config import SplitConfig
+    from freddie_tpu.stages.split import run_split
+    from freddie_tpu.utils.sim import simulate
+
+    sim = simulate(seed=303, n_genes=3, isoforms_per_gene=2,
+                   reads_per_isoform=25, indel_rate=0.1, end_jitter=15)
+    bam, fq = str(tmp_path / "r.bam"), str(tmp_path / "r.fastq")
+    sim.write_bam(bam)
+    sim.write_fastq(fq)
+    run_split(bam, [fq], str(tmp_path / "split"), SplitConfig())
+    import glob
+
+    files = sorted(glob.glob(str(tmp_path / "split" / "*" / "split_*.tsv")))
+    assert files
+    for f in files:
+        assert_same(parse_split_tsv(f), _parse_split_tsv_py(f))
+
+
+@pytest.mark.parametrize(
+    "mutation",
+    [
+        # unsorted tint intervals (assert in both)
+        GOOD.replace("100-200,300-400", "300-400,100-200"),
+        # empty interval (ts >= te)
+        GOOD.replace("120-200:10-90:80M", "200-120:10-90:80M"),
+        # second header
+        GOOD + "#chr1\t2\t500-600\t1\n",
+        # bad read count type
+        GOOD.replace("\t3\n", "\tx\n", 1),
+    ],
+)
+def test_malformed_rejected_identically(tmp_path, mutation):
+    p = make_split(tmp_path, mutation)
+    with pytest.raises((AssertionError, ValueError)):
+        _parse_split_tsv_py(p)
+    with pytest.raises((AssertionError, ValueError)):
+        parse_split_tsv(p)  # C first, falls back to Python, still raises
