@@ -163,7 +163,7 @@ def parse_split_tsv(path: str) -> SplitTint:
         from .bam import CIGAR_OPS
 
         try:
-            chrom, tint_id, intervals, n_reads, rows = mod.parse_split_file(
+            chrom, tint_id, intervals, n_reads, rows, reps = mod.parse_split_file(
                 path, CIGAR_OPS
             )
         except Exception:
@@ -178,9 +178,9 @@ def parse_split_tsv(path: str) -> SplitTint:
                          tint=rtint, intervals=ivs)
                 for rid, name, rchrom, strand, rtint, ivs in rows
             ],
+            read_reps=reps,
         )
         assert len(tint.reads) == tint.read_count
-        _fill_read_reps(tint)
         return tint
     return _parse_split_tsv_py(path)
 

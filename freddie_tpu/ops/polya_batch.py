@@ -26,6 +26,8 @@ tests/test_polya_batch.py checks every window against it.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 # Device-path cap on window length; longer windows use the host scorer
@@ -137,58 +139,82 @@ def _scan_batch(match: "jnp.ndarray", valid: "jnp.ndarray"):
 
 
 def _scan_np(match: np.ndarray, lens: np.ndarray):
-    """Numpy twin of _scan_batch for arbitrary window lengths (the host
-    fallback for windows longer than MAX_WINDOW): one vectorized column
-    sweep across all rows instead of a pure-Python Kadane per window.
+    """Numpy twin of _scan_batch for arbitrary window lengths (also the
+    whole-batch path on CPU backends, where it beats dispatching the
+    jitted scan): fully vectorized, no Python loop over columns.
+
+    The Kadane recurrence s_i = max(0, s_{i-1} + m_i) has the closed form
+    s_i = P_i - min(0, P_0, ..., P_i) with P the prefix sums of m (the
+    best suffix sum ending at i, empty suffix allowed), so the score
+    matrix is one cumsum + one cummin. Runs (maximal s>0 stretches) are
+    reduced with np.maximum.reduceat over the flattened matrix: gaps
+    between runs carry key -1 (< every in-run key), so segments from one
+    run start to the next are equivalent to exact run extents, and no
+    segment straddles rows because a positive score at column 0 is
+    always flagged as a run start (prev_pos there is defined False).
     Purity comparisons run in float64, exactly like the per-window host
-    scorer (ops.polya.longest_poly_runs + max by (purity, -first));
-    returns the same (found, first, length, cnt) contract as the device
-    scan."""
+    scorer (ops.polya.longest_poly_runs + max by purity with the
+    earliest-closed run winning ties); returns the same
+    (found, first, length, cnt) contract as the device scan."""
     B, L = match.shape
     valid = np.arange(L, dtype=np.int32)[None, :] < lens[:, None]
     m = np.where(valid, np.where(match, 1, -2), -(10**6)).astype(np.int64)
     cnt_prefix = np.cumsum(match & valid, axis=1, dtype=np.int64)
-    rows = np.arange(B)
 
-    s = np.zeros(B, np.int64)
-    in_run = np.zeros(B, bool)
-    first = np.zeros(B, np.int64)
-    runbest = np.zeros(B, np.int64)  # s*(L+1)+i: max s, ties -> latest i
-    best_p = np.full(B, -1.0)
     best_first = np.zeros(B, np.int64)
     best_len = np.zeros(B, np.int64)
     best_cnt = np.zeros(B, np.int64)
 
-    def close(ended, first, runbest):
-        if not ended.any():
-            return
-        best_idx = runbest % (L + 1)
-        length = best_idx + 1 - first
-        cnt = cnt_prefix[rows, best_idx] - np.where(
-            first > 0, cnt_prefix[rows, np.maximum(first - 1, 0)], 0
-        )
-        ok = ended & (length >= 20) & (20 * cnt >= 17 * length)
-        purity = np.where(ok, cnt / np.maximum(length, 1), -1.0)
-        better = ok & (purity > best_p)  # strict: earliest run wins ties
-        np.copyto(best_p, purity, where=better)
-        np.copyto(best_first, first, where=better)
-        np.copyto(best_len, length, where=better)
-        np.copyto(best_cnt, cnt, where=better)
+    P = np.cumsum(m, axis=1)
+    prefmin = np.minimum.accumulate(
+        np.concatenate([np.zeros((B, 1), np.int64), P], axis=1), axis=1
+    )
+    s = P - prefmin[:, 1:]
 
-    for i in range(L):
-        prev_in = in_run
-        s = np.maximum(0, s + m[:, i])
-        in_run = s > 0
-        close(prev_in & ~in_run, first, runbest)
-        new_run = in_run & ~prev_in
-        first = np.where(new_run, i, first)
-        key = s * (L + 1) + i
-        runbest = np.where(
-            new_run, key, np.where(in_run, np.maximum(runbest, key), runbest)
-        )
-    close(in_run, first, runbest)
+    pos = s > 0
+    prev_pos = np.zeros_like(pos)
+    prev_pos[:, 1:] = pos[:, :-1]
+    start = pos & ~prev_pos
+    starts_flat = np.flatnonzero(start.ravel())
+    if starts_flat.size == 0:
+        return np.zeros(B, bool), best_first, best_len, best_cnt
 
-    found = best_len > 0
+    # Per-run best position: key = s*(L+1)+col (max s, ties -> latest col,
+    # the reference's max(zip(S, i))); -1 outside runs.
+    cols = np.arange(L, dtype=np.int64)[None, :]
+    key = np.where(pos, s * (L + 1) + cols, -1).ravel()
+    runbest = np.maximum.reduceat(key, starts_flat)
+
+    run_row = starts_flat // L
+    first = starts_flat % L
+    best_col = runbest % (L + 1)
+    length = best_col + 1 - first
+    cnt = cnt_prefix[run_row, best_col] - np.where(
+        first > 0, cnt_prefix[run_row, np.maximum(first - 1, 0)], 0
+    )
+    ok = (length >= 20) & (20 * cnt >= 17 * length)
+    purity = np.where(ok, cnt / np.maximum(length, 1), -1.0)
+
+    # Per-row winner: max purity, earliest run on ties (runs are in
+    # ascending (row, first) order, so "first run attaining the row max"
+    # reproduces the sequential strict-> update).
+    grp_starts = np.flatnonzero(np.concatenate([[True], np.diff(run_row) != 0]))
+    pmax = np.maximum.reduceat(purity, grp_starts)
+    run_idx = np.arange(len(run_row), dtype=np.int64)
+    grp_of_run = np.cumsum(np.concatenate([[True], np.diff(run_row) != 0])) - 1
+    is_win = purity == pmax[grp_of_run]
+    winner = np.minimum.reduceat(
+        np.where(is_win, run_idx, len(run_row)), grp_starts
+    )
+    grp_row = run_row[grp_starts]
+    grp_found = pmax > -1.0
+    w = winner[grp_found]
+    rows_found = grp_row[grp_found]
+    found = np.zeros(B, bool)
+    found[rows_found] = True
+    best_first[rows_found] = first[w]
+    best_len[rows_found] = length[w]
+    best_cnt[rows_found] = cnt[w]
     return found, best_first, best_len, best_cnt
 
 
@@ -258,11 +284,22 @@ def best_poly_batch(windows: list[str], chars: list[str]):
                 if lw <= edge:
                     buckets.setdefault(edge, []).append(i)
                     break
-    fn = _get_scan() if buckets else None
+    # On the CPU backend the jitted scan's dispatch + O(L log L)
+    # associative-scan work loses to the closed-form numpy twin (same
+    # results -- _scan_np is equivalence-fuzzed against the per-window
+    # scorer), so route everything through it there. A real accelerator
+    # keeps the packed-transfer device path. FREDDIE_POLYA_DEVICE=1
+    # forces the device path for its tests/benchmarks.
+    host_all = False
+    if buckets and not os.environ.get("FREDDIE_POLYA_DEVICE"):
+        import jax
+
+        host_all = jax.default_backend() == "cpu"
+    fn = _get_scan() if buckets and not host_all else None
     for L, rows_all in sorted(buckets.items()):
         for lo in range(0, len(rows_all), _MAX_ROWS):
             dev_rows = rows_all[lo : lo + _MAX_ROWS]
-            B = _pad_rows(len(dev_rows))
+            B = len(dev_rows) if host_all else _pad_rows(len(dev_rows))
             # Vectorized host packing: scatter the concatenated window
             # bytes into the padded (B, L) grid (row-major boolean
             # assignment lays them out window-by-window), compare against
@@ -277,12 +314,17 @@ def best_poly_batch(windows: list[str], chars: list[str]):
             )
             tchar = np.zeros((B, 1), dtype=np.uint8)
             tchar[: len(dev_rows), 0] = [ord(chars[i]) for i in dev_rows]
-            packed = np.packbits(grid == tchar, axis=1)
-            found, first, length, cnt = fn(jnp.asarray(packed), jnp.asarray(lens_np))
-            found = np.asarray(found)
-            first = np.asarray(first)
-            length = np.asarray(length)
-            cnt = np.asarray(cnt)
+            if host_all:
+                found, first, length, cnt = _scan_np(grid == tchar, lens_np)
+            else:
+                packed = np.packbits(grid == tchar, axis=1)
+                found, first, length, cnt = fn(
+                    jnp.asarray(packed), jnp.asarray(lens_np)
+                )
+                found = np.asarray(found)
+                first = np.asarray(first)
+                length = np.asarray(length)
+                cnt = np.asarray(cnt)
             for r, i in enumerate(dev_rows):
                 if found[r]:
                     results[i] = (int(first[r]), int(length[r]), int(cnt[r]))

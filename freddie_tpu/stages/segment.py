@@ -226,7 +226,7 @@ def genotype_tint(
     tint = work.tint
     n_reps = len(work.weights)
     final_positions: list[int] = []
-    datas: list[list[int]] = [[] for _ in range(n_reps)]
+    blocks: list[np.ndarray] = []  # per interval: (S, R) genotypes + 0-row
     scale = thr.scale
     for iv_idx, iw in enumerate(work.intervals):
         final_c = set(iw.fixed)
@@ -236,27 +236,31 @@ def genotype_tint(
         refine = sig.refine_segmentation(iw.y_raw, final_y, cfg.sigma)
         final_y.extend(refine)
         final_y.sort()
-        # Genotype each segment: coverage ratio vs length threshold.
+        # Genotype every segment of the interval at once: coverage ratio
+        # vs length threshold, in the exact scaled-integer comparisons.
         C2 = cumulative_coverage(
             iw.starts, iw.ends, iw.reps, n_reps, np.array(final_y), validate=cfg.validate
         )
-        for seg_idx, (s_y, e_y) in enumerate(zip(final_y[:-1], final_y[1:])):
-            seg_len = e_y - s_y + 1
-            h = int(thr.high_scaled(np.array([seg_len]))[0])
-            eq = int(thr.nay_eq_scaled(np.array([seg_len]))[0])
-            cov = C2[seg_idx + 1] - C2[seg_idx]  # (R,)
-            if cfg.validate:
-                assert np.all((0 <= cov) & (cov <= seg_len))
-            hi = scale * cov > h * seg_len
-            lo = scale * cov < (scale - h) * seg_len + eq
-            for rr in range(n_reps):
-                datas[rr].append(1 if hi[rr] else (0 if lo[rr] else 2))
-        for d in datas:
-            d.append(0)
+        fy = np.asarray(final_y, dtype=np.int64)
+        seg_len = fy[1:] - fy[:-1] + 1  # (S,)
+        h = thr.high_scaled(seg_len).astype(np.int64)
+        eq = thr.nay_eq_scaled(seg_len).astype(np.int64)
+        # C2 is (len(final_y)+1, R); segments use rows 0..S only (row
+        # S+1 is the coverage past the last breakpoint).
+        covC = np.asarray(C2[: len(final_y)], dtype=np.int64)
+        cov = covC[1:] - covC[:-1]
+        if cfg.validate:
+            assert np.all((0 <= cov) & (cov <= seg_len[:, None]))
+        hi = scale * cov > (h * seg_len)[:, None]
+        lo = scale * cov < ((scale - h) * seg_len + eq)[:, None]
+        blocks.append(np.where(hi, 1, np.where(lo, 0, 2)).astype(np.int8))
+        blocks.append(np.zeros((1, n_reps), np.int8))
         iv_s = tint.intervals[iv_idx][0]
         final_positions.extend(iv_s + y for y in final_y)
 
-    for data, (_, ridxs) in zip(datas, tint.read_reps):
+    cols = np.concatenate(blocks, axis=0).T  # (R, T)
+    for data_row, (_, ridxs) in zip(cols, tint.read_reps):
+        data = data_row.tolist()
         for ridx in ridxs:
             tint.reads[ridx].data = data.copy()
     segs = list(zip(final_positions[:-1], final_positions[1:]))

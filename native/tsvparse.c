@@ -12,11 +12,15 @@
  * runtime fallback.
  *
  * parse_split_file(path, opcodes) ->
- *   (chrom, tint_id, tint_intervals, read_count, reads)
+ *   (chrom, tint_id, tint_intervals, read_count, reads, reps)
  *   tint_intervals: [(s, e), ...]
  *   reads: [(rid, name, chrom, strand, tint, ivs)], one per row
  *   ivs:   [(ts, te, qs, qe, cigar)], cigar: [(op_code, length), ...]
  *   with op_code = index of the op char in `opcodes` (io.bam.CIGAR_OPS).
+ *   reps:  [(key, [row_idx, ...])] grouping rows that share the same
+ *   ((ts, te), ...) exonic-interval tuple, in first-seen order -- the
+ *   read representatives of py/freddie_segment.py:163-170, computed
+ *   here so the Python side needn't re-walk every row's intervals.
  *
  * Every structural assertion of the Python parser is replicated as an
  * AssertionError with the same meaning; malformed numerics raise
@@ -81,8 +85,10 @@ static PyObject* parse_split_file(PyObject* self, PyObject* args) {
   PyObject* chrom = NULL;
   PyObject* tint_intervals = NULL;
   PyObject* reads = PyList_New(0);
+  PyObject* reps_dict = PyDict_New(); /* key tuple -> [row idx, ...] */
   long long tint_id = -1, read_count = -1;
   int have_header = 0;
+  if (!reads || !reps_dict) goto error;
 
   const char* p = buf;
   const char* bend = buf + fsize;
@@ -184,6 +190,7 @@ static PyObject* parse_split_file(PyObject* self, PyObject* args) {
     }
     ++q;
     ivs = PyList_New(0);
+    PyObject* keys = PyList_New(0); /* ((ts, te), ...) rep-grouping key */
     long long prev_te = -1, prev_qe = -1;
     /* interval fields separated by \t; each = ts-te:qs-qe:CIGAR */
     while (q <= lend) {
@@ -230,6 +237,7 @@ static PyObject* parse_split_file(PyObject* self, PyObject* args) {
         Py_XDECREF(rchrom);
         Py_XDECREF(strand);
         Py_XDECREF(ivs);
+        Py_XDECREF(keys);
         FAIL("row: empty interval");
       }
       if (prev_te >= 0 && !(prev_te <= ts && prev_qe <= qs)) {
@@ -238,6 +246,7 @@ static PyObject* parse_split_file(PyObject* self, PyObject* args) {
         Py_XDECREF(rchrom);
         Py_XDECREF(strand);
         Py_XDECREF(ivs);
+        Py_XDECREF(keys);
         FAIL("row: intervals not sorted");
       }
       prev_te = te;
@@ -248,6 +257,12 @@ static PyObject* parse_split_file(PyObject* self, PyObject* args) {
         goto row_error;
       }
       Py_DECREF(iv);
+      PyObject* kv = Py_BuildValue("(LL)", ts, te);
+      if (!kv || PyList_Append(keys, kv) < 0) {
+        Py_XDECREF(kv);
+        goto row_error;
+      }
+      Py_DECREF(kv);
       if (fend == lend) break;
       q = fend + 1;
     }
@@ -256,9 +271,36 @@ static PyObject* parse_split_file(PyObject* self, PyObject* args) {
                                     rtint, ivs);
       if (!row || PyList_Append(reads, row) < 0) {
         Py_XDECREF(row);
+        Py_DECREF(keys);
         goto error;
       }
       Py_DECREF(row);
+    }
+    {
+      /* Read representatives: group this row under its exonic-interval
+       * key (CPython dicts iterate in insertion order, matching the
+       * Python oracle's setdefault loop). */
+      PyObject* key_tuple = PyList_AsTuple(keys);
+      Py_DECREF(keys);
+      if (!key_tuple) goto error;
+      PyObject* lst = PyDict_GetItem(reps_dict, key_tuple); /* borrowed */
+      if (!lst) {
+        PyObject* fresh = PyList_New(0);
+        if (!fresh || PyDict_SetItem(reps_dict, key_tuple, fresh) < 0) {
+          Py_XDECREF(fresh);
+          Py_DECREF(key_tuple);
+          goto error;
+        }
+        Py_DECREF(fresh);
+        lst = PyDict_GetItem(reps_dict, key_tuple);
+      }
+      Py_DECREF(key_tuple);
+      PyObject* idx = PyLong_FromSsize_t(PyList_GET_SIZE(reads) - 1);
+      if (!idx || !lst || PyList_Append(lst, idx) < 0) {
+        Py_XDECREF(idx);
+        goto error;
+      }
+      Py_DECREF(idx);
     }
     continue;
   row_value_error:
@@ -268,19 +310,37 @@ static PyObject* parse_split_file(PyObject* self, PyObject* args) {
     Py_XDECREF(rchrom);
     Py_XDECREF(strand);
     Py_XDECREF(ivs);
+    Py_XDECREF(keys);
     goto error;
   }
 
   if (!have_header) FAIL("no tint header");
-  free(buf);
-  return Py_BuildValue("(NLNLN)", chrom, tint_id, tint_intervals, read_count,
-                       reads);
+  {
+    PyObject* reps = PyList_New(0);
+    if (!reps) goto error;
+    Py_ssize_t dpos = 0;
+    PyObject *dk, *dv;
+    while (PyDict_Next(reps_dict, &dpos, &dk, &dv)) {
+      PyObject* pair = Py_BuildValue("(OO)", dk, dv);
+      if (!pair || PyList_Append(reps, pair) < 0) {
+        Py_XDECREF(pair);
+        Py_DECREF(reps);
+        goto error;
+      }
+      Py_DECREF(pair);
+    }
+    Py_DECREF(reps_dict);
+    free(buf);
+    return Py_BuildValue("(NLNLNN)", chrom, tint_id, tint_intervals,
+                         read_count, reads, reps);
+  }
 
 error:
   free(buf);
   Py_XDECREF(chrom);
   Py_XDECREF(tint_intervals);
   Py_XDECREF(reads);
+  Py_XDECREF(reps_dict);
   return NULL;
 }
 

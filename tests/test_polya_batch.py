@@ -117,6 +117,39 @@ def test_annotate_batch_matches_host_per_read():
         assert joined, "simulation produced no polyA tails; test is vacuous"
 
 
+def test_short_window_numpy_twin_fuzz():
+    """Short windows route through the closed-form numpy scan on the CPU
+    backend; pin it to the per-window host scorer across lengths 1..256,
+    purities and both chars (the same distribution the device fuzz uses)."""
+    rng = np.random.default_rng(17)
+    windows, chars = [], []
+    for _ in range(400):
+        n = int(rng.integers(1, 257))
+        windows.append(random_window(rng, n, polya_prob=float(rng.uniform(0, 0.35))))
+        chars.append(rng.choice(["A", "T"]))
+    got = best_poly_batch(windows, chars)
+    want = [host_best(w, c) for w, c in zip(windows, chars)]
+    assert got == want
+
+
+def test_forced_device_path_matches(monkeypatch):
+    """FREDDIE_POLYA_DEVICE=1 forces the jitted packed scan even on the
+    CPU backend; its results must equal the numpy-twin routing."""
+    monkeypatch.setenv("FREDDIE_POLYA_DEVICE", "1")
+    rng = np.random.default_rng(29)
+    windows, chars = [], []
+    for _ in range(80):
+        n = int(rng.integers(0, 300))
+        windows.append(random_window(rng, n, polya_prob=0.2))
+        chars.append(rng.choice(["A", "T"]))
+    got_dev = best_poly_batch(windows, chars)
+    monkeypatch.delenv("FREDDIE_POLYA_DEVICE")
+    got_host = best_poly_batch(windows, chars)
+    want = [host_best(w, c) for w, c in zip(windows, chars)]
+    assert got_dev == want
+    assert got_host == want
+
+
 def test_long_window_vectorized_fallback_fuzz():
     """The numpy column-sweep twin (_scan_np) handles every window above
     MAX_WINDOW; pin it to the per-window host scorer across many lengths,
