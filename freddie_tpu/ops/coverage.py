@@ -37,24 +37,38 @@ def cumulative_coverage(
     s_idx = np.searchsorted(cands, starts, side="right")
     e_idx = np.searchsorted(cands, ends, side="right")
     same = s_idx == e_idx
-
-    # Intervals fully inside one candidate segment: whole inclusive length.
-    np.add.at(C, (s_idx[same], reps[same]), ends[same] - starts[same] + 1)
-
-    # Intervals spanning >= 2 candidate segments: head + tail pieces.
     m = ~same
+
+    # Head/tail pieces of intervals spanning >= 2 candidate segments, and
+    # whole inclusive lengths of intervals inside one segment. All three
+    # scatters go through one bincount over flattened (row, rep) indices
+    # (much faster than np.add.at); float64 weights are exact for integer
+    # sums below 2^53, far above any real coverage total.
     head = cands[s_idx[m]] - starts[m]
     tail = ends[m] - cands[e_idx[m] - 1] + 1
     if validate:
         assert np.all(head > 0) and np.all(tail > 0)
-    np.add.at(C, (s_idx[m], reps[m]), head)
-    np.add.at(C, (e_idx[m], reps[m]), tail)
+    size = (P + 1) * n_reps
+    idx_all = np.concatenate(
+        [s_idx[same] * n_reps + reps[same],
+         s_idx[m] * n_reps + reps[m],
+         e_idx[m] * n_reps + reps[m]]
+    )
+    w_all = np.concatenate([ends[same] - starts[same] + 1, head, tail])
+    C += np.bincount(idx_all, weights=w_all, minlength=size).astype(
+        np.int64
+    ).reshape(P + 1, n_reps)
 
     # Full middle segments: candidate gaps times the span count, built with a
-    # difference array over rows.
-    span = np.zeros((P + 1, n_reps), dtype=np.int64)
-    np.add.at(span, (s_idx[m] + 1, reps[m]), 1)
-    np.add.at(span, (e_idx[m], reps[m]), -1)
+    # difference array over rows (+1 at the first full row, -1 past the last).
+    n_m = int(m.sum())
+    span_idx = np.concatenate(
+        [(s_idx[m] + 1) * n_reps + reps[m], e_idx[m] * n_reps + reps[m]]
+    )
+    span_w = np.concatenate([np.ones(n_m), -np.ones(n_m)])
+    span = np.bincount(span_idx, weights=span_w, minlength=size).astype(
+        np.int64
+    ).reshape(P + 1, n_reps)
     span = np.cumsum(span, axis=0)
     gaps = np.zeros(P + 1, dtype=np.int64)
     gaps[1:P] = cands[1:] - cands[:-1]

@@ -156,18 +156,37 @@ def _scan_np(match: np.ndarray, lens: np.ndarray):
     scorer (ops.polya.longest_poly_runs + max by purity with the
     earliest-closed run winning ties); returns the same
     (found, first, length, cnt) contract as the device scan."""
-    B, L = match.shape
-    valid = np.arange(L, dtype=np.int32)[None, :] < lens[:, None]
-    m = np.where(valid, np.where(match, 1, -2), -(10**6)).astype(np.int64)
-    cnt_prefix = np.cumsum(match & valid, axis=1, dtype=np.int64)
+    B0, L = match.shape
+    valid0 = np.arange(L, dtype=np.int32)[None, :] < lens[:, None]
+    best_first = np.zeros(B0, np.int64)
+    best_len = np.zeros(B0, np.int64)
+    best_cnt = np.zeros(B0, np.int64)
 
-    best_first = np.zeros(B, np.int64)
-    best_len = np.zeros(B, np.int64)
-    best_cnt = np.zeros(B, np.int64)
+    # Exact pre-filter: a qualifying run needs length >= 20 and
+    # 20*cnt >= 17*length => cnt >= 17 matches, so rows with a shorter
+    # window or fewer total matches can never produce one. Noisy
+    # soft-clip windows are mostly junk, so this removes the bulk of the
+    # batch before the multi-pass scan arithmetic.
+    active = np.flatnonzero(
+        (lens >= 20) & ((match & valid0).sum(axis=1) >= 17)
+    )
+    if active.size == 0:
+        return np.zeros(B0, bool), best_first, best_len, best_cnt
+    match = match[active] & valid0[active]
+    B = len(active)
 
-    P = np.cumsum(m, axis=1)
+    # With padding masked to mismatch, every score step is m_i = 3*match-2
+    # (padding scores decay like mismatches: runs can only shrink toward
+    # their in-window best, never start or improve past `lens`, so
+    # results are unchanged), and the prefix sums come straight from the
+    # match-count prefix: P_i = 3*cnt_i - 2*(i+1). |P| <= 2L and
+    # key <= L*(L+1), so everything fits int32.
+    assert L < 32768
+    cnt_prefix = np.cumsum(match, axis=1, dtype=np.int32)
+    P = 3 * cnt_prefix - np.arange(2, 2 * L + 2, 2, dtype=np.int32)[None, :]
+
     prefmin = np.minimum.accumulate(
-        np.concatenate([np.zeros((B, 1), np.int64), P], axis=1), axis=1
+        np.concatenate([np.zeros((B, 1), np.int32), P], axis=1), axis=1
     )
     s = P - prefmin[:, 1:]
 
@@ -177,12 +196,12 @@ def _scan_np(match: np.ndarray, lens: np.ndarray):
     start = pos & ~prev_pos
     starts_flat = np.flatnonzero(start.ravel())
     if starts_flat.size == 0:
-        return np.zeros(B, bool), best_first, best_len, best_cnt
+        return np.zeros(B0, bool), best_first, best_len, best_cnt
 
     # Per-run best position: key = s*(L+1)+col (max s, ties -> latest col,
     # the reference's max(zip(S, i))); -1 outside runs.
-    cols = np.arange(L, dtype=np.int64)[None, :]
-    key = np.where(pos, s * (L + 1) + cols, -1).ravel()
+    cols = np.arange(L, dtype=np.int32)[None, :]
+    key = np.where(pos, s * np.int32(L + 1) + cols, np.int32(-1)).ravel()
     runbest = np.maximum.reduceat(key, starts_flat)
 
     run_row = starts_flat // L
@@ -209,8 +228,8 @@ def _scan_np(match: np.ndarray, lens: np.ndarray):
     grp_row = run_row[grp_starts]
     grp_found = pmax > -1.0
     w = winner[grp_found]
-    rows_found = grp_row[grp_found]
-    found = np.zeros(B, bool)
+    rows_found = active[grp_row[grp_found]]  # back to pre-filter rows
+    found = np.zeros(B0, bool)
     found[rows_found] = True
     best_first[rows_found] = first[w]
     best_len[rows_found] = length[w]
@@ -345,10 +364,10 @@ def annotate_gaps_and_polya_batch(items: list[tuple]) -> list[list[str]]:
     (guarded by tests/test_polya_batch.py and the segment-stage
     equivalence test).
     """
-    from .polya import clip_context, emit_tokens, poly_window
+    from .polya import _REV_COMP, clip_context, emit_tokens, poly_window
 
     ctxs: list[tuple | None] = []
-    slots: list[dict[str, list[int]] | None] = []
+    slots: list[dict[str, tuple[int, int] | None] | None] = []
     windows: list[str] = []
     chars: list[str] = []
     for data, segs, intervals, seq, strand in items:
@@ -358,15 +377,23 @@ def annotate_gaps_and_polya_batch(items: list[tuple]) -> list[list[str]]:
             slots.append(None)
             continue
         q_ssc, q_esc, _runs = ctx
-        reqs: dict[str, list[int]] = {}
+        reqs: dict[str, tuple[int, int] | None] = {}
         for side, (lo, hi) in (("s", (0, q_ssc)), ("e", (q_esc, len(seq)))):
-            idxs = []
-            for char in ("A", "T"):
-                w, c = poly_window(seq, lo, hi, strand, char)
-                idxs.append(len(windows))
-                windows.append(w)
-                chars.append(c)
-            reqs[side] = idxs
+            if hi - lo < 20:
+                # No run of length >= 20 fits: both scans are vacuous
+                # (the host scorer would scan and find nothing).
+                reqs[side] = None
+                continue
+            # One window string serves both scans: the A- and T-scan
+            # windows are the same slice, only the scan char differs
+            # (complemented, both strands).
+            w, c_a = poly_window(seq, lo, hi, strand, "A")
+            idx = len(windows)
+            windows.append(w)
+            chars.append(c_a)
+            windows.append(w)
+            chars.append(_REV_COMP[c_a])
+            reqs[side] = (idx, idx + 1)
         slots.append(reqs)
 
     results = best_poly_batch(windows, chars)
@@ -380,6 +407,8 @@ def annotate_gaps_and_polya_batch(items: list[tuple]) -> list[list[str]]:
         q_ssc, q_esc, runs = ctx
 
         def select(side):
+            if reqs[side] is None:
+                return None
             best = None
             best_p = -1.0
             for char, ridx in zip(("A", "T"), reqs[side]):

@@ -62,52 +62,63 @@ def build_splice_signal(tint: SplitTint, consider_ends: bool):
     """Raw splice signal per tint interval + per-interval read-rep interval
     arrays in y-space (py/freddie_segment.py:648-678).
 
-    One vectorized searchsorted maps every rep interval to its tint
-    interval (vs one scalar call per interval); signal accumulation uses
-    np.add.at. y_raw entries are integer-valued counts in float64, so the
-    accumulation order cannot change the result."""
+    Fully vectorized: the flat (ts, te) matrix comes straight out of the
+    rep keys via np.fromiter, per-interval metadata (rep index,
+    multiplicity, first/last flags) via np.repeat over the key lengths,
+    and one searchsorted maps every rep interval to its tint interval.
+    Signal accumulation uses bincount; y_raw entries are integer-valued
+    counts in float64, so the accumulation order cannot change the
+    result. Returns (y_raws, per_iv) with per_iv[iv] either None or
+    (ys, ye, rep) int64 arrays in y-space."""
+    from itertools import chain
+
     iv_bounds = np.array(tint.intervals, dtype=np.int64)  # (n_iv, 2)
     y_raws = [np.zeros(e - s + 1) for s, e in tint.intervals]
-    per_iv: list[list[tuple[int, int, int]]] = [[] for _ in tint.intervals]
-    ts_l: list[int] = []
-    te_l: list[int] = []
-    rep_l: list[int] = []
-    mult_l: list[int] = []
-    first_l: list[bool] = []
-    last_l: list[bool] = []
-    for rep_idx, (rep_key, ridxs) in enumerate(tint.read_reps):
-        mult = len(ridxs)
-        n = len(rep_key)
-        for idx, (ts, te) in enumerate(rep_key):
-            ts_l.append(ts)
-            te_l.append(te)
-            rep_l.append(rep_idx)
-            mult_l.append(mult)
-            first_l.append(idx == 0)
-            last_l.append(idx == n - 1)
-    if not ts_l:
+    per_iv: list[tuple | None] = [None] * len(tint.intervals)
+    n_reps = len(tint.read_reps)
+    counts = np.fromiter(
+        (len(k) for k, _ in tint.read_reps), dtype=np.int64, count=n_reps
+    )
+    total = int(counts.sum())
+    if total == 0:
         return y_raws, per_iv
-    ts_a = np.array(ts_l, dtype=np.int64)
-    te_a = np.array(te_l, dtype=np.int64)
+    flat = np.fromiter(
+        chain.from_iterable(
+            chain.from_iterable(k for k, _ in tint.read_reps)
+        ),
+        dtype=np.int64,
+        count=2 * total,
+    ).reshape(total, 2)
+    ts_a, te_a = flat[:, 0], flat[:, 1]
+    mults = np.fromiter(
+        (len(r) for _, r in tint.read_reps), dtype=np.int64, count=n_reps
+    )
+    rep_a = np.repeat(np.arange(n_reps, dtype=np.int64), counts)
+    mult_a = np.repeat(mults, counts).astype(np.float64)
+    offsets = np.cumsum(counts)
+    is_first = np.zeros(total, dtype=bool)
+    is_first[offsets - counts] = True
+    is_last = np.zeros(total, dtype=bool)
+    is_last[offsets - 1] = True
+
     iv_a = np.searchsorted(iv_bounds[:, 0], ts_a, side="right") - 1
     s_a = iv_bounds[iv_a, 0]
     e_a = iv_bounds[iv_a, 1]
     assert np.all((s_a <= ts_a) & (ts_a <= te_a) & (te_a <= e_a))
     ys_a = ts_a - s_a
     ye_a = te_a - s_a
-    mult_a = np.array(mult_l, dtype=np.float64)
-    start_on = np.array(first_l) <= consider_ends  # consider_ends or not first
-    end_on = np.array(last_l) <= consider_ends
-    rep_a = np.array(rep_l, dtype=np.int64)
+    start_on = is_first <= consider_ends  # consider_ends or not first
+    end_on = is_last <= consider_ends
     for iv in range(len(tint.intervals)):
         m = iv_a == iv
         if not m.any():
             continue
+        n_y = len(y_raws[iv])
         sm = m & start_on
         em = m & end_on
-        np.add.at(y_raws[iv], ys_a[sm], mult_a[sm])
-        np.add.at(y_raws[iv], ye_a[em], mult_a[em])
-        per_iv[iv] = list(zip(ys_a[m].tolist(), ye_a[m].tolist(), rep_a[m].tolist()))
+        y_raws[iv] += np.bincount(ys_a[sm], weights=mult_a[sm], minlength=n_y)
+        y_raws[iv] += np.bincount(ye_a[em], weights=mult_a[em], minlength=n_y)
+        per_iv[iv] = (ys_a[m], ye_a[m], rep_a[m])
     return y_raws, per_iv
 
 
@@ -122,10 +133,8 @@ def prepare_tint(tint: SplitTint, cfg: SegmentConfig, thr: ScaledThresholds) -> 
     for iv_idx, (y_raw, y) in enumerate(zip(y_raws, smoothed)):
         cands = sig.candidates_from_peaks(y)
         rows = per_iv[iv_idx]
-        if rows:
-            starts = np.array([r[0] for r in rows], dtype=np.int64)
-            ends = np.array([r[1] for r in rows], dtype=np.int64)
-            reps = np.array([r[2] for r in rows], dtype=np.int64)
+        if rows is not None:
+            starts, ends, reps = rows
         else:
             starts = ends = reps = np.zeros(0, dtype=np.int64)
         C = cumulative_coverage(
