@@ -62,7 +62,7 @@ class ReadRow:
 class ClusterInstance:
     rows: list[ReadRow]
     seg_len: np.ndarray  # (Mi,) int -- lengths of informative segments
-    incomp: list[tuple[int, int]]  # index pairs into rows
+    incomp: "np.ndarray | list[tuple[int, int]]"  # (K, 2) index pairs into rows
     epsilon: float = 0.2
     offset: int = 20
 

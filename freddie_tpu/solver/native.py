@@ -100,9 +100,9 @@ def solve_exact_native(
         gap_masks = np.zeros((1, words), dtype=np.uint64)
         gap_lens = np.zeros(1, dtype=np.int64)
 
-    incomp = np.array(
-        [[pos_of[a], pos_of[b]] for a, b in inst.incomp], dtype=np.int32
-    ).reshape(-1, 2)
+    pos_arr = np.empty(N, dtype=np.int32)
+    pos_arr[order] = np.arange(N, dtype=np.int32)
+    incomp = pos_arr[np.asarray(inst.incomp, dtype=np.int64).reshape(-1, 2)]
 
     out_assigned = np.zeros(N, dtype=np.int32)
     out_n = ctypes.c_int32(0)
@@ -154,27 +154,33 @@ def _pack_segenum(inst: ClusterInstance, dtype=np.uint32):
     enumeration ABI, u64 for the list-replay ABI)."""
     rows = inst.rows
     M = len(inst.seg_len)
+    assert M <= 8 * dtype().itemsize, (M, dtype)
 
-    def to_mask(vec):
-        bits = 0
-        for b in np.flatnonzero(np.asarray(vec, bool)):
-            bits |= 1 << int(b)
-        return dtype(bits)
+    def masks_of(vecs: list) -> np.ndarray:
+        """Stack of bool vectors -> one little-endian bitmask each."""
+        n = len(vecs)
+        padded = np.zeros((n, 64), dtype=bool)
+        if n and M:
+            padded[:, :M] = np.asarray(vecs, dtype=bool)
+        return (
+            np.packbits(padded, axis=1, bitorder="little")
+            .view(np.uint64)
+            .ravel()
+            .astype(dtype)
+        )
 
-    I_masks = np.array([to_mask(r.exons) for r in rows], dtype=dtype)
-    C_masks = np.array([to_mask(r.corr) for r in rows], dtype=dtype)
+    I_masks = masks_of([r.exons for r in rows])
+    C_masks = masks_of([r.corr for r in rows])
     garbage = np.array([r.garbage for r in rows], dtype=np.float64)
     seg_len = np.ascontiguousarray(inst.seg_len, dtype=np.int64)
     gap_counts = np.array([len(r.gaps) for r in rows], dtype=np.int32)
     if int(gap_counts.sum()):
-        gap_masks = np.array(
-            [to_mask(m) for r in rows for (m, _l) in r.gaps], dtype=dtype
-        )
+        gap_masks = masks_of([m for r in rows for (m, _l) in r.gaps])
         gap_lens = np.array([l for r in rows for (_m, l) in r.gaps], dtype=np.int64)
     else:
         gap_masks = np.zeros(1, dtype=dtype)
         gap_lens = np.zeros(1, dtype=np.int64)
-    incomp = np.array(list(inst.incomp), dtype=np.int32).reshape(-1, 2)
+    incomp = np.asarray(inst.incomp, dtype=np.int32).reshape(-1, 2)
     return I_masks, C_masks, garbage, seg_len, gap_counts, gap_masks, gap_lens, incomp
 
 

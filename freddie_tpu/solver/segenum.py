@@ -108,18 +108,20 @@ class _PerStructure:
         N = len(inst.rows)
         self.Mi, self.N = Mi, N
 
-        def to_int(vec):
-            bits = 0
-            for b in np.flatnonzero(np.asarray(vec, bool)):
-                bits |= 1 << int(b)
-            return bits
+        def masks_of(vecs: list) -> np.ndarray:
+            """Stack of bool vectors -> little-endian uint64 bitmask each."""
+            n = len(vecs)
+            padded = np.zeros((n, 64), dtype=bool)
+            if n and Mi:
+                padded[:, :Mi] = np.asarray(vecs, dtype=bool)
+            return (
+                np.packbits(padded, axis=1, bitorder="little")
+                .view(np.uint64)
+                .ravel()
+            )
 
-        self.I_int = np.array(
-            [to_int(r.exons) for r in inst.rows], dtype=np.uint64
-        )
-        self.C_int = np.array(
-            [to_int(r.corr) for r in inst.rows], dtype=np.uint64
-        )
+        self.I_int = masks_of([r.exons for r in inst.rows])
+        self.C_int = masks_of([r.corr for r in inst.rows])
         self.g = np.array([r.garbage for r in inst.rows], dtype=np.float64)
         self.g_total = float(self.g.sum())
         self.sc, self.eps, self.off = inst.eps_scale, inst.eps_scaled, inst.offset
@@ -128,17 +130,17 @@ class _PerStructure:
         for i, r in enumerate(inst.rows):
             for mask, l in r.gaps:
                 gap_read.append(i)
-                gap_mask_l.append(to_int(mask))
+                gap_mask_l.append(mask)
                 gap_len_l.append(int(l))
         self.gap_read = np.array(gap_read, dtype=np.int64)
-        self.gap_masks = np.array(gap_mask_l, dtype=np.uint64)
+        self.gap_masks = masks_of(gap_mask_l)
         self.gap_lens = np.array(gap_len_l, dtype=np.int64)
         self.n_gaps = len(gap_read)
         self.conflict = np.zeros((N, N), dtype=bool)
-        for a, b in inst.incomp:
-            self.conflict[a, b] = True
-            self.conflict[b, a] = True
-        self.any_conflict = self.conflict.any()
+        inc = np.asarray(inst.incomp, dtype=np.int64).reshape(-1, 2)
+        self.conflict[inc[:, 0], inc[:, 1]] = True
+        self.conflict[inc[:, 1], inc[:, 0]] = True
+        self.any_conflict = bool(len(inc))
 
     def optimistic_block(self, E_blk: np.ndarray) -> np.ndarray:
         """Lower bound per structure: all positive-profit subset-compatible

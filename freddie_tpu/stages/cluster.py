@@ -43,10 +43,12 @@ def _solve(inst: ClusterInstance, deadline_s: float) -> SolveResult:
 
 @dataclass
 class IlpData:
-    """Per-tint solver inputs at read-rep granularity."""
+    """Per-tint solver inputs at read-rep granularity. I and C are
+    (N, M) uint8 matrices (row indexing keeps the reference's
+    list-of-rows shape: ilp.I[i][j])."""
 
-    I: list[list[int]]  # noqa: E741 -- name matches the reference
-    C: list[list[int]]
+    I: np.ndarray  # noqa: E741 -- name matches the reference
+    C: np.ndarray
     FL: list[tuple[int, int]]
     garbage: list[float]
     gaps: list[dict]  # per rep: {(j1, j2): l} including virtual tail gaps
@@ -105,7 +107,14 @@ def preprocess(tint: SegTint, cfg: ClusterConfig) -> IlpData:
         for ridx in ridxs:
             tint.reads[ridx].poly_tail_category = category
             tint.reads[ridx].gaps = rep_gaps
-    return IlpData(I=I, C=C, FL=FL, garbage=garbage, gaps=gaps)
+    shape = (len(I), M)
+    return IlpData(
+        I=np.array(I, dtype=np.uint8).reshape(shape),
+        C=np.array(C, dtype=np.uint8).reshape(shape),
+        FL=FL,
+        garbage=garbage,
+        gaps=gaps,
+    )
 
 
 def split_list_evenly(l: list, m: int):
@@ -123,33 +132,57 @@ def partition_reads(
     reads = tint.reads
     reps = tint.read_reps
     N_reps = len(reps)
+    M = ilp.I.shape[1]
 
     unique: dict[tuple, list[int]] = {}
     for i in range(N_reps):
         d = (
-            tuple(ilp.I[i]),
+            ilp.I[i].tobytes(),
             (ilp.FL[i][0], ilp.FL[i][1], reads[reps[i][0]].poly_tail_category),
         )
         unique.setdefault(d, []).append(i)
     unique_items = list(unique.items())
     N = len(unique_items)
 
+    # Pairwise compatibility, vectorized over bit-packed structures. For a
+    # pair, the reference compares I values on the overlap window
+    # [max(f1,f2), min(l1,l2)] (py/freddie_cluster.py:196-242). That
+    # window is exactly the intersection of the two reads' [f, l] ranges
+    # (f clipped to 0: f = -1 only for all-zero rows, whose pairs are
+    # dropped by the w >= 1 gate in both formulations), so with per-read
+    # validity masks V and exon masks E over uint64 words:
+    #   o = popcount(V1 & V2), w = popcount(E1 & E2 & V1 & V2),
+    #   diff = popcount((E1 ^ E2) & V1 & V2).
+    first_member = [members[0] for _d, members in unique_items]
+    f_arr = np.array([k[1][0] for k, _ in unique_items], dtype=np.int64)
+    l_arr = np.array([k[1][1] for k, _ in unique_items], dtype=np.int64)
+    cat = np.array(
+        [{"N": 0, "S": 1, "E": 2}[k[1][2]] for k, _ in unique_items],
+        dtype=np.int8,
+    )
+    E_bool = ilp.I[first_member] == 1  # (N, M)
+    pos = np.arange(M, dtype=np.int64)[None, :]
+    V_bool = (pos >= np.maximum(f_arr, 0)[:, None]) & (pos <= l_arr[:, None])
+    W = max((M + 63) // 64, 1)
+
+    def pack(mat: np.ndarray) -> np.ndarray:
+        padded = np.zeros((N, W * 64), dtype=bool)
+        padded[:, :M] = mat
+        return np.packbits(padded, axis=1, bitorder="little").view(np.uint64)
+
+    Ew = pack(E_bool)
+    Vw = pack(V_bool)
     edges: list[tuple[int, int]] = []
-    for i in range(N):
-        d1, (f1, l1, t1) = unique_items[i][0]
-        for j in range(i + 1, N):
-            d2, (f2, l2, t2) = unique_items[j][0]
-            if t1 != "N" and t2 != "N" and t1 != t2:
-                continue
-            f = max(f1, f2)
-            l = min(l1, l2)
-            o = l - f + 1
-            w = sum(x == y == 1 for x, y in zip(d1[f : l + 1], d2[f : l + 1]))
-            if w < 1:
-                continue
-            diff = sum(x != y for x, y in zip(d1[f : l + 1], d2[f : l + 1]))
-            if (o > 3 and diff < 3) or (1 <= o <= 3 and diff == 0):
-                edges.append((i, j))
+    for i in range(N - 1):
+        vi = Vw[i] & Vw[i + 1 :]
+        o = np.bitwise_count(vi).sum(axis=1, dtype=np.int64)
+        w = np.bitwise_count(Ew[i] & Ew[i + 1 :] & vi).sum(axis=1, dtype=np.int64)
+        diff = np.bitwise_count((Ew[i] ^ Ew[i + 1 :]) & vi).sum(axis=1, dtype=np.int64)
+        ok = (w >= 1) & (((o > 3) & (diff < 3)) | ((o >= 1) & (o <= 3) & (diff == 0)))
+        if cat[i]:
+            ok &= ~((cat[i + 1 :] != 0) & (cat[i + 1 :] != cat[i]))
+        for j in np.flatnonzero(ok):
+            edges.append((i, i + 1 + int(j)))
 
     # Iterative pruning: drop an edge unless an endpoint has no other
     # neighbor or the pair shares a neighbor; sweep until stable.
@@ -194,23 +227,60 @@ def partition_reads(
     for i in range(N):
         comps.setdefault(find(i), []).append(i)
 
-    has_edge = {e for e, ok in alive.items() if ok}
+    adj_mat = np.zeros((N, N), dtype=bool)
+    for (i, j), ok in alive.items():
+        if ok:
+            adj_mat[i, j] = adj_mat[j, i] = True
+    # Flat member table: unique u's rep ids at mem_flat[mem_off[u]:+sz[u]].
+    sz = np.array([len(m) for _d, m in unique_items], dtype=np.int64)
+    mem_off = np.concatenate([[0], np.cumsum(sz)[:-1]]).astype(np.int64)
+    mem_flat = np.array(
+        [r for _d, m in unique_items for r in m], dtype=np.int32
+    )
+
+    def expand_nonedges(c_arr: np.ndarray) -> np.ndarray:
+        """Read-level incompatible pairs of one partition: for every
+        unordered unique pair in c_arr without a surviving edge, the full
+        cross product of their member rep ids -- pair-major, r1-major,
+        exactly the reference's nested loops -- computed with O(total)
+        index arithmetic instead of per-pair Python."""
+        U = len(c_arr)
+        if U < 2:
+            return np.zeros((0, 2), dtype=np.int32)
+        ii, jj = np.triu_indices(U, 1)
+        ci, cj = c_arr[ii], c_arr[jj]  # c_arr ascending => ci < cj
+        ne = ~adj_mat[ci, cj]
+        ai, bi = ci[ne], cj[ne]
+        if len(ai) == 0:
+            return np.zeros((0, 2), dtype=np.int32)
+        sa, sb = sz[ai], sz[bi]
+        # r1: each member of A repeated |B| times, pairs concatenated.
+        na = int(sa.sum())
+        a_local = np.arange(na, dtype=np.int64) - np.repeat(
+            np.cumsum(sa) - sa, sa
+        )
+        a_elems = mem_flat[np.repeat(mem_off[ai], sa) + a_local]
+        r1 = np.repeat(a_elems, np.repeat(sb, sa))
+        # r2: B cycled within each pair's |A|*|B| block.
+        block = sa * sb
+        total = int(block.sum())
+        pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(block) - block, block
+        )
+        b_local = pos % np.repeat(sb, block)
+        r2 = mem_flat[np.repeat(mem_off[bi], block) + b_local]
+        return np.stack([r1, r2], axis=1)
+
     partitions = []
     for root in sorted(comps, key=lambda r: min(comps[r])):
         comp = sorted(comps[root])
         for c in split_list_evenly(comp, max_ilp):
             rids: list[int] = []
-            incomp: list[tuple[int, int]] = []
-            for idx, i in enumerate(c):
+            for i in c:
                 rids.extend(unique_items[i][1])
-                for j in c[idx + 1 :]:
-                    a, b = min(i, j), max(i, j)
-                    if (a, b) in has_edge:
-                        continue
-                    for r1 in unique_items[a][1]:
-                        for r2 in unique_items[b][1]:
-                            incomp.append((r1, r2))
-            partitions.append((rids, incomp))
+            partitions.append(
+                (rids, expand_nonedges(np.asarray(c, dtype=np.int64)))
+            )
     return partitions
 
 
@@ -219,17 +289,16 @@ def informative_segs(tint: SegTint, ilp: IlpData, remaining: list[int]) -> list[
     the remaining reads and equals both neighbors
     (py/freddie_cluster.py:331-344)."""
     M = len(tint.segs)
-    content = [set() for _ in range(M)]
-    for j in range(M):
-        for i in remaining:
-            content[j].add(ilp.I[i][j])
-            if len(content[j]) == 2:
-                break
-    informative = [True] * M
-    for j in range(1, M - 1):
-        if len(content[j]) == 1 and content[j - 1] == content[j] == content[j + 1]:
-            informative[j] = False
-    return informative
+    sub = ilp.I[remaining]  # (n, M)
+    ref = sub[0]
+    const = (sub == ref[None, :]).all(axis=0)  # column is single-valued
+    informative = np.ones(M, dtype=bool)
+    if M > 2:
+        informative[1:-1] = ~(
+            const[:-2] & const[1:-1] & const[2:]
+            & (ref[:-2] == ref[1:-1]) & (ref[1:-1] == ref[2:])
+        )
+    return informative.tolist()
 
 
 def build_instance(
@@ -243,35 +312,48 @@ def build_instance(
     """Restrict the round's data to informative segments and package it for
     the solver."""
     M = len(tint.segs)
-    inf_idx = [j for j in range(M) if informative[j]]
-    col_of = {j: c for c, j in enumerate(inf_idx)}
-    seg_len = np.array([tint.segs[j][2] for j in inf_idx], dtype=np.int64)
+    inf_idx = np.flatnonzero(informative)
     Mi = len(inf_idx)
-    rows = []
-    for i in remaining:
-        exons = np.zeros(Mi, dtype=bool)
-        corrs = np.zeros(Mi, dtype=bool)
-        for j in inf_idx:
-            c = col_of[j]
-            exons[c] = ilp.I[i][j] == 1
-            corrs[c] = ilp.C[i][j] == 1
-        row_gaps = []
+    seg_len = np.array([tint.segs[j][2] for j in inf_idx], dtype=np.int64)
+    # Informative-column slices for the whole round at once.
+    sub_I = ilp.I[remaining][:, inf_idx] == 1  # (n, Mi)
+    sub_C = ilp.C[remaining][:, inf_idx] == 1
+    # One batched searchsorted maps every gap's (j1, j2) to the slice of
+    # informative columns strictly between them.
+    gap_owner: list[int] = []
+    j1s: list[int] = []
+    j2s: list[int] = []
+    lens: list[int] = []
+    for k, i in enumerate(remaining):
         for (j1, j2), l in ilp.gaps[i].items():
-            mask = np.zeros(Mi, dtype=bool)
-            for j in range(j1 + 1, j2):
-                if 0 <= j < M and informative[j]:
-                    mask[col_of[j]] = True
-            row_gaps.append((mask, l))
-        rows.append(ReadRow(exons=exons, corr=corrs, garbage=ilp.garbage[i], gaps=row_gaps))
-    rem_pos = {r: p for p, r in enumerate(remaining)}
-    pair_set = set()
-    pairs = []
-    for a, b in incomp:
-        if a in rem_pos and b in rem_pos:
-            key = (rem_pos[a], rem_pos[b])
-            if key not in pair_set:
-                pair_set.add(key)
-                pairs.append(key)
+            gap_owner.append(k)
+            j1s.append(j1)
+            j2s.append(j2)
+            lens.append(l)
+    if gap_owner:
+        los = np.searchsorted(inf_idx, np.asarray(j1s) + 1)
+        his = np.searchsorted(inf_idx, np.asarray(j2s))
+        cols = np.arange(Mi, dtype=np.int64)[None, :]
+        gap_masks = (cols >= los[:, None]) & (cols < his[:, None])
+    per_row_gaps: list[list] = [[] for _ in remaining]
+    for g, k in enumerate(gap_owner):
+        per_row_gaps[k].append((gap_masks[g], lens[g]))
+    rows = [
+        ReadRow(exons=sub_I[k], corr=sub_C[k], garbage=ilp.garbage[i],
+                gaps=per_row_gaps[k])
+        for k, i in enumerate(remaining)
+    ]
+    # Re-index surviving incompatible pairs into round positions. The
+    # construction in partition_reads never emits duplicates, and every
+    # solver consumes the pairs as an (unordered) constraint set, so no
+    # dedup pass is needed.
+    inc = np.asarray(incomp, dtype=np.int64).reshape(-1, 2)
+    pos_map = np.full(ilp.I.shape[0], -1, dtype=np.int64)
+    pos_map[np.asarray(remaining, dtype=np.int64)] = np.arange(len(remaining))
+    pa = pos_map[inc[:, 0]]
+    pb = pos_map[inc[:, 1]]
+    keep = (pa >= 0) & (pb >= 0)
+    pairs = np.stack([pa[keep], pb[keep]], axis=1).astype(np.int32)
     return ClusterInstance(
         rows=rows,
         seg_len=seg_len,
@@ -329,7 +411,7 @@ def cluster_tint(
             col_of = {j: c for c, j in enumerate(inf_idx)}
             ref_row = ilp.I[min(remaining)]
             exons = [
-                int(res.isoform[col_of[j]]) if informative[j] else ref_row[j]
+                int(res.isoform[col_of[j]]) if informative[j] else int(ref_row[j])
                 for j in range(M)
             ]
             rid_to_corrections = {}

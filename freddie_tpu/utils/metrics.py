@@ -20,6 +20,8 @@ import os
 import time
 from dataclasses import dataclass, field
 
+import numpy as np
+
 
 @dataclass
 class StageMetrics:
@@ -87,7 +89,9 @@ class SolverLog:
                     seg_len=inst.seg_len.tolist(),
                     epsilon=inst.epsilon,
                     offset=inst.offset,
-                    incomp=list(map(list, inst.incomp)),
+                    incomp=np.asarray(inst.incomp, dtype=np.int64)
+                    .reshape(-1, 2)
+                    .tolist(),
                     rows=[
                         dict(
                             exons=[int(x) for x in r.exons],

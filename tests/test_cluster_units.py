@@ -56,8 +56,8 @@ def test_preprocess_polya_promotion():
     assert tint.reads[1].poly_tail_category == "N"
     assert ilp.gaps[0] == {(-1, 1): 4}
     # C row: correctable zeros within [FL]; with promotion min_i=0
-    assert ilp.C[0] == [1, 0, 0, 0, 0]
-    assert ilp.C[1] == [0, 0, 0, 0, 0]  # FL=(1,3): no zeros within
+    assert ilp.C[0].tolist() == [1, 0, 0, 0, 0]
+    assert ilp.C[1].tolist() == [0, 0, 0, 0, 0]  # FL=(1,3): no zeros within
     assert ilp.FL[0] == (0, 3)
     assert ilp.FL[1] == (1, 3)
 
