@@ -171,19 +171,31 @@ def run_isoforms(
             assert os.path.isfile(split_tsv), split_tsv
             jobs.append((os.path.join(cdir, fn), split_tsv, cfg))
     records: list[tuple[tuple, str]] = []
+    pooled = False
     if cfg.threads > 1 and len(jobs) > 1:
         import multiprocessing
         from concurrent.futures import ProcessPoolExecutor
+        from concurrent.futures.process import BrokenProcessPool
 
         # spawn, not fork: the parent may hold JAX's threads, and forking
         # a multithreaded process can deadlock the children.
-        with ProcessPoolExecutor(
-            max_workers=cfg.threads,
-            mp_context=multiprocessing.get_context("spawn"),
-        ) as ex:
-            for recs in ex.map(_tint_isoforms_job, jobs, chunksize=5):
-                records.extend(recs)
-    else:
+        try:
+            with ProcessPoolExecutor(
+                max_workers=cfg.threads,
+                mp_context=multiprocessing.get_context("spawn"),
+            ) as ex:
+                records = [
+                    r for recs in ex.map(_tint_isoforms_job, jobs, chunksize=5)
+                    for r in recs
+                ]
+            pooled = True
+        except BrokenProcessPool:
+            # Workers can die at startup in constrained environments
+            # (container limits, signal storms); results are
+            # deterministic either way, so degrade to serial rather
+            # than fail the stage.
+            records = []
+    if not pooled:
         for job in jobs:
             records.extend(_tint_isoforms_job(job))
     records.sort()
