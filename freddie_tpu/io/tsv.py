@@ -395,7 +395,24 @@ def parse_cluster_tsv(path: str):
 
 def parse_split_alignment_boundaries(path: str, reads: dict) -> None:
     """Attach per-read alignment interval starts/ends from the split TSV
-    (py/freddie_isoforms.py:143-156)."""
+    (py/freddie_isoforms.py:143-156). Uses the C parser when available
+    (it already asserts every interval is nonempty); falls back to the
+    line parser otherwise."""
+    mod = _load_tsvparse()
+    if mod is not None:
+        from .bam import CIGAR_OPS
+
+        try:
+            _c, _t, _iv, _n, rows, _reps = mod.parse_split_file(path, CIGAR_OPS)
+        except Exception:
+            rows = None
+        if rows is not None:
+            for rid, _name, _chrom, _strand, _tint, ivs in rows:
+                if rid not in reads:
+                    continue
+                reads[rid]["starts"] = tuple(iv[0] for iv in ivs)
+                reads[rid]["ends"] = tuple(iv[1] for iv in ivs)
+            return
     for line in open(path):
         if line.startswith("#"):
             continue

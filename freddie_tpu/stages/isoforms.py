@@ -172,7 +172,13 @@ def run_isoforms(
             jobs.append((os.path.join(cdir, fn), split_tsv, cfg))
     records: list[tuple[tuple, str]] = []
     pooled = False
-    if cfg.threads > 1 and len(jobs) > 1:
+    # Spawned workers each pay a multi-second interpreter+jax import
+    # (sitecustomize); the consensus math itself runs ~30 MB of input
+    # per second per core, so the pool only wins on large datasets.
+    total_bytes = sum(
+        os.path.getsize(p) for cl, sp, _cfg in jobs for p in (cl, sp)
+    )
+    if cfg.threads > 1 and len(jobs) > 1 and total_bytes > 128 << 20:
         import multiprocessing
         from concurrent.futures import ProcessPoolExecutor
         from concurrent.futures.process import BrokenProcessPool
