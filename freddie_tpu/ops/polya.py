@@ -24,6 +24,42 @@ from ..io.bam import CDEL, CDIFF, CEQUAL, CINS, CMATCH
 
 _REV_COMP = {"A": "T", "C": "G", "G": "C", "T": "A"}
 
+_ctok_mod = None
+_ctok_failed = False
+
+
+def _load_ctok():
+    """Build/load the C clip-context/token extension (native/polyatok.c)
+    on first use; None without a toolchain (callers fall back to the
+    Python twins transparently -- results are identical,
+    tests/test_polyatok.py)."""
+    global _ctok_mod, _ctok_failed
+    if _ctok_mod is not None or _ctok_failed:
+        return _ctok_mod
+    try:
+        import importlib.util
+        import os
+        import subprocess
+        import sysconfig
+
+        root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        src = os.path.join(root, "native", "polyatok.c")
+        lib = os.path.join(root, "native", "polyatok.so")
+        if not os.path.exists(lib) or os.path.getmtime(lib) < os.path.getmtime(src):
+            inc = sysconfig.get_paths()["include"]
+            subprocess.run(
+                ["gcc", "-O2", "-shared", "-fPIC", f"-I{inc}", "-o", lib, src],
+                check=True, capture_output=True,
+            )
+        spec = importlib.util.spec_from_file_location("polyatok", lib)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _ctok_mod = mod
+    except Exception:
+        _ctok_failed = True
+        _ctok_mod = None
+    return _ctok_mod
+
 
 def walk_cigar_to(cigar: list[tuple[int, int]], t_goal: int, t_pos: int, q_pos: int) -> int:
     """Query position aligned at target position t_goal (>= t_pos)."""
@@ -135,7 +171,20 @@ def clip_context(data: list[int], segs: list[tuple[int, int]], intervals, seq: s
     """Covered-run structure of one read: (q_ssc, q_esc, runs) where runs
     are the maximal runs of 1s in `data` and q_ssc/q_esc are the query
     positions of the first/last covered base -- or None when the read
-    covers no segment (its token set is empty)."""
+    covers no segment (its token set is empty). Dispatches to the C
+    twin when built; falls back to the Python path on any C exception
+    (so acceptance never depends on the toolchain)."""
+    mod = _load_ctok()
+    if mod is not None:
+        try:
+            return mod.clip_context(data, segs, intervals, len(seq))
+        except Exception:
+            pass
+    return _clip_context_py(data, segs, intervals, seq)
+
+
+def _clip_context_py(data: list[int], segs: list[tuple[int, int]], intervals, seq: str):
+    """Pure-Python twin of clip_context (the semantic oracle)."""
     if 1 not in data:
         return None
     runs = []
@@ -171,7 +220,34 @@ def emit_tokens(
 ) -> list[str]:
     """Token set from a clip context plus the two resolved polyA candidates
     (each (offset, length, char) or None). Shared by the host path and the
-    batched device path so the wire format has a single definition."""
+    batched device path so the wire format has a single definition.
+    Dispatches to the C twin when built (every token is unique by
+    construction -- distinct prefixes per category, ascending gap keys --
+    so the C list sort equals the Python sorted-set)."""
+    mod = _load_ctok()
+    if mod is not None:
+        try:
+            return mod.emit_tokens(
+                q_ssc, q_esc, runs, best_s, best_e, segs, intervals, read_len
+            )
+        except Exception:
+            pass
+    return _emit_tokens_py(
+        q_ssc, q_esc, runs, best_s, best_e, segs, intervals, read_len
+    )
+
+
+def _emit_tokens_py(
+    q_ssc: int,
+    q_esc: int,
+    runs: list[tuple[int, int]],
+    best_s,
+    best_e,
+    segs: list[tuple[int, int]],
+    intervals,
+    read_len: int,
+) -> list[str]:
+    """Pure-Python twin of emit_tokens (the semantic oracle)."""
     gaps: set[str] = set()
     if best_s is not None:
         i, l, char = best_s
