@@ -249,6 +249,33 @@ class SegTint:
 
 
 def parse_segment_tsv(path: str) -> SegTint:
+    """Parse one segment TSV. Uses the C extension when available; any
+    C-side exception (including malformed-token strictness) falls back
+    to the permissive Python parser, so acceptance never depends on the
+    toolchain (equivalence pinned by tests/test_native_tsvparse.py)."""
+    mod = _load_tsvparse()
+    if mod is not None:
+        try:
+            tid, chrom, positions, rows, reps = mod.parse_segment_file(path)
+        except Exception:
+            return _parse_segment_tsv_py(path)
+        return SegTint(
+            id=tid,
+            chrom=chrom,
+            positions=positions,
+            segs=[(s, e, e - s) for s, e in zip(positions[:-1], positions[1:])],
+            reads=[
+                SegRead(id=rid, name=nm, chrom=rc, strand=st, tint=rt,
+                        data=d, gaps=g, softclip=sc, poly_tail=pt)
+                for rid, nm, rc, st, rt, d, g, sc, pt in rows
+            ],
+            read_reps=reps,
+        )
+    return _parse_segment_tsv_py(path)
+
+
+def _parse_segment_tsv_py(path: str) -> SegTint:
+    """Pure-Python segment-TSV parser (the semantic oracle and fallback)."""
     tint = None
     rep_of: dict[str, list[int]] = {}
     for line in open(path):

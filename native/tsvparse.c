@@ -344,9 +344,400 @@ error:
   return NULL;
 }
 
+/* ---------------------------------------------------------------- segment
+ * parse_segment_file(path) ->
+ *   (tint_id, chrom, positions, rows, read_reps)
+ *   rows: [(rid, name, chrom, strand, tint, data, gaps, softclip, poly)]
+ *     data: [int per digit of the 012 string]
+ *     gaps: {(j1, j2): size}; softclip: {"SSC"/"ESC": int};
+ *     poly: {"SA"/"ST"/"EA"/"ST": (len, gap)}
+ *   read_reps: [[row_idx, ...]] grouped by the reference's rep key
+ *   (data with 2->0, bucketed internal gap sizes, polyA signature --
+ *   py/freddie_cluster.py:154-164), first-seen order.
+ *
+ * The gaps field is our own writer's "tok,tok,...," form; any piece
+ * that does not match one of the three token grammars exactly raises
+ * ValueError, and the Python wrapper falls back to the regex parser
+ * (which scans permissively), so results never depend on this parser.
+ */
+
+static int piece_is_digits(const char* s, const char* e) {
+  if (s >= e) return 0;
+  for (; s < e; ++s)
+    if (*s < '0' || *s > '9') return 0;
+  return 1;
+}
+
+static PyObject* parse_segment_file(PyObject* self, PyObject* args) {
+  const char* path;
+  if (!PyArg_ParseTuple(args, "s", &path)) return NULL;
+
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+    return NULL;
+  }
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  char* buf = (char*)malloc((size_t)fsize + 1);
+  if (!buf || fread(buf, 1, (size_t)fsize, f) != (size_t)fsize) {
+    fclose(f);
+    free(buf);
+    PyErr_SetString(PyExc_OSError, "short read");
+    return NULL;
+  }
+  fclose(f);
+  buf[fsize] = '\n';
+
+  PyObject* chrom = NULL;
+  PyObject* positions = NULL;
+  PyObject* rows = PyList_New(0);
+  PyObject* reps_dict = PyDict_New();
+  long long tint_id = -1;
+  long long n_segs = -1;
+  Py_ssize_t chrom_len = 0;
+  const char* chrom_s = NULL;
+  char keybuf_static[4096];
+
+  if (!rows || !reps_dict) goto serror;
+
+  const char* p = buf;
+  const char* bend = buf + fsize;
+
+#define SFAIL(msg)            \
+  do {                        \
+    fail_assert(msg);         \
+    goto serror;              \
+  } while (0)
+#define SVFAIL(msg)                          \
+  do {                                       \
+    PyErr_SetString(PyExc_ValueError, msg);  \
+    goto serror;                             \
+  } while (0)
+
+  while (p < bend) {
+    const char* eol = memchr(p, '\n', (size_t)(bend - p + 1));
+    if (!eol) eol = bend;
+    const char* line = p;
+    const char* lend = eol;
+    p = eol + 1;
+    if (line == lend) continue;
+
+    if (*line == '#') {
+      if (chrom != NULL) SFAIL("multiple tints in one segment file");
+      const char* t1 = memchr(line, '\t', (size_t)(lend - line));
+      if (!t1) SVFAIL("header: missing fields");
+      chrom_s = line + 1;
+      chrom_len = t1 - line - 1;
+      chrom = PyUnicode_FromStringAndSize(chrom_s, chrom_len);
+      if (!chrom) goto serror;
+      const char* q = t1 + 1;
+      tint_id = parse_ll(&q, lend);
+      if (tint_id < 0 || q >= lend || *q != '\t') SVFAIL("header: bad tint");
+      ++q;
+      positions = PyList_New(0);
+      if (!positions) goto serror;
+      long long prev = -1;
+      long long count = 0;
+      while (1) {
+        long long v = parse_ll(&q, lend);
+        if (v < 0) SVFAIL("header: bad position");
+        if (prev >= 0 && !(prev < v)) SFAIL("header: positions not ascending");
+        prev = v;
+        ++count;
+        PyObject* pv = PyLong_FromLongLong(v);
+        if (!pv || PyList_Append(positions, pv) < 0) {
+          Py_XDECREF(pv);
+          goto serror;
+        }
+        Py_DECREF(pv);
+        if (q < lend && *q == ',') {
+          ++q;
+          continue;
+        }
+        break;
+      }
+      if (q != lend) SVFAIL("header: trailing junk");
+      n_segs = count - 1;
+      continue;
+    }
+    if (chrom == NULL) SFAIL("read row before tint header");
+
+    /* rid \t name \t chrom \t strand \t tint \t data \t gaps */
+    const char* q = line;
+    long long rid = parse_ll(&q, lend);
+    if (rid < 0 || q >= lend || *q != '\t') SVFAIL("row: bad rid");
+    ++q;
+    const char* t = memchr(q, '\t', (size_t)(lend - q));
+    if (!t) SVFAIL("row: missing name end");
+    PyObject* name = PyUnicode_FromStringAndSize(q, t - q);
+    q = t + 1;
+    t = memchr(q, '\t', (size_t)(lend - q));
+    if (!t) {
+      Py_XDECREF(name);
+      SVFAIL("row: missing chrom end");
+    }
+    const char* rchrom_s = q;
+    Py_ssize_t rchrom_len = t - q;
+    PyObject* rchrom = PyUnicode_FromStringAndSize(q, t - q);
+    q = t + 1;
+    t = memchr(q, '\t', (size_t)(lend - q));
+    if (!t) {
+      Py_XDECREF(name);
+      Py_XDECREF(rchrom);
+      SVFAIL("row: missing strand end");
+    }
+    PyObject* strand = PyUnicode_FromStringAndSize(q, t - q);
+    q = t + 1;
+    long long rtint = parse_ll(&q, lend);
+    if (rtint < 0 || q >= lend || *q != '\t') {
+      Py_XDECREF(name);
+      Py_XDECREF(rchrom);
+      Py_XDECREF(strand);
+      SVFAIL("row: bad tint");
+    }
+    ++q;
+    const char* data_s = q;
+    t = memchr(q, '\t', (size_t)(lend - q));
+    const char* data_e = t ? t : lend;
+    const char* gaps_s = t ? t + 1 : lend;
+    const char* gaps_e = lend;
+    /* gaps may themselves contain no tabs in this wire format; anything
+     * after another tab is not produced by the writer */
+    if (t && memchr(gaps_s, '\t', (size_t)(lend - gaps_s))) {
+      Py_XDECREF(name);
+      Py_XDECREF(rchrom);
+      Py_XDECREF(strand);
+      SVFAIL("row: unexpected extra fields");
+    }
+    long long dlen = data_e - data_s;
+    if (n_segs >= 0 && dlen != n_segs) {
+      Py_XDECREF(name);
+      Py_XDECREF(rchrom);
+      Py_XDECREF(strand);
+      SFAIL("row: data length != segment count");
+    }
+    if (!(rchrom_len == chrom_len && memcmp(rchrom_s, chrom_s, chrom_len) == 0)) {
+      Py_XDECREF(name);
+      Py_XDECREF(rchrom);
+      Py_XDECREF(strand);
+      SFAIL("row: chrom mismatch");
+    }
+
+    PyObject* data = PyList_New(dlen);
+    PyObject* gaps = PyDict_New();
+    PyObject* softclip = PyDict_New();
+    PyObject* poly = PyDict_New();
+    char* key = keybuf_static;
+    size_t key_cap = sizeof(keybuf_static);
+    size_t key_len = 0;
+    char* key_heap = NULL;
+    if (!data || !gaps || !softclip || !poly) goto row_err;
+
+#define KEY_RESERVE(extra)                                   \
+  do {                                                       \
+    if (key_len + (extra) + 1 > key_cap) {                   \
+      size_t nc = key_cap * 2 + (extra);                     \
+      char* nk = (char*)malloc(nc);                          \
+      if (!nk) goto row_err;                                 \
+      memcpy(nk, key, key_len);                              \
+      if (key_heap) free(key_heap);                          \
+      key_heap = nk;                                         \
+      key = nk;                                              \
+      key_cap = nc;                                          \
+    }                                                        \
+  } while (0)
+
+    KEY_RESERVE((size_t)dlen);
+    for (long long i = 0; i < dlen; ++i) {
+      char c = data_s[i];
+      if (c < '0' || c > '9') goto row_vfail;
+      PyObject* dv = PyLong_FromLong(c - '0');
+      if (!dv) goto row_err;
+      PyList_SET_ITEM(data, i, dv);
+      key[key_len++] = (c == '2') ? '0' : c;
+    }
+
+    /* gap tokens: tok followed by ',' each */
+    {
+      const char* g = gaps_s;
+      while (g < gaps_e) {
+        const char* ge = memchr(g, ',', (size_t)(gaps_e - g));
+        if (!ge) goto row_vfail; /* no trailing comma: let Python decide */
+        /* classify the piece [g, ge) */
+        const char* colon = memchr(g, ':', (size_t)(ge - g));
+        if (!colon) goto row_vfail;
+        if (!piece_is_digits(colon + 1, ge)) goto row_vfail;
+        const char* vq = colon + 1;
+        long long val = parse_ll(&vq, ge);
+        if (val < 0 || vq != ge) goto row_vfail;
+        Py_ssize_t head = colon - g;
+        const char* dash = memchr(g, '-', (size_t)head);
+        const char* under = memchr(g, '_', (size_t)head);
+        if (dash && piece_is_digits(g, dash) &&
+            piece_is_digits(dash + 1, colon)) {
+          /* internal gap j1-j2:size */
+          const char* aq = g;
+          long long a = parse_ll(&aq, dash);
+          const char* bq = dash + 1;
+          long long b = parse_ll(&bq, colon);
+          if (a < 0 || b < 0) goto row_vfail;
+          if (!(0 <= a && a < b && b < dlen)) goto row_fail_bounds;
+          PyObject* kk = Py_BuildValue("(LL)", a, b);
+          PyObject* vv = PyLong_FromLongLong(val);
+          if (!kk || !vv || PyDict_SetItem(gaps, kk, vv) < 0) {
+            Py_XDECREF(kk);
+            Py_XDECREF(vv);
+            goto row_err;
+          }
+          Py_DECREF(kk);
+          Py_DECREF(vv);
+          /* key piece: ".size" if > 10 else ".0" */
+          if (val > 10) {
+            char tmp[32];
+            int nn = snprintf(tmp, sizeof(tmp), ".%.*s",
+                              (int)(ge - (colon + 1)), colon + 1);
+            KEY_RESERVE((size_t)nn);
+            memcpy(key + key_len, tmp, (size_t)nn);
+            key_len += (size_t)nn;
+          } else {
+            KEY_RESERVE(2);
+            key[key_len++] = '.';
+            key[key_len++] = '0';
+          }
+        } else if (head == 3 && (g[0] == 'E' || g[0] == 'S') && g[1] == 'S' &&
+                   g[2] == 'C') {
+          PyObject* kk = PyUnicode_FromStringAndSize(g, 3);
+          PyObject* vv = PyLong_FromLongLong(val);
+          if (!kk || !vv || PyDict_SetItem(softclip, kk, vv) < 0) {
+            Py_XDECREF(kk);
+            Py_XDECREF(vv);
+            goto row_err;
+          }
+          Py_DECREF(kk);
+          Py_DECREF(vv);
+        } else if (under && under - g == 2 && (g[0] == 'E' || g[0] == 'S') &&
+                   (g[1] == 'A' || g[1] == 'T') &&
+                   piece_is_digits(under + 1, colon)) {
+          /* poly token XY_len:gap */
+          const char* lq = under + 1;
+          long long plen = parse_ll(&lq, colon);
+          if (plen < 0) goto row_vfail;
+          PyObject* kk = PyUnicode_FromStringAndSize(g, 2);
+          PyObject* vv = Py_BuildValue("(LL)", plen, val);
+          if (!kk || !vv || PyDict_SetItem(poly, kk, vv) < 0) {
+            Py_XDECREF(kk);
+            Py_XDECREF(vv);
+            goto row_err;
+          }
+          Py_DECREF(kk);
+          Py_DECREF(vv);
+          /* key piece: ".{side}{gap if > 10 else 0}" */
+          if (val > 10) {
+            char tmp[40];
+            int nn = snprintf(tmp, sizeof(tmp), ".%c%.*s", g[0],
+                              (int)(ge - (colon + 1)), colon + 1);
+            KEY_RESERVE((size_t)nn);
+            memcpy(key + key_len, tmp, (size_t)nn);
+            key_len += (size_t)nn;
+          } else {
+            KEY_RESERVE(3);
+            key[key_len++] = '.';
+            key[key_len++] = g[0];
+            key[key_len++] = '0';
+          }
+        } else {
+          goto row_vfail; /* unknown token shape: Python decides */
+        }
+        g = ge + 1;
+      }
+    }
+
+    {
+      PyObject* row = Py_BuildValue("(LNNNLNNNN)", rid, name, rchrom, strand,
+                                    rtint, data, gaps, softclip, poly);
+      if (!row || PyList_Append(rows, row) < 0) {
+        Py_XDECREF(row);
+        if (key_heap) free(key_heap);
+        goto serror;
+      }
+      Py_DECREF(row);
+    }
+    {
+      PyObject* key_obj = PyUnicode_FromStringAndSize(key, (Py_ssize_t)key_len);
+      if (key_heap) free(key_heap);
+      key_heap = NULL;
+      if (!key_obj) goto serror;
+      PyObject* lst = PyDict_GetItem(reps_dict, key_obj);
+      if (!lst) {
+        PyObject* fresh = PyList_New(0);
+        if (!fresh || PyDict_SetItem(reps_dict, key_obj, fresh) < 0) {
+          Py_XDECREF(fresh);
+          Py_DECREF(key_obj);
+          goto serror;
+        }
+        Py_DECREF(fresh);
+        lst = PyDict_GetItem(reps_dict, key_obj);
+      }
+      Py_DECREF(key_obj);
+      PyObject* idx = PyLong_FromSsize_t(PyList_GET_SIZE(rows) - 1);
+      if (!idx || !lst || PyList_Append(lst, idx) < 0) {
+        Py_XDECREF(idx);
+        goto serror;
+      }
+      Py_DECREF(idx);
+    }
+    continue;
+
+  row_fail_bounds:
+    fail_assert("row: gap bounds out of range");
+    goto row_err;
+  row_vfail:
+    PyErr_SetString(PyExc_ValueError, "row: unparseable field");
+  row_err:
+    Py_XDECREF(name);
+    Py_XDECREF(rchrom);
+    Py_XDECREF(strand);
+    Py_XDECREF(data);
+    Py_XDECREF(gaps);
+    Py_XDECREF(softclip);
+    Py_XDECREF(poly);
+    if (key_heap) free(key_heap);
+    goto serror;
+  }
+
+  if (chrom == NULL) SFAIL("no tint header");
+  {
+    PyObject* reps = PyList_New(0);
+    if (!reps) goto serror;
+    Py_ssize_t dpos = 0;
+    PyObject *dk, *dv;
+    while (PyDict_Next(reps_dict, &dpos, &dk, &dv)) {
+      if (PyList_Append(reps, dv) < 0) {
+        Py_DECREF(reps);
+        goto serror;
+      }
+    }
+    Py_DECREF(reps_dict);
+    free(buf);
+    return Py_BuildValue("(LNNNN)", tint_id, chrom, positions, rows, reps);
+  }
+
+serror:
+  free(buf);
+  Py_XDECREF(chrom);
+  Py_XDECREF(positions);
+  Py_XDECREF(rows);
+  Py_XDECREF(reps_dict);
+  return NULL;
+}
+
 static PyMethodDef Methods[] = {
     {"parse_split_file", parse_split_file, METH_VARARGS,
      "Parse one split TSV into (chrom, tint, intervals, n_reads, reads)."},
+    {"parse_segment_file", parse_segment_file, METH_VARARGS,
+     "Parse one segment TSV into (tint, chrom, positions, rows, reps)."},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "tsvparse",

@@ -70,6 +70,68 @@ def test_equal_on_simulated(tmp_path):
         assert_same(parse_split_tsv(f), _parse_split_tsv_py(f))
 
 
+def test_segment_parser_equal_on_simulated(tmp_path):
+    """C parse_segment_file == the Python segment parser object-for-object
+    (incl. rep grouping) on noisy simulated segment TSVs with gaps,
+    soft clips and polyA tails."""
+    import glob
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from freddie_tpu.config import SegmentConfig, SplitConfig
+    from freddie_tpu.io.tsv import _parse_segment_tsv_py, parse_segment_tsv
+    from freddie_tpu.stages.segment import run_segment
+    from freddie_tpu.stages.split import run_split
+    from freddie_tpu.utils.sim import simulate
+
+    sim = simulate(seed=404, n_genes=4, isoforms_per_gene=2,
+                   reads_per_isoform=30, indel_rate=0.1, end_jitter=20,
+                   big_del_rate=0.1, tail_prob=0.8, truncate_prob=0.3)
+    bam, fq = str(tmp_path / "r.bam"), str(tmp_path / "r.fastq")
+    sim.write_bam(bam)
+    sim.write_fastq(fq)
+    run_split(bam, [fq], str(tmp_path / "split"), SplitConfig())
+    run_segment(str(tmp_path / "split"), str(tmp_path / "seg"), SegmentConfig())
+    files = sorted(glob.glob(str(tmp_path / "seg" / "*" / "segment_*.tsv")))
+    assert files
+    n_tokens = 0
+    for fpath in files:
+        a, b = parse_segment_tsv(fpath), _parse_segment_tsv_py(fpath)
+        assert (a.id, a.chrom, a.positions, a.segs) == (
+            b.id, b.chrom, b.positions, b.segs
+        )
+        assert len(a.reads) == len(b.reads)
+        for ra, rb in zip(a.reads, b.reads):
+            assert (ra.id, ra.name, ra.chrom, ra.strand, ra.tint) == (
+                rb.id, rb.name, rb.chrom, rb.strand, rb.tint
+            )
+            assert ra.data == rb.data
+            assert ra.gaps == rb.gaps
+            assert ra.softclip == rb.softclip
+            assert ra.poly_tail == rb.poly_tail
+            n_tokens += len(ra.gaps) + len(ra.softclip) + len(ra.poly_tail)
+        assert a.read_reps == b.read_reps
+    assert n_tokens > 100, "too few gap/tail tokens; test is vacuous"
+
+
+def test_segment_parser_malformed_falls_back(tmp_path):
+    """A gaps field the regex parser would scan permissively makes the C
+    parser raise; the wrapper must return the Python parser's result."""
+    from freddie_tpu.io.tsv import _parse_segment_tsv_py, parse_segment_tsv
+
+    text = (
+        "#chr1\t1\t100,200,300\t\n"
+        "0\tr0\tchr1\t+\t1\t10\tjunkSSC:5,1-1x:3,\n"
+    )
+    p = tmp_path / "segment_chr1_1.tsv"
+    p.write_text(text)
+    a, b = parse_segment_tsv(str(p)), _parse_segment_tsv_py(str(p))
+    assert a.read_reps == b.read_reps
+    assert a.reads[0].softclip == b.reads[0].softclip
+    assert a.reads[0].gaps == b.reads[0].gaps
+
+
 @pytest.mark.parametrize(
     "mutation",
     [
