@@ -250,12 +250,14 @@ def solve_segenum_list_native(
     order: np.ndarray,
     order_opt: np.ndarray,
     deadline_s: float = 60.0,
+    seed_gain: float | None = None,
 ) -> SolveResult | None:
     """Native canonical replay over an explicit pre-sorted (mask,
     optimistic) list -- the engine behind the wide and union-closure
     escalations (see segenum.solve_segment_enum_wide/_closure). None when
     the library is unavailable; the caller then replays the same list in
-    Python with identical results."""
+    Python with identical results. seed_gain is the external DFS floor
+    (result-preservation argument in native/segenum.cpp's run_enum)."""
     lib = _load()
     M = len(inst.seg_len)
     if lib is None or M > 64:
@@ -292,6 +294,7 @@ def solve_segenum_list_native(
         _ptr(order_opt, ctypes.c_double),
         ctypes.c_int64(len(order)),
         ctypes.c_double(deadline_s),
+        ctypes.c_double(float("-inf") if seed_gain is None else seed_gain),
         _ptr(out_assigned, ctypes.c_int32),
         ctypes.byref(out_n),
         ctypes.byref(out_obj),

@@ -87,6 +87,18 @@ def solve_segment_enum(inst: ClusterInstance, deadline_s: float = 60.0) -> Solve
     return _solve_segment_enum_py(inst, deadline_s)
 
 
+def _granularity(inst: ClusterInstance) -> float:
+    """Spacing of distinct objective values (two_phase._objective_granularity's
+    twin): corrections are integers and garbage costs integral ('constant')
+    or half-integral ('exons'/'introns'), so costs are multiples of this.
+    Used to convert a feasible incumbent cost c into the DFS floor gain
+    g_total - c - gran: with costs on the gran grid, "gain > floor" admits
+    exactly the assignments with cost <= c."""
+    if all(float(r.garbage).is_integer() for r in inst.rows):
+        return 1.0
+    return 0.5
+
+
 def _popcount_u64(x: np.ndarray) -> np.ndarray:
     x = np.asarray(x, dtype=np.uint64)
     m = np.uint64(0xFFFF)
@@ -152,11 +164,17 @@ class _PerStructure:
         pos_gain = np.where(subset_ok & (d > 0), d, 0.0).sum(axis=0)
         return self.g_total - pos_gain
 
-    def best_for(self, E: int, t_end: float | None = None):
+    def best_for(self, E: int, t_end: float | None = None,
+                 floor_gain: float | None = None):
         """(cost, sorted assigned read list) of the optimal conflict-free
         covering assignment for structure E, or (None, None) when E is
-        uncoverable. Candidate order, free-assignment and DFS tie-breaks
-        are identical to the C++ core's per-E scan.
+        uncoverable -- or, with `floor_gain`, when no assignment beats
+        that gain (the replay seeds it with its running incumbent: only
+        strictly better assignments can update the outer incumbent, so
+        pruning at-or-below the floor is a valid bound under strict
+        updates and the canonical result is unchanged). Candidate order,
+        free-assignment and DFS tie-breaks are identical to the C++
+        core's per-E scan.
 
         Raises _DfsTimeout past t_end: one structure's conflict DFS can
         blow up exponentially under dense incompatibilities, so (like the
@@ -209,7 +227,7 @@ class _PerStructure:
         else:
             empty = frozenset()
             sub_conf = [empty] * n_sub
-        best_gain = -np.inf
+        best_gain = -np.inf if floor_gain is None else float(floor_gain)
         best_sub: list[int] | None = None
         chosen: list[int] = []
         nodes = 0
@@ -303,14 +321,20 @@ class _PerStructure:
         return self.g_total - best_gain, assigned
 
 
-def _replay(ctx: _PerStructure, order, optimistic, t_end) -> SolveResult:
+def _replay(ctx: _PerStructure, order, optimistic, t_end,
+            seed_gain: float | None = None) -> SolveResult:
     """The canonical incumbent loop over structures in (ascending
-    optimistic, mask) order; shared by the full and wide paths."""
+    optimistic, mask) order; shared by the full and wide paths.
+    seed_gain is an external DFS floor derived from a feasible incumbent
+    (see run_enum's argument in native/segenum.cpp: it admits exactly the
+    assignments at-or-below that incumbent's cost, so the canonical
+    result is unchanged)."""
     import time
 
     best_cost = ctx.g_total  # E = 0, S = empty
     best_E = 0
     best_S: list[int] = []
+    ext = -np.inf if seed_gain is None else float(seed_gain)
     timed_out = False
     for E in order:
         E = int(E)
@@ -322,7 +346,9 @@ def _replay(ctx: _PerStructure, order, optimistic, t_end) -> SolveResult:
             timed_out = True
             break
         try:
-            cost, assigned = ctx.best_for(E, t_end)
+            cost, assigned = ctx.best_for(
+                E, t_end, floor_gain=max(ctx.g_total - best_cost, ext)
+            )
         except _DfsTimeout:
             timed_out = True
             break
@@ -442,23 +468,44 @@ def solve_segment_enum_wide(
     # order are computed identically here either way.
     from .native import solve_segenum_list_native
 
+    seed_gain = None
+    if np.isfinite(incumbent_cost):
+        g_total = float(sum(r.garbage for r in inst.rows))
+        seed_gain = g_total - incumbent_cost - _granularity(inst)
     native = solve_segenum_list_native(
-        inst, order, optimistic[order], max(t_end - time.monotonic(), 0.001)
+        inst, order, optimistic[order], max(t_end - time.monotonic(), 0.001),
+        seed_gain=seed_gain,
     )
     if native is not None:
         return native
     ctx = _PerStructure(inst)
     opt_map = {int(E): float(optimistic[E]) for E in passing}
-    return _replay(ctx, order, opt_map, t_end)
+    return _replay(ctx, order, opt_map, t_end, seed_gain=seed_gain)
 
 
 def solve_segment_enum_closure(
-    inst: ClusterInstance, deadline_s: float = 60.0
+    inst: ClusterInstance,
+    deadline_s: float = 60.0,
+    incumbent_cost: float | None = None,
 ) -> SolveResult | None:
-    """Union-closure structure enumeration for MAX_SEGS < Mi <=
-    CLOSURE_MAX_SEGS; None when Mi is out of range or the closure exceeds
-    CLOSURE_CAP (the caller then escalates). Content-only decline, so the
-    escalation path is platform-independent.
+    """Union-closure structure enumeration for Mi <= CLOSURE_MAX_SEGS;
+    None when Mi is out of range or the closure exceeds CLOSURE_CAP (the
+    caller then escalates). Content-only decline, so the escalation path
+    is platform-independent. Valid at ANY Mi (the equivalence below does
+    not depend on Mi), so the dispatcher tries it before the full 2^Mi
+    enumeration -- dense-conflict instances typically have closures
+    orders of magnitude smaller than 2^Mi, and each skipped structure
+    skips a conflict DFS.
+
+    `incumbent_cost` (a feasible cost, e.g. the phase-1 branch-and-bound
+    incumbent) additionally drops closure members with optimistic bound
+    above it before the replay -- the wide path's argument verbatim:
+    every structure that could attain the optimum c* satisfies
+    optimistic(E) <= c* <= incumbent_cost, dropped structures have true
+    cost > c* and can neither become the answer nor change which earlier
+    structure first attains it, and the replay over the survivors starts
+    from the standard g_total incumbent, so the canonical result is
+    unchanged.
 
     Equivalence to full 2^Mi enumeration: a structure E is coverable --
     best_for(E) can return an assignment -- only if E equals the union of
@@ -486,7 +533,7 @@ def solve_segment_enum_closure(
 
     Mi = len(inst.seg_len)
     N = len(inst.rows)
-    if not (MAX_SEGS < Mi <= CLOSURE_MAX_SEGS):
+    if not (1 <= Mi <= CLOSURE_MAX_SEGS):
         return None
     if N == 0:
         return SolveResult("OPTIMAL", 0.0, [], None)
@@ -510,6 +557,12 @@ def solve_segment_enum_closure(
     block = 1 << 12
     for lo in range(0, len(masks), block):
         optimistic[lo : lo + block] = ctx.optimistic_block(masks[lo : lo + block])
+    seed_gain = None
+    if incumbent_cost is not None:
+        keep = optimistic <= incumbent_cost + 1e-9
+        masks = masks[keep]
+        optimistic = optimistic[keep]
+        seed_gain = ctx.g_total - incumbent_cost - _granularity(inst)
     perm = np.lexsort((masks, optimistic))
     order = masks[perm]
     order_opt = optimistic[perm]
@@ -520,9 +573,10 @@ def solve_segment_enum_closure(
     from .native import solve_segenum_list_native
 
     native = solve_segenum_list_native(
-        inst, order, order_opt, max(t_end - time.monotonic(), 0.001)
+        inst, order, order_opt, max(t_end - time.monotonic(), 0.001),
+        seed_gain=seed_gain,
     )
     if native is not None:
         return native
     opt_map = {int(E): float(o) for E, o in zip(masks, optimistic)}
-    return _replay(ctx, order, opt_map, t_end)
+    return _replay(ctx, order, opt_map, t_end, seed_gain=seed_gain)

@@ -57,27 +57,36 @@ def solve_two_phase(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveRes
         solve_segment_enum_wide,
     )
 
+    # Escalation 1a: enumerate the union closure of the reads' I-masks --
+    # exactly the coverable structures, so the canonical answer equals
+    # full enumeration's at ANY Mi (equivalence proof in
+    # solve_segment_enum_closure) -- and typically orders of magnitude
+    # fewer structures than 2^Mi, each one skipping a conflict DFS.
+    # Content-only gate (Mi <= CLOSURE_MAX_SEGS + closure-size cap).
+    # The phase-1 incumbent (always feasible -- assign-nothing at worst)
+    # prunes closure members that cannot reach the optimum.
     remaining = max(deadline_s - (time.monotonic() - t0), 1.0)
-    enum_res = solve_segment_enum(inst, remaining)
-    if enum_res is not None and enum_res.status == "OPTIMAL":
-        return enum_res
-    if enum_res is None:
-        # Escalation 1b: for Mi in (MAX_SEGS, CLOSURE_MAX_SEGS], enumerate
-        # the union closure of the reads' I-masks -- exactly the coverable
-        # structures, so the canonical answer equals full enumeration's
-        # (equivalence proof in solve_segment_enum_closure). Content-only
-        # gate (Mi range + closure-size cap).
+    closure_res = solve_segment_enum_closure(
+        inst, remaining, incumbent_cost=res.objective
+    )
+    if closure_res is not None and closure_res.status == "OPTIMAL":
+        return closure_res
+    if closure_res is None:
+        # Escalation 1b: full 2^Mi structure enumeration for Mi <=
+        # MAX_SEGS (the closure was over the cap or Mi = 0). Declines
+        # purely on instance content, identical with or without the
+        # native toolchain.
         remaining = max(deadline_s - (time.monotonic() - t0), 1.0)
-        closure_res = solve_segment_enum_closure(inst, remaining)
-        if closure_res is not None and closure_res.status == "OPTIMAL":
-            return closure_res
+        enum_res = solve_segment_enum(inst, remaining)
+        if enum_res is not None and enum_res.status == "OPTIMAL":
+            return enum_res
         # Escalation 1c: for Mi in (MAX_SEGS, WIDE_MAX_SEGS] with an
         # oversized closure, the XLA-assisted bound-filtered enumeration
         # (content-only gate; the kernel computes identical exact values
         # on TPU or CPU). The phase-1 incumbent is a valid upper bound
-        # for the mask filter. Same canonical answer as 1b when both
-        # complete, so trying 1b first only changes speed.
-        if closure_res is None:
+        # for the mask filter. Same canonical answer as 1a/1b when they
+        # complete, so the ordering only changes speed.
+        if enum_res is None:
             remaining = max(deadline_s - (time.monotonic() - t0), 1.0)
             wide_res = solve_segment_enum_wide(inst, res.objective, remaining)
             if wide_res is not None and wide_res.status == "OPTIMAL":

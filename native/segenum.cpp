@@ -125,6 +125,14 @@ void rec(SubCtx& c, int p, double gain, uint64_t uni) {
 // tie-breaks to solver/segenum.py's _replay + _PerStructure.best_for.
 // Shared by the full-enumeration entry (solve_segenum) and the
 // bound-filtered wide entry (solve_segenum_list).
+// seed_gain: an external DFS floor (-inf to disable). The caller derives
+// it from a FEASIBLE incumbent cost c as g_total - c - granularity, so
+// "gain > seed_gain" admits exactly the assignments with cost <= c
+// (objectives are multiples of the granularity); since the global
+// optimum c* satisfies c* <= c, the first structure attaining c* is
+// still found and the canonical result is unchanged -- intermediate
+// incumbent updates with cost > c are skipped, which only weakens the
+// (ascending-optimistic) early break, never the answer.
 int run_enum(
     int n_reads,
     const uint64_t* I_masks, const uint64_t* C_masks, const double* garbage,
@@ -134,7 +142,7 @@ int run_enum(
     int n_incomp, const int32_t* incomp_pairs,
     int64_t sc, int64_t eps, int64_t off,
     const uint64_t* order, const double* order_opt, int64_t n_order,
-    std::chrono::steady_clock::time_point t_end,
+    std::chrono::steady_clock::time_point t_end, double seed_gain,
     int32_t* out_assigned, int32_t* out_n_assigned,
     double* out_objective, uint64_t* out_E) {
   double g_total = 0;
@@ -283,7 +291,14 @@ int run_enum(
     sctx.n_cliques = (int)cl_members.size();
     sctx.clique_max.assign(cl_members.size(), 0.0);
     sctx.clique_epoch.assign(cl_members.size(), -1);
-    sctx.best_gain = NEG;
+    // Seed the DFS floor with the gain matching the CURRENT incumbent:
+    // only strictly better assignments can update the outer incumbent,
+    // so pruning everything at-or-below the floor is a valid bound under
+    // strict updates (same argument as the clique bound above) -- the
+    // canonical first-attainer and result are unchanged, and structures
+    // that cannot beat the incumbent no longer pay a full DFS.
+    const double floor_gain = std::max(g_total - best_cost, seed_gain);
+    sctx.best_gain = floor_gain;
     sctx.chosen_bits.assign(cw, 0);
     sctx.excluded.assign((size_t)cw * 64, 0);
     sctx.dplus = dplus.data();
@@ -293,7 +308,7 @@ int run_enum(
       timed_out = true;
       break;
     }
-    if (sctx.best_gain == NEG) continue;
+    if (!(sctx.best_gain > floor_gain)) continue;  /* nothing beat it */
     double cost = g_total - sctx.best_gain;
     if (cost < best_cost) {
       best_cost = cost;
@@ -385,6 +400,7 @@ int solve_segenum(
                         gap_counts, gm64.data(), gap_lens, n_incomp,
                         incomp_pairs, sc, eps, off, order.data(),
                         order_opt.data(), (int64_t)n_masks, t_end,
+                        -std::numeric_limits<double>::infinity(),
                         out_assigned, out_n_assigned, out_objective, &E64);
   *out_E = (uint32_t)E64;
   return status;
@@ -412,6 +428,7 @@ int solve_segenum_list(
     const double* order_opt,    // [n_order] their optimistic bounds
     int64_t n_order,
     double deadline_s,
+    double seed_gain,           // external DFS floor; -inf disables
     int32_t* out_assigned, int32_t* out_n_assigned,
     double* out_objective, uint64_t* out_E) {
   if (n_segs > 64) return -1;
@@ -419,7 +436,7 @@ int solve_segenum_list(
                std::chrono::microseconds((int64_t)(deadline_s * 1e6));
   return run_enum(n_reads, I_masks, C_masks, garbage, seg_len, gap_counts,
                   gap_masks, gap_lens, n_incomp, incomp_pairs, sc, eps, off,
-                  order, order_opt, n_order, t_end,
+                  order, order_opt, n_order, t_end, seed_gain,
                   out_assigned, out_n_assigned, out_objective, out_E);
 }
 

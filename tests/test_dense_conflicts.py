@@ -188,10 +188,32 @@ def test_closure_equals_full_enumeration_canon(seed, monkeypatch):
 
 
 def test_closure_gates():
-    """Content-only decline: Mi <= MAX_SEGS and Mi > CLOSURE_MAX_SEGS are
-    not the closure path's job."""
+    """Content-only decline: Mi > CLOSURE_MAX_SEGS is not the closure
+    path's job; small Mi now IS (it runs before full enumeration and
+    returns the identical canonical result -- test_small_mi_closure)."""
     from freddie_tpu.solver.segenum import solve_segment_enum_closure
 
     rng = np.random.default_rng(5)
-    assert solve_segment_enum_closure(dense_instance(rng, 8, 12)) is None
     assert solve_segment_enum_closure(dense_instance(rng, 8, 70)) is None
+
+
+def test_small_mi_closure_equals_full_enum():
+    """At Mi <= MAX_SEGS the closure path must return exactly what full
+    2^Mi enumeration returns (same optimum, same canonical tie-break)."""
+    from freddie_tpu.solver.segenum import (
+        solve_segment_enum,
+        solve_segment_enum_closure,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        mi = int(rng.integers(3, 13))
+        n = int(rng.integers(5, 40))
+        inst = dense_instance(rng, n, mi)
+        a = solve_segment_enum_closure(inst)
+        b = solve_segment_enum(inst)
+        assert a is not None and b is not None
+        assert (a.status, a.objective, a.assigned) == (
+            b.status, b.objective, b.assigned
+        )
+        assert (a.isoform == b.isoform).all()

@@ -148,8 +148,8 @@ def test_two_phase_uses_closure_escalation(monkeypatch):
     calls = []
     real = segenum.solve_segment_enum_closure
 
-    def spy(inst_, deadline_s=60.0):
-        res = real(inst_, deadline_s)
+    def spy(inst_, deadline_s=60.0, incumbent_cost=None):
+        res = real(inst_, deadline_s, incumbent_cost=incumbent_cost)
         calls.append(res)
         return res
 
