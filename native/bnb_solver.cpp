@@ -58,6 +58,13 @@ struct Ctx {
   // the exact future cost for those reads), so the canonical first-found
   // optimum is unchanged; dense-conflict instances prune far earlier.
   std::vector<int32_t> excluded;
+  // Version-stamped cache of popcount(corr[q] & E_cur): E changes only
+  // on exon-adding assignments, so long reject chains reuse every
+  // entry. Pure mechanics -- identical values, identical bounds,
+  // identical node counts (the Python twin recomputes the same values).
+  std::vector<double> cc_val;
+  std::vector<int64_t> cc_ver;
+  int64_t e_ver_counter;
   // Greedy clique cover of the conflict graph (DFS order, first-fit):
   // clique members mutually conflict, so at most ONE read per clique can
   // be assigned in any completion -- the lower bound grants only the best
@@ -134,8 +141,16 @@ bool gaps_always_feasible(const Ctx& c, int p, const uint64_t* E_lo,
   return true;
 }
 
+inline double cc_of(Ctx& c, int q, const uint64_t* E, int64_t ver) {
+  if (c.cc_ver[q] == ver) return c.cc_val[q];
+  double v = popcount_and(c.corr + (size_t)q * c.words, E, c.words);
+  c.cc_val[q] = v;
+  c.cc_ver[q] = ver;
+  return v;
+}
+
 void recurse(Ctx& c, int p, std::vector<uint64_t>& E_cur,
-             double rejected_cost) {
+             double rejected_cost, int64_t e_ver) {
   if (c.timed_out || c.budget_out) return;
   ++c.nodes;
   if (c.node_budget && c.nodes > c.node_budget) {
@@ -151,7 +166,7 @@ void recurse(Ctx& c, int p, std::vector<uint64_t>& E_cur,
   if (p == c.n_reads) {
     double obj = rejected_cost;
     for (int q : c.chosen)
-      obj += popcount_and(c.corr + (size_t)q * W, E_cur.data(), W);
+      obj += cc_of(c, q, E_cur.data(), e_ver);
     if (obj < c.best_obj) {
       for (int q : c.chosen)
         if (!gaps_feasible(c, q, E_cur.data(), E_cur.data())) return;
@@ -166,12 +181,12 @@ void recurse(Ctx& c, int p, std::vector<uint64_t>& E_cur,
   // (conflicting with a chosen one) must be rejected: saving 0.
   double lb = rejected_cost;
   for (int q : c.chosen)
-    lb += popcount_and(c.corr + (size_t)q * W, E_cur.data(), W);
+    lb += cc_of(c, q, E_cur.data(), e_ver);
   double total_max = 0.0;
   const long epoch = c.nodes;
   for (int q = p; q < c.n_reads; ++q) {
     if (c.excluded[q]) continue;
-    double cc = popcount_and(c.corr + (size_t)q * W, E_cur.data(), W);
+    double cc = cc_of(c, q, E_cur.data(), e_ver);
     double saving = c.garbage[q] - std::min(cc, c.garbage[q]);
     int k = c.clique_id[q];
     double prev = (c.clique_epoch[k] == epoch) ? c.clique_max[k] : 0.0;
@@ -207,7 +222,7 @@ void recurse(Ctx& c, int p, std::vector<uint64_t>& E_cur,
       c.chosen.push_back(p);
       c.chosen_bits[p >> 6] |= 1ull << (p & 63);
       bump_conflicts(c, p, +1);
-      recurse(c, p + 1, E_cur, rejected_cost);
+      recurse(c, p + 1, E_cur, rejected_cost, e_ver);
       bump_conflicts(c, p, -1);
       c.chosen_bits[p >> 6] &= ~(1ull << (p & 63));
       c.chosen.pop_back();
@@ -218,20 +233,24 @@ void recurse(Ctx& c, int p, std::vector<uint64_t>& E_cur,
   // Branch 1: assign p if no conflict with chosen.
   if (!conflicted) {
     std::vector<uint64_t> E_new(W);
-    for (int w = 0; w < W; ++w)
+    bool e_changed = false;
+    for (int w = 0; w < W; ++w) {
       E_new[w] = E_cur[w] | c.exons[(size_t)p * W + w];
+      if (E_new[w] != E_cur[w]) e_changed = true;
+    }
     if (gaps_feasible(c, p, E_new.data(), E_poss.data())) {
+      int64_t nv = e_changed ? ++c.e_ver_counter : e_ver;
       c.chosen.push_back(p);
       c.chosen_bits[p >> 6] |= 1ull << (p & 63);
       bump_conflicts(c, p, +1);
-      recurse(c, p + 1, E_new, rejected_cost);
+      recurse(c, p + 1, E_new, rejected_cost, nv);
       bump_conflicts(c, p, -1);
       c.chosen_bits[p >> 6] &= ~(1ull << (p & 63));
       c.chosen.pop_back();
     }
   }
   // Branch 2: reject p.
-  recurse(c, p + 1, E_cur, rejected_cost + c.garbage[p]);
+  recurse(c, p + 1, E_cur, rejected_cost + c.garbage[p], e_ver);
 }
 
 }  // namespace
@@ -338,7 +357,10 @@ int solve_bnb(
   c.best_E.assign(W, 0);
 
   std::vector<uint64_t> E0(W, 0);
-  recurse(c, 0, E0, 0.0);
+  c.cc_val.assign(n_reads, 0.0);
+  c.cc_ver.assign(n_reads, -1);
+  c.e_ver_counter = 0;
+  recurse(c, 0, E0, 0.0, 0);
 
   *out_nodes = c.nodes;
   if (c.timed_out) {
