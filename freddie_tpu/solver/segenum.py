@@ -64,11 +64,6 @@ class _DfsTimeout(Exception):
     """Raised inside a per-structure conflict DFS past its deadline."""
 
 
-# popcount of every 16-bit value; popcount(u64 x) = sum over its four
-# 16-bit chunks
-_PC16 = np.array(
-    [bin(v).count("1") for v in range(1 << 16)], dtype=np.int32
-)
 
 
 def solve_segment_enum(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult | None:
@@ -100,14 +95,8 @@ def _granularity(inst: ClusterInstance) -> float:
 
 
 def _popcount_u64(x: np.ndarray) -> np.ndarray:
-    x = np.asarray(x, dtype=np.uint64)
-    m = np.uint64(0xFFFF)
-    return (
-        _PC16[(x & m).astype(np.int64)]
-        + _PC16[((x >> np.uint64(16)) & m).astype(np.int64)]
-        + _PC16[((x >> np.uint64(32)) & m).astype(np.int64)]
-        + _PC16[(x >> np.uint64(48)).astype(np.int64)]
-    )
+    """Exact per-element popcount (numpy 2.0 hardware popcount)."""
+    return np.bitwise_count(np.asarray(x, dtype=np.uint64)).astype(np.int64)
 
 
 class _PerStructure:
@@ -539,20 +528,14 @@ def solve_segment_enum_closure(
         return SolveResult("OPTIMAL", 0.0, [], None)
     t_end = time.monotonic() + deadline_s
 
-    distinct = set()
-    for r in inst.rows:
-        bits = 0
-        for b in np.flatnonzero(np.asarray(r.exons, bool)):
-            bits |= 1 << int(b)
-        distinct.add(bits)
+    ctx = _PerStructure(inst)  # also supplies the packed I-masks
+    distinct = set(int(v) for v in ctx.I_int)
     closure = {0}
     for m in sorted(distinct):
         closure |= {e | m for e in closure}
         if len(closure) > CLOSURE_CAP:
             return None
     masks = np.array(sorted(closure), dtype=np.uint64)
-
-    ctx = _PerStructure(inst)
     optimistic = np.empty(len(masks), dtype=np.float64)
     block = 1 << 12
     for lo in range(0, len(masks), block):
