@@ -132,6 +132,105 @@ def test_segment_parser_malformed_falls_back(tmp_path):
     assert a.reads[0].gaps == b.reads[0].gaps
 
 
+def test_split_parser_mutation_fuzz(tmp_path):
+    """Random single-edit corruptions of a valid split TSV: the C-backed
+    wrapper must agree with the Python oracle on every file -- same
+    parse (object equality) or same rejection (both raise). Catches any
+    case where the C parser would silently ACCEPT with different
+    results."""
+    import numpy as np
+
+    from freddie_tpu.io.tsv import _parse_split_tsv_py, parse_split_tsv
+
+    rng = np.random.default_rng(99)
+    base = GOOD
+    alphabet = list("0123456789\t:,-MID=XN#+.chr_ab ")
+    for trial in range(300):
+        text = list(base)
+        n_edits = int(rng.integers(1, 4))
+        for _ in range(n_edits):
+            op = rng.integers(0, 3)
+            pos = int(rng.integers(0, len(text)))
+            if op == 0 and text:
+                text[pos] = str(rng.choice(alphabet))
+            elif op == 1:
+                text.insert(pos, str(rng.choice(alphabet)))
+            elif op == 2 and len(text) > 1:
+                del text[pos]
+        mutated = "".join(text)
+        p = tmp_path / f"split_chr1_{trial}.tsv"
+        p.write_text(mutated)
+        try:
+            want = _parse_split_tsv_py(str(p))
+            want_err = None
+        except Exception as e:
+            want, want_err = None, type(e)
+        try:
+            got = parse_split_tsv(str(p))
+            got_err = None
+        except Exception as e:
+            got, got_err = None, type(e)
+        if want_err is not None:
+            assert got_err is not None, f"trial {trial}: C accepted, Python rejected:\n{mutated!r}"
+        else:
+            assert got_err is None, f"trial {trial}: C rejected, Python accepted:\n{mutated!r}"
+            assert_same(got, want)
+
+
+def test_segment_parser_mutation_fuzz(tmp_path):
+    """Same single-edit fuzz for the segment-TSV parser."""
+    import numpy as np
+
+    from freddie_tpu.io.tsv import _parse_segment_tsv_py, parse_segment_tsv
+
+    base = (
+        "#chr1\t3\t100,200,350,500\n"
+        "0\tread_a\tchr1\t+\t3\t110\tSSC:4,ESC:9,\n"
+        "1\tread_b\tchr1\t-\t3\t012\t0-2:44,SA_25:3,SSC:1,ESC:0,\n"
+        "2\tread_c\tchr1\t+\t3\t120\tEA_30:12,SSC:0,ESC:2,1-2:15,\n"
+    )
+    rng = np.random.default_rng(123)
+    alphabet = list("0123456789\t:,-_ESCAT#+.chr ab")
+    for trial in range(300):
+        text = list(base)
+        for _ in range(int(rng.integers(1, 4))):
+            op = rng.integers(0, 3)
+            pos = int(rng.integers(0, len(text)))
+            if op == 0 and text:
+                text[pos] = str(rng.choice(alphabet))
+            elif op == 1:
+                text.insert(pos, str(rng.choice(alphabet)))
+            elif op == 2 and len(text) > 1:
+                del text[pos]
+        mutated = "".join(text)
+        p = tmp_path / f"segment_chr1_{trial}.tsv"
+        p.write_text(mutated)
+        try:
+            want = _parse_segment_tsv_py(str(p))
+            want_err = None
+        except Exception as e:
+            want, want_err = None, type(e)
+        try:
+            got = parse_segment_tsv(str(p))
+            got_err = None
+        except Exception as e:
+            got, got_err = None, type(e)
+        if want_err is not None:
+            assert got_err is not None, f"trial {trial}: C accepted, Python rejected:\n{mutated!r}"
+        else:
+            assert got_err is None, f"trial {trial}: C rejected, Python accepted:\n{mutated!r}"
+            assert (got.id, got.chrom, got.positions, got.segs) == (
+                want.id, want.chrom, want.positions, want.segs
+            )
+            for ra, rb in zip(got.reads, want.reads):
+                assert (ra.id, ra.name, ra.chrom, ra.strand, ra.tint,
+                        ra.data, ra.gaps, ra.softclip, ra.poly_tail) == (
+                    rb.id, rb.name, rb.chrom, rb.strand, rb.tint,
+                    rb.data, rb.gaps, rb.softclip, rb.poly_tail
+                )
+            assert got.read_reps == want.read_reps
+
+
 @pytest.mark.parametrize(
     "mutation",
     [
