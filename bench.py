@@ -172,14 +172,19 @@ def tpu_child(split_dir, workdir, force_cpu=False, out_name="segment"):
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
 
+    # The full microbench batch sizes the TPU launch; the CPU floor rung
+    # only needs an honest per-read rate, so a smaller batch keeps the
+    # fallback path fast when the tunnel is down.
+    KBb = KB if jax.default_backend() == "tpu" else max(KB // 8, 16)
+
     @jax.jit
     def gen():
-        inc = jax.random.randint(k1, (KB, KP, KR), 0, 12, dtype=jnp.int32)
-        inc = jnp.where(jax.random.uniform(k2, (KB, KP, KR)) < 0.5, 0, inc)
+        inc = jax.random.randint(k1, (KBb, KP, KR), 0, 12, dtype=jnp.int32)
+        inc = jnp.where(jax.random.uniform(k2, (KBb, KP, KR)) < 0.5, 0, inc)
         C = jnp.cumsum(inc, axis=1).astype(jnp.int32)
-        y = jnp.sort(jax.random.randint(k3, (KB, KP), 1, 20_000, dtype=jnp.int32), axis=1)
+        y = jnp.sort(jax.random.randint(k3, (KBb, KP), 1, 20_000, dtype=jnp.int32), axis=1)
         y = y.at[:, 0].set(0)
-        return C, y, jnp.ones((KB, KR), jnp.float32), jnp.full((KB,), KP, jnp.int32)
+        return C, y, jnp.ones((KBb, KR), jnp.float32), jnp.full((KBb,), KP, jnp.int32)
 
     C, y, W, n_cand = gen()
     lookup = jax.device_put(np.asarray(thr.lookup))
@@ -204,13 +209,13 @@ def tpu_child(split_dir, workdir, force_cpu=False, out_name="segment"):
         _ = np.asarray(bj)  # readback forces completion on this platform
         times.append(time.perf_counter() - t0)
     kdt = min(times)
-    useful_flops = 4 * KP**3 * KR * KB  # the (P,R)x(R,P) pair contractions
+    useful_flops = 4 * KP**3 * KR * KBb  # the (P,R)x(R,P) pair contractions
 
     print(json.dumps(dict(
         segment_s=round(seg_dt, 2),
         segment_hot_s=round(seg_hot_dt, 2),
         segment_tints=n_tints,
-        kernel_reads_per_s=round(KB * KR / kdt),
+        kernel_reads_per_s=round(KBb * KR / kdt),
         kernel_tflops=round(useful_flops / kdt / 1e12, 2),
         kernel_ms=round(kdt * 1000, 1),
         backend=jax.default_backend(),
