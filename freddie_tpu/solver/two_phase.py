@@ -21,8 +21,15 @@ from .lp_bound import lp_lower_bound
 from .native import solve_exact_native
 
 # Phase-1 budget: easy instances finish well under this; hard ones
-# escalate quickly to the (native) structure enumeration.
-NODE_BUDGET = 50_000
+# escalate quickly to the (native) structure enumeration. The value is
+# part of the deterministic output contract (it decides which engine's
+# equally-optimal tie-break an instance gets). Measured on the bench
+# dataset: 583/1041 instances finish in phase 1 while the 458 that
+# escalate burned 8.3 of 10.0 phase-1 seconds at 50k nodes; 10k keeps
+# the incumbent good enough to seed the closure DFS floors and nearly
+# halves the stage (15.1 -> 8.8 s single-thread). Below 10k the weaker
+# incumbents cost more in escalation than they save here.
+NODE_BUDGET = 10_000
 
 
 def _objective_granularity(inst: ClusterInstance) -> float:
