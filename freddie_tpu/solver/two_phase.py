@@ -1,9 +1,14 @@
 """LP-assisted two-phase exact solve.
 
 Phase 1 runs the branch-and-bound with a deterministic node budget. If it
-finishes, done. Otherwise the LP relaxation (solver.lp_bound) is solved:
-when the LP lower bound proves no solution can be strictly better than the
-phase-1 incumbent (objective values are multiples of the instance's
+finishes, done. Otherwise the escalation chain (all exact, all gated
+purely on instance content): union-closure structure enumeration at any
+Mi <= 64 -- filtered and DFS-floor-seeded by the phase-1 incumbent --
+then full 2^Mi enumeration (Mi <= 20) or the XLA bound-filtered wide
+path (Mi <= 26) when the closure is over its cap. If every enumeration
+declines, the LP relaxation (solver.lp_bound) can prove the phase-1
+incumbent optimal: when the LP lower bound shows no solution can be
+strictly better (objective values are multiples of the instance's
 granularity), the incumbent is returned as OPTIMAL -- this can only stop
 the search with the result it would have returned anyway (strict-
 improvement incumbent updates), so determinism and the canonical optimum
