@@ -129,20 +129,28 @@ def tpu_child(split_dir, workdir, force_cpu=False, out_name="segment"):
     import jax.numpy as jnp
 
     if not force_cpu:
-        # Claim the chip NOW, under a watchdog: the tunnel's claim
+        # Claim the chip NOW, under a watchdog THREAD: the tunnel's claim
         # acquisition stochastically wedges forever (no error, no
-        # timeout); failing fast here lets the parent's retry ladder
-        # cycle in ~4 min instead of burning the whole child budget.
-        import signal
+        # timeout), and in its deepest mode the main thread blocks inside
+        # a C socket wait where SIGALRM never gets delivered -- a plain
+        # signal.alarm watchdog silently never fires (observed). A timer
+        # thread calling os._exit works regardless, so the parent's retry
+        # ladder cycles in ~4 min instead of burning the whole child
+        # budget.
+        import threading
 
-        def _claim_alarm(signum, frame):
+        def _claim_wedged():
             sys.stderr.write("[bench-child] chip claim wedged; exiting\n")
+            sys.stderr.flush()
             os._exit(3)
 
-        signal.signal(signal.SIGALRM, _claim_alarm)
-        signal.alarm(int(os.environ.get("FREDDIE_CLAIM_PROBE_S", "240")))
+        timer = threading.Timer(
+            float(os.environ.get("FREDDIE_CLAIM_PROBE_S", "240")), _claim_wedged
+        )
+        timer.daemon = True
+        timer.start()
         _ = np.asarray(jnp.zeros((8, 8)).sum())
-        signal.alarm(0)
+        timer.cancel()
 
     from freddie_tpu.config import SegmentConfig
     from freddie_tpu.stages.segment import run_segment

@@ -51,13 +51,16 @@ import jax
 jax.config.update("jax_compilation_cache_dir", os.path.join(@REPO@, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
-import signal
-def _claim_alarm(signum, frame):
-    sys.stderr.write("claim wedged\n"); os._exit(3)
-signal.signal(signal.SIGALRM, _claim_alarm)
-signal.alarm(int(os.environ.get("FREDDIE_CLAIM_PROBE_S", "240")))
+import threading
+# Watchdog THREAD, not SIGALRM: the deepest claim wedge blocks the main
+# thread in a C socket wait where signals never get delivered.
+def _claim_wedged():
+    sys.stderr.write("claim wedged\n"); sys.stderr.flush(); os._exit(3)
+_t = threading.Timer(float(os.environ.get("FREDDIE_CLAIM_PROBE_S", "240")), _claim_wedged)
+_t.daemon = True
+_t.start()
 _ = np.asarray(jnp.zeros((8, 8)).sum())
-signal.alarm(0)
+_t.cancel()
 from freddie_tpu.ops.segdp_pallas import solve_batch_pallas
 from freddie_tpu.ops.thresholds import ScaledThresholds
 
@@ -85,13 +88,16 @@ import jax
 jax.config.update("jax_compilation_cache_dir", os.path.join(@REPO@, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
-import signal
-def _claim_alarm(signum, frame):
-    sys.stderr.write("claim wedged\n"); os._exit(3)
-signal.signal(signal.SIGALRM, _claim_alarm)
-signal.alarm(int(os.environ.get("FREDDIE_CLAIM_PROBE_S", "240")))
+import threading
+# Watchdog THREAD, not SIGALRM: the deepest claim wedge blocks the main
+# thread in a C socket wait where signals never get delivered.
+def _claim_wedged():
+    sys.stderr.write("claim wedged\n"); sys.stderr.flush(); os._exit(3)
+_t = threading.Timer(float(os.environ.get("FREDDIE_CLAIM_PROBE_S", "240")), _claim_wedged)
+_t.daemon = True
+_t.start()
 _ = np.asarray(jnp.zeros((8, 8)).sum())
-signal.alarm(0)
+_t.cancel()
 from freddie_tpu.ops.polya_batch import _get_scan
 
 B, L = @SHAPE@
