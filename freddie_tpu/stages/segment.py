@@ -336,21 +336,18 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
                     )
                 )
 
-    # Phase A (parallel over tints when cfg.threads > 1: scipy smoothing
-    # and the numpy coverage scatter release the GIL).
+    # Phase A runs SERIALLY: after the C parsers and the vectorized
+    # signal/coverage rewrites, per-tint preparation is dominated by
+    # GIL-holding work (C-extension parsing, small-array numpy), and a
+    # thread pool only adds contention -- measured on the 26k-read bench
+    # dataset: 0.74 s serial vs 1.38 s with 4 threads.
     def prepare_one(job):
         _contig, _tint_id, split_tsv, reads_tsv = job
         tint = parse_split_tsv(split_tsv)
         load_read_sequences(tint, reads_tsv)
         return prepare_tint(tint, cfg, thr)
 
-    if cfg.threads > 1 and len(jobs) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
-            prepared = list(ex.map(prepare_one, jobs))
-    else:
-        prepared = [prepare_one(j) for j in jobs]
+    prepared = [prepare_one(j) for j in jobs]
     works: list[TintWork] = []
     all_problems: list[DPProblem] = []
     offsets: list[int] = []
@@ -387,14 +384,11 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
                 )
         return final_positions, segs
 
+    # Serial like phase A (vectorized genotyping measured 0.23 s serial
+    # vs 0.53 s with 4 threads: GIL contention outweighs the released
+    # slices).
     triples = list(zip(jobs, works, offsets))
-    if cfg.threads > 1 and len(triples) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
-            finals = list(ex.map(genotype_one, triples))
-    else:
-        finals = [genotype_one(t) for t in triples]
+    finals = [genotype_one(t) for t in triples]
 
     # Phase C2 (device, batched): every read's polyA soft-clip scans across
     # ALL tints in one bucketed launch set (ops.polya_batch); byte-identical
