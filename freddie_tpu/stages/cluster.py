@@ -172,17 +172,30 @@ def partition_reads(
 
     Ew = pack(E_bool)
     Vw = pack(V_bool)
+    # All pairs at once, chunked over rows to bound the (block, N, W)
+    # temporaries; strict upper triangle via the column > row mask.
     edges: list[tuple[int, int]] = []
-    for i in range(N - 1):
-        vi = Vw[i] & Vw[i + 1 :]
-        o = np.bitwise_count(vi).sum(axis=1, dtype=np.int64)
-        w = np.bitwise_count(Ew[i] & Ew[i + 1 :] & vi).sum(axis=1, dtype=np.int64)
-        diff = np.bitwise_count((Ew[i] ^ Ew[i + 1 :]) & vi).sum(axis=1, dtype=np.int64)
-        ok = (w >= 1) & (((o > 3) & (diff < 3)) | ((o >= 1) & (o <= 3) & (diff == 0)))
-        if cat[i]:
-            ok &= ~((cat[i + 1 :] != 0) & (cat[i + 1 :] != cat[i]))
-        for j in np.flatnonzero(ok):
-            edges.append((i, i + 1 + int(j)))
+    BLK = max(1, (1 << 22) // max(N * W, 1))  # ~32 MB of u64 temporaries
+    cols = np.arange(N)
+    for lo in range(0, N - 1, BLK):
+        hi = min(lo + BLK, N - 1)
+        rows_ = slice(lo, hi)
+        vi = Vw[rows_, None, :] & Vw[None, :, :]  # (b, N, W)
+        o = np.bitwise_count(vi).sum(axis=2, dtype=np.int64)
+        w = np.bitwise_count(Ew[rows_, None, :] & Ew[None, :, :] & vi).sum(
+            axis=2, dtype=np.int64
+        )
+        diff = np.bitwise_count(
+            (Ew[rows_, None, :] ^ Ew[None, :, :]) & vi
+        ).sum(axis=2, dtype=np.int64)
+        ok = (w >= 1) & (
+            ((o > 3) & (diff < 3)) | ((o >= 1) & (o <= 3) & (diff == 0))
+        )
+        ci = cat[lo:hi, None]
+        ok &= ~((ci != 0) & (cat[None, :] != 0) & (cat[None, :] != ci))
+        ok &= cols[None, :] > np.arange(lo, hi)[:, None]
+        for i_off, j in zip(*np.nonzero(ok)):
+            edges.append((lo + int(i_off), int(j)))
 
     # Iterative pruning: drop an edge unless an endpoint has no other
     # neighbor or the pair shares a neighbor; sweep until stable.
