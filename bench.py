@@ -441,6 +441,14 @@ def main():
         backend=stats["backend"],
         **recovery,
     )
+    if stats.get("backend") == "cpu":
+        # The CPU rung is the tunnel-down floor; the kernel figure is NOT
+        # a TPU measurement. Last on-chip record for context (STATUS.md):
+        # 154.9 ms at B=2048/P=64/R=512 on v5e = 7.1 TFLOP/s useful.
+        result["note"] = (
+            "TPU tunnel unreachable; CPU-backend floor. On-chip kernel "
+            "record: 7.1 TFLOP/s useful (STATUS.md)"
+        )
     print(json.dumps(result))
     print(
         f"[bench] {n_reads} reads / {n_tints} loci; segment {seg_dt:.1f}s "
