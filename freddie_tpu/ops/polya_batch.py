@@ -316,9 +316,17 @@ def best_poly_batch(windows: list[str], chars: list[str]):
         host_all = jax.default_backend() == "cpu"
     fn = _get_scan() if buckets and not host_all else None
     for L, rows_all in sorted(buckets.items()):
+        if host_all:
+            # Host grids have no compiled-shape constraint: sort rows by
+            # window length so each chunk's grid is padded to its own
+            # (tight) maximum instead of the bucket edge. Results are
+            # scattered back by absolute index, so the order is free.
+            rows_all = sorted(rows_all, key=lambda i: len(windows[i]))
         for lo in range(0, len(rows_all), _MAX_ROWS):
             dev_rows = rows_all[lo : lo + _MAX_ROWS]
             B = len(dev_rows) if host_all else _pad_rows(len(dev_rows))
+            if host_all:
+                L = max(len(windows[i]) for i in dev_rows)
             # Vectorized host packing: scatter the concatenated window
             # bytes into the padded (B, L) grid (row-major boolean
             # assignment lays them out window-by-window), compare against
