@@ -529,13 +529,12 @@ def solve_segment_enum_closure(
     t_end = time.monotonic() + deadline_s
 
     ctx = _PerStructure(inst)  # also supplies the packed I-masks
-    distinct = set(int(v) for v in ctx.I_int)
-    closure = {0}
-    for m in sorted(distinct):
-        closure |= {e | m for e in closure}
+    closure = np.zeros(1, dtype=np.uint64)  # the empty union
+    for m in np.unique(ctx.I_int):
+        closure = np.unique(np.concatenate([closure, closure | m]))
         if len(closure) > CLOSURE_CAP:
             return None
-    masks = np.array(sorted(closure), dtype=np.uint64)
+    masks = closure  # np.unique output is already sorted
     optimistic = np.empty(len(masks), dtype=np.float64)
     block = 1 << 12
     for lo in range(0, len(masks), block):

@@ -174,7 +174,7 @@ def partition_reads(
     Vw = pack(V_bool)
     # All pairs at once, chunked over rows to bound the (block, N, W)
     # temporaries; strict upper triangle via the column > row mask.
-    edges: list[tuple[int, int]] = []
+    edge_parts: list[np.ndarray] = []
     BLK = max(1, (1 << 22) // max(N * W, 1))  # ~32 MB of u64 temporaries
     cols = np.arange(N)
     for lo in range(0, N - 1, BLK):
@@ -194,32 +194,43 @@ def partition_reads(
         ci = cat[lo:hi, None]
         ok &= ~((ci != 0) & (cat[None, :] != 0) & (cat[None, :] != ci))
         ok &= cols[None, :] > np.arange(lo, hi)[:, None]
-        for i_off, j in zip(*np.nonzero(ok)):
-            edges.append((lo + int(i_off), int(j)))
+        bi, bj = np.nonzero(ok)
+        edge_parts.append(np.stack([bi + lo, bj], axis=1))
+
+    edges_arr = (
+        np.concatenate(edge_parts, axis=0)
+        if edge_parts
+        else np.zeros((0, 2), dtype=np.int64)
+    )
+    e_i = edges_arr[:, 0].astype(np.int64)
+    e_j = edges_arr[:, 1].astype(np.int64)
 
     # Iterative pruning: drop an edge unless an endpoint has no other
-    # neighbor or the pair shares a neighbor; sweep until stable.
-    adj: list[set[int]] = [set() for _ in range(N)]
-    edge_list = list(edges)
-    alive = {e: True for e in edge_list}
-    for i, j in edge_list:
-        adj[i].add(j)
-        adj[j].add(i)
+    # neighbor or the pair shares a neighbor; sweep until stable. Each
+    # sweep evaluates every live edge against the adjacency as it stood
+    # at the sweep's start (same synchronous semantics as the original
+    # set-based loop), vectorized over a bit-packed adjacency matrix.
+    Wp = max((N + 63) // 64, 1)
+    adjw = np.zeros((N, Wp), dtype=np.uint64)
+    np.bitwise_or.at(adjw, (e_i, e_j >> 6), np.uint64(1) << (e_j & 63).astype(np.uint64))
+    np.bitwise_or.at(adjw, (e_j, e_i >> 6), np.uint64(1) << (e_i & 63).astype(np.uint64))
+    deg = np.bincount(e_i, minlength=N) + np.bincount(e_j, minlength=N)
+    alive_mask = np.ones(len(e_i), dtype=bool)
     while True:
-        to_remove = [
-            (i, j)
-            for (i, j) in edge_list
-            if alive[(i, j)]
-            and len(adj[i]) != 1
-            and len(adj[j]) != 1
-            and not (adj[i] & adj[j])
-        ]
-        if not to_remove:
+        live = np.flatnonzero(alive_mask)
+        if not len(live):
             break
-        for i, j in to_remove:
-            alive[(i, j)] = False
-            adj[i].discard(j)
-            adj[j].discard(i)
+        li, lj = e_i[live], e_j[live]
+        shared = (adjw[li] & adjw[lj]).any(axis=1)
+        rm = (deg[li] != 1) & (deg[lj] != 1) & ~shared
+        if not rm.any():
+            break
+        drop = live[rm]
+        alive_mask[drop] = False
+        di, dj = e_i[drop], e_j[drop]
+        np.bitwise_and.at(adjw, (di, dj >> 6), ~(np.uint64(1) << (dj & 63).astype(np.uint64)))
+        np.bitwise_and.at(adjw, (dj, di >> 6), ~(np.uint64(1) << (di & 63).astype(np.uint64)))
+        deg -= np.bincount(di, minlength=N) + np.bincount(dj, minlength=N)
 
     # Connected components (ordered by smallest member, like nx's iteration
     # over nodes 0..N-1).
@@ -231,19 +242,18 @@ def partition_reads(
             x = parent[x]
         return x
 
-    for (i, j), ok in alive.items():
-        if ok:
-            ri, rj = find(i), find(j)
-            if ri != rj:
-                parent[max(ri, rj)] = min(ri, rj)
+    live = np.flatnonzero(alive_mask)
+    for i, j in zip(e_i[live].tolist(), e_j[live].tolist()):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
     comps: dict[int, list[int]] = {}
     for i in range(N):
         comps.setdefault(find(i), []).append(i)
 
     adj_mat = np.zeros((N, N), dtype=bool)
-    for (i, j), ok in alive.items():
-        if ok:
-            adj_mat[i, j] = adj_mat[j, i] = True
+    adj_mat[e_i[live], e_j[live]] = True
+    adj_mat[e_j[live], e_i[live]] = True
     # Flat member table: unique u's rep ids at mem_flat[mem_off[u]:+sz[u]].
     sz = np.array([len(m) for _d, m in unique_items], dtype=np.int64)
     mem_off = np.concatenate([[0], np.cumsum(sz)[:-1]]).astype(np.int64)
