@@ -65,6 +65,11 @@ class ClusterInstance:
     incomp: "np.ndarray | list[tuple[int, int]]"  # (K, 2) index pairs into rows
     epsilon: float = 0.2
     offset: int = 20
+    # Optional (N, Mi) bool matrices whose rows ARE rows[i].exons/.corr
+    # (build_instance supplies them); the packers use them to avoid
+    # re-stacking per-row views. Pure mechanics -- same values.
+    exons_mat: "np.ndarray | None" = None
+    corr_mat: "np.ndarray | None" = None
 
     def __post_init__(self):
         # Scale epsilon to exact integers: (1±eps)·G ≶ l ± offset becomes
@@ -110,8 +115,12 @@ def solve_exact(
 
     # Deterministic processing order: heaviest garbage first, then index.
     order = sorted(range(N), key=lambda i: (-rows[i].garbage, i))
-    exons = np.stack([rows[i].exons for i in order]).astype(bool)  # (N, Mi)
-    corr = np.stack([rows[i].corr for i in order]).astype(bool)
+    if inst.exons_mat is not None:
+        exons = inst.exons_mat[order].astype(bool)  # (N, Mi)
+        corr = inst.corr_mat[order].astype(bool)
+    else:
+        exons = np.stack([rows[i].exons for i in order]).astype(bool)  # (N, Mi)
+        corr = np.stack([rows[i].corr for i in order]).astype(bool)
     garbage = np.array([rows[i].garbage for i in order], dtype=np.float64)
     # Suffix-OR of exons: E_possible additions from positions >= p.
     suffix_or = np.zeros((N + 1, Mi), dtype=bool)

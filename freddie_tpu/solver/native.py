@@ -81,8 +81,12 @@ def solve_exact_native(
 
     order = sorted(range(N), key=lambda i: (-rows[i].garbage, i))
     pos_of = {o: p for p, o in enumerate(order)}
-    exons = _pack_bits(np.stack([rows[i].exons for i in order]).astype(bool), words)
-    corr = _pack_bits(np.stack([rows[i].corr for i in order]).astype(bool), words)
+    if inst.exons_mat is not None:
+        exons = _pack_bits(inst.exons_mat[order].astype(bool), words)
+        corr = _pack_bits(inst.corr_mat[order].astype(bool), words)
+    else:
+        exons = _pack_bits(np.stack([rows[i].exons for i in order]).astype(bool), words)
+        corr = _pack_bits(np.stack([rows[i].corr for i in order]).astype(bool), words)
     garbage = np.array([rows[i].garbage for i in order], dtype=np.float64)
     seg_len = np.ascontiguousarray(inst.seg_len, dtype=np.int64)
 
@@ -169,8 +173,12 @@ def _pack_segenum(inst: ClusterInstance, dtype=np.uint32):
             .astype(dtype)
         )
 
-    I_masks = masks_of([r.exons for r in rows])
-    C_masks = masks_of([r.corr for r in rows])
+    if inst.exons_mat is not None:
+        I_masks = masks_of(inst.exons_mat)
+        C_masks = masks_of(inst.corr_mat)
+    else:
+        I_masks = masks_of([r.exons for r in rows])
+        C_masks = masks_of([r.corr for r in rows])
     garbage = np.array([r.garbage for r in rows], dtype=np.float64)
     seg_len = np.ascontiguousarray(inst.seg_len, dtype=np.int64)
     gap_counts = np.array([len(r.gaps) for r in rows], dtype=np.int32)

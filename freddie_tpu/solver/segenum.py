@@ -121,8 +121,12 @@ class _PerStructure:
                 .ravel()
             )
 
-        self.I_int = masks_of([r.exons for r in inst.rows])
-        self.C_int = masks_of([r.corr for r in inst.rows])
+        if inst.exons_mat is not None:
+            self.I_int = masks_of(inst.exons_mat)
+            self.C_int = masks_of(inst.corr_mat)
+        else:
+            self.I_int = masks_of([r.exons for r in inst.rows])
+            self.C_int = masks_of([r.corr for r in inst.rows])
         self.g = np.array([r.garbage for r in inst.rows], dtype=np.float64)
         self.g_total = float(self.g.sum())
         self.sc, self.eps, self.off = inst.eps_scale, inst.eps_scaled, inst.offset
@@ -531,6 +535,11 @@ def solve_segment_enum_closure(
     ctx = _PerStructure(inst)  # also supplies the packed I-masks
     closure = np.zeros(1, dtype=np.uint64)  # the empty union
     for m in np.unique(ctx.I_int):
+        # closure is OR-closed over the masks processed so far, so a
+        # mask already in it contributes nothing new (e|m stays inside).
+        pos = int(np.searchsorted(closure, m))
+        if pos < len(closure) and closure[pos] == m:
+            continue
         closure = np.unique(np.concatenate([closure, closure | m]))
         if len(closure) > CLOSURE_CAP:
             return None

@@ -383,6 +383,8 @@ def build_instance(
         incomp=pairs,
         epsilon=cfg.epsilon,
         offset=cfg.gap_offset,
+        exons_mat=sub_I,
+        corr_mat=sub_C,
     )
 
 
