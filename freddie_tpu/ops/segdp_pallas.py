@@ -61,7 +61,8 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
             K_ref,
             O_ref, OT_ref, IN_ref, IN2_ref, H_ref, SM_ref,
             *, P, R, scale, read_support, wide_weights, blocked=True,
-            unroll1=False, unroll2=False, phases=3, kb_override=0, un=4):
+            unroll1=False, unroll2=False, phases=3, kb_override=0, un=4,
+            p1v=1):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -108,8 +109,6 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
         tlo = Tlo_ref[0, pl.ds(k0, KB), :][:, :, None]
         zero = jnp.float32(0.0)
         one = jnp.float32(1.0)
-        yea_to = T1 > thiT  # pair (p, k0+i)
-        nay_to = T1 < tloT
         # The "from" compares (-T1 vs t) fold the negation into the
         # threshold side: -T1 > thi == T1 < -thi. Negating the (KB, P, 1)
         # thresholds costs KB*P ops instead of a full (KB, P, R) pass.
@@ -122,6 +121,29 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
                 preferred_element_type=jnp.float32,
             )
 
+        if p1v:
+            # Pass-reduced variant: the weighted indicators come straight
+            # from the T1 compares (no bool intermediates), and the row
+            # sums ride the MXU as ones-dots instead of VPU lane
+            # reductions -- ~5 elementwise (KB, P, R) passes per block
+            # instead of ~9.
+            yw_lo = jnp.where(T1 > thiT, W_lo[None], zero)  # (KB, P, R)
+            nw_lo = jnp.where(T1 < tloT, W_lo[None], zero)
+            ones_r = jnp.ones((KB, 1, R), jnp.float32)
+            out_blk = bdot(yw_lo, nay_from) + bdot(nw_lo, yea_from)
+            sums = bdot(yw_lo, ones_r) + bdot(nw_lo, ones_r)  # (KB, P, 1)
+            if wide_weights:
+                yw_hi = jnp.where(T1 > thiT, W_hi[None], zero)
+                nw_hi = jnp.where(T1 < tloT, W_hi[None], zero)
+                out_blk = out_blk + 128.0 * (
+                    bdot(yw_hi, nay_from) + bdot(nw_hi, yea_from))
+                sums = sums + 128.0 * (bdot(yw_hi, ones_r) + bdot(nw_hi, ones_r))
+            O_ref[pl.ds(k0, KB)] = jnp.where(out_blk < gate, neg, out_blk)
+            IN_ref[pl.ds(k0, KB), :] = sums[:, :, 0] - w_sum
+            return 0
+
+        yea_to = T1 > thiT  # pair (p, k0+i)
+        nay_to = T1 < tloT
         yw_lo = jnp.where(yea_to, W_lo[None], zero)  # (KB, P, R)
         nw_lo = jnp.where(nay_to, W_lo[None], zero)
         out_blk = bdot(yw_lo, nay_from) + bdot(nw_lo, yea_from)  # (KB, P, P)
@@ -293,7 +315,7 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
 def solve_batch_pallas(C, y, W, n_cand, read_support, lookup, scale,
                        interpret=False, wide_weights=True, blocked=True,
                        unroll1=False, unroll2=False, phases=3,
-                       kb_override=0, un=4):
+                       kb_override=0, un=4, p1v=1):
     """Same contract as ops.segdp._solve_batch_jax: returns (K, best_j,
     best_k). C:(B,P,R) i32, y:(B,P) i32, W:(B,R) f32, n_cand:(B,) i32.
 
@@ -323,7 +345,7 @@ def solve_batch_pallas(C, y, W, n_cand, read_support, lookup, scale,
         _kernel, P=P, R=R, scale=scale, read_support=read_support,
         wide_weights=wide_weights, blocked=blocked,
         unroll1=unroll1, unroll2=unroll2, phases=phases,
-        kb_override=kb_override, un=un,
+        kb_override=kb_override, un=un, p1v=p1v,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

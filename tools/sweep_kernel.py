@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
 """Sweep the DP Pallas kernel's static tuning knobs on the attached chip.
 
-Usage: python tools/sweep_kernel.py [kb1:un1 kb2:un2 ...]
+Usage: python tools/sweep_kernel.py [kb1:un1[:p1v1] kb2:un2[:p1v2] ...]
   (default sweep: 16:4 8:4 16:2 16:7 16:9 at B=2048, P=64, R=512)
 
 kb = phase-1 K-block override (0 = the built-in heuristic);
-un = phase-2 wavefront steps per loop iteration.
+un = phase-2 wavefront steps per loop iteration;
+p1v = phase-1 variant (0 = bool-materializing, 1 = fused selects +
+      MXU ones-dot row sums; default 1 = the production path).
 
 Each config is a distinct Mosaic compile. Through the axon tunnel a
 process wedges after ~2 fresh remote compiles (see tools/warm_kernels.py),
@@ -39,7 +41,7 @@ import jax.numpy as jnp
 from freddie_tpu.ops.segdp_pallas import solve_batch_pallas
 from freddie_tpu.ops.thresholds import ScaledThresholds
 
-B, P, R, kb, un = @CFG@
+B, P, R, kb, un, p1v = @CFG@
 thr = ScaledThresholds(0.9)
 key = jax.random.PRNGKey(0)
 k1, k2, k3 = jax.random.split(key, 3)
@@ -57,21 +59,21 @@ C, y, W, n = gen()
 lookup = jnp.asarray(thr.lookup)
 fn = jax.jit(solve_batch_pallas,
              static_argnames=("read_support", "scale", "wide_weights",
-                              "kb_override", "un"))
+                              "kb_override", "un", "p1v"))
 t0 = time.perf_counter()
 out = fn(C, y, W, n, read_support=3, lookup=lookup, scale=thr.scale,
-         wide_weights=False, kb_override=kb, un=un)
+         wide_weights=False, kb_override=kb, un=un, p1v=p1v)
 bj = np.asarray(out[1])
 compile_s = time.perf_counter() - t0
 times = []
 for _ in range(3):
     t0 = time.perf_counter()
     out = fn(C, y, W, n, read_support=3, lookup=lookup, scale=thr.scale,
-             wide_weights=False, kb_override=kb, un=un)
+             wide_weights=False, kb_override=kb, un=un, p1v=p1v)
     _ = np.asarray(out[1])
     times.append(time.perf_counter() - t0)
 print("RESULT " + json.dumps(dict(
-    kb=kb, un=un, ms=round(min(times) * 1e3, 1),
+    kb=kb, un=un, p1v=p1v, ms=round(min(times) * 1e3, 1),
     compile_s=round(compile_s),
     fingerprint=int(np.int64(bj.astype(np.int64).sum())),
 )), flush=True)
@@ -81,13 +83,15 @@ print("RESULT " + json.dumps(dict(
 def main():
     configs = []
     for arg in sys.argv[1:] or ["16:4", "8:4", "16:2", "16:7", "16:9"]:
-        kb, un = arg.split(":")
-        configs.append((int(kb), int(un)))
+        parts = [int(x) for x in arg.split(":")]
+        kb, un = parts[0], parts[1]
+        p1v = parts[2] if len(parts) > 2 else 1
+        configs.append((kb, un, p1v))
     timeout_s = float(os.environ.get("FREDDIE_WARM_TIMEOUT_S", "700"))
     useful_flops = 4 * P**3 * R * B
     fingerprint = None
-    for kb, un in configs:
-        cfg = (B, P, R, kb, un)
+    for kb, un, p1v in configs:
+        cfg = (B, P, R, kb, un, p1v)
         for attempt in range(3):
             try:
                 code = CHILD.replace("@REPO@", repr(REPO)).replace(
@@ -97,7 +101,7 @@ def main():
                     timeout=timeout_s, capture_output=True, text=True,
                 )
             except subprocess.TimeoutExpired:
-                print(f"kb={kb} un={un}: attempt {attempt + 1} timed out",
+                print(f"kb={kb} un={un} p1v={p1v}: attempt {attempt + 1} timed out",
                       flush=True)
                 time.sleep(150)
                 continue
@@ -111,18 +115,18 @@ def main():
                        else "  RESULT MISMATCH vs first config!")
                 dt = r["ms"] / 1e3
                 print(
-                    f"kb={kb:3d} un={un:2d}: {r['ms']:7.1f} ms  "
+                    f"kb={kb:3d} un={un:2d} p1v={p1v}: {r['ms']:7.1f} ms  "
                     f"{B * R / dt / 1e6:6.2f}M read-reps/s  "
                     f"{useful_flops / dt / 1e12:5.2f} TFLOP/s useful  "
                     f"(compile+first {r['compile_s']}s){tag}",
                     flush=True,
                 )
                 break
-            print(f"kb={kb} un={un}: attempt {attempt + 1} rc={proc.returncode}\n"
+            print(f"kb={kb} un={un} p1v={p1v}: attempt {attempt + 1} rc={proc.returncode}\n"
                   + proc.stderr[-1500:], flush=True)
             time.sleep(150)
         else:
-            print(f"kb={kb} un={un}: FAILED after 3 attempts", flush=True)
+            print(f"kb={kb} un={un} p1v={p1v}: FAILED after 3 attempts", flush=True)
 
 
 if __name__ == "__main__":
