@@ -411,9 +411,9 @@ def solve_batch_device(
     n_local = jax.local_device_count()
     if n_local > 1:
         # Multi-device host: shard the batch over a 1-D loci mesh so one
-        # process drives every attached chip (this outranks the Pallas
-        # kernel -- N chips at XLA-kernel speed beat one chip at Pallas
-        # speed; shard_map-wrapping the Pallas kernel is future work).
+        # process drives every attached chip (TPU meshes run the Pallas
+        # kernel per-chip via shard_map inside solve_batch_sharded; other
+        # backends the XLA kernel -- bit-identical either way).
         # B_pad (a power of two) already covers any power-of-two device
         # count; pad further only for unusual mesh sizes.
         from ..parallel.mesh import loci_mesh, solve_batch_sharded
@@ -426,7 +426,8 @@ def solve_batch_device(
             W = np.concatenate([W, np.repeat(W[-1:], pad_b, axis=0)])
             n_cand = np.concatenate([n_cand, np.repeat(n_cand[-1:], pad_b)])
         K, best_j, best_k = solve_batch_sharded(
-            C, y, W, n_cand, next(iter(rs)), thr.lookup, thr.scale, mesh
+            C, y, W, n_cand, next(iter(rs)), thr.lookup, thr.scale, mesh,
+            wide_weights=bool(W.max(initial=0.0) > 127),
         )
     elif use_pallas:
         fn = _get_jitted_pallas()

@@ -38,39 +38,73 @@ def loci_mesh(n_devices: int | None = None, local: bool = False):
     return mesh
 
 
-def _sharded_solver(mesh, read_support: int, scale: int):
+def _sharded_solver(mesh, read_support: int, scale: int,
+                    use_pallas: bool = False, wide_weights: bool = True,
+                    interpret: bool = False):
     """Jitted batch-sharded DP solver, cached per (mesh, read_support,
-    scale) so repeated dispatches reuse the compiled executable."""
+    scale, engine) so repeated dispatches reuse the compiled executable.
+
+    use_pallas wraps the fused Pallas kernel in shard_map over the loci
+    axis (each device runs the kernel on its local batch slice -- the
+    XLA partitioner cannot split a pallas_call on its own), so a
+    multi-chip TPU host gets Pallas speed on every chip; results are
+    bit-identical to the XLA kernel (tests/test_dist.py guards via
+    interpret mode on the CPU mesh)."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..ops.segdp import _solve_batch_jax
 
-    key = (mesh, read_support, scale)
+    key = (mesh, read_support, scale, use_pallas, wide_weights, interpret)
     fn = _fn_cache.get(key)
     if fn is None:
         batch_sh = NamedSharding(mesh, P("loci"))
         repl = NamedSharding(mesh, P())
 
-        def kernel(C, y, W, n_cand, lookup):
-            return _solve_batch_jax(C, y, W, n_cand, read_support, lookup, scale)
+        if use_pallas:
+            from jax.experimental.shard_map import shard_map
 
-        fn = jax.jit(
-            kernel,
-            in_shardings=(batch_sh, batch_sh, batch_sh, batch_sh, repl),
-            out_shardings=(batch_sh, batch_sh, batch_sh),
-        )
+            from ..ops.segdp_pallas import solve_batch_pallas
+
+            def kernel_local(C, y, W, n_cand, lookup):
+                return solve_batch_pallas(
+                    C, y, W, n_cand, read_support, lookup, scale,
+                    interpret=interpret, wide_weights=wide_weights,
+                )
+
+            fn = jax.jit(shard_map(
+                kernel_local, mesh=mesh,
+                in_specs=(P("loci"), P("loci"), P("loci"), P("loci"), P()),
+                out_specs=(P("loci"), P("loci"), P("loci")),
+                check_rep=False,
+            ))
+        else:
+            def kernel(C, y, W, n_cand, lookup):
+                return _solve_batch_jax(C, y, W, n_cand, read_support, lookup, scale)
+
+            fn = jax.jit(
+                kernel,
+                in_shardings=(batch_sh, batch_sh, batch_sh, batch_sh, repl),
+                out_shardings=(batch_sh, batch_sh, batch_sh),
+            )
         _fn_cache[key] = fn
     return fn
 
 
-def solve_batch_sharded(C, y, W, n_cand, read_support, lookup, scale, mesh):
+def solve_batch_sharded(C, y, W, n_cand, read_support, lookup, scale, mesh,
+                        use_pallas: bool | None = None,
+                        wide_weights: bool = True, interpret: bool = False):
     """Run the batched segmentation DP with the batch dim sharded over the
     mesh's 'loci' axis. The batch size must be a multiple of the mesh size
-    (callers pad with dummy problems)."""
+    (callers pad with dummy problems). use_pallas=None auto-selects the
+    shard_mapped Pallas kernel on TPU meshes (bit-identical, ~2x per
+    chip), the XLA kernel elsewhere."""
     import jax.numpy as jnp
 
-    fn = _sharded_solver(mesh, read_support, scale)
+    if use_pallas is None:
+        use_pallas = all(d.platform == "tpu" for d in mesh.devices.flat)
+    fn = _sharded_solver(mesh, read_support, scale, use_pallas=use_pallas,
+                         wide_weights=wide_weights, interpret=interpret)
     return fn(
         jnp.asarray(C),
         jnp.asarray(y),

@@ -90,3 +90,50 @@ def test_sharded_dp_on_mesh_matches_host():
                 got.append(k_)
                 j, k = k, k_
         assert got == want
+
+
+def test_sharded_pallas_on_mesh_matches_host():
+    """The shard_mapped Pallas path (the production multi-chip TPU
+    engine) must match the host oracle bit-for-bit; interpret mode makes
+    it runnable on the 8-virtual-device CPU test mesh."""
+    import jax
+
+    from freddie_tpu.ops.segdp import DPProblem, solve_host
+    from freddie_tpu.ops.thresholds import ScaledThresholds
+    from freddie_tpu.parallel.mesh import loci_mesh, solve_batch_sharded
+
+    assert len(jax.devices()) >= 8
+    mesh = loci_mesh(8)
+    thr = ScaledThresholds(0.9)
+    rng = np.random.default_rng(5)
+    B, P, R = 16, 12, 16
+    C = np.zeros((B, P, R), np.int32)
+    y = np.zeros((B, P), np.int32)
+    W = np.full((B, R), 97, np.float32)  # exercise the 7-bit weight split
+    n = np.full(B, P, np.int32)
+    for b in range(B):
+        inc = rng.integers(0, 10, size=(P, R))
+        C[b] = np.cumsum(inc, axis=0)
+        y[b] = np.sort(rng.choice(np.arange(2000), size=P, replace=False))
+    K, bj, bk = solve_batch_sharded(
+        C, y, W, n, 3, np.asarray(thr.lookup), thr.scale, mesh,
+        use_pallas=True, interpret=True,
+    )
+    K = np.asarray(K)
+    bj = np.asarray(bj)
+    bk = np.asarray(bk)
+    for b in range(B):
+        pr = DPProblem(
+            C=C[b].astype(np.int64), y=y[b].astype(np.int64),
+            W=W[b].astype(np.int64), read_support=3,
+        )
+        want = solve_host(pr, thr)
+        j, k = int(bj[b]), int(bk[b])
+        got = []
+        if j >= 0:
+            got = [j, k]
+            while K[b, j, k] >= 0:
+                k_ = int(K[b, j, k])
+                got.append(k_)
+                j, k = k, k_
+        assert got == want
