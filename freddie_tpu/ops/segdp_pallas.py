@@ -62,7 +62,7 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
             O_ref, OT_ref, IN_ref, IN2_ref, H_ref, SM_ref,
             *, P, R, scale, read_support, wide_weights, blocked=True,
             unroll1=False, unroll2=False, phases=3, kb_override=0, un=4,
-            p1v=1):
+            p1v=0):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -122,11 +122,16 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
             )
 
         if p1v:
-            # Pass-reduced variant: the weighted indicators come straight
-            # from the T1 compares (no bool intermediates), and the row
-            # sums ride the MXU as ones-dots instead of VPU lane
-            # reductions -- ~5 elementwise (KB, P, R) passes per block
-            # instead of ~9.
+            # Experimental pass-reduced variant (p1v=1, NOT the default):
+            # weighted indicators straight from the T1 compares and row
+            # sums as MXU ones-dots. Bit-identical in interpret mode, but
+            # the axon Mosaic backend rejects it ("only constant
+            # accumulators supported": the ones-dot canonicalizes to a
+            # vector.multi_reduction and the + chain fuses into its
+            # accumulator), and the fused selects alone do not change the
+            # real VPU op count (a cmp+select pair costs the same whether
+            # the mask is named or not). Kept for A/B on backends where
+            # the MXU sum lowers properly (tools/sweep_kernel.py kb:un:1).
             yw_lo = jnp.where(T1 > thiT, W_lo[None], zero)  # (KB, P, R)
             nw_lo = jnp.where(T1 < tloT, W_lo[None], zero)
             ones_r = jnp.ones((KB, 1, R), jnp.float32)
@@ -315,7 +320,7 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
 def solve_batch_pallas(C, y, W, n_cand, read_support, lookup, scale,
                        interpret=False, wide_weights=True, blocked=True,
                        unroll1=False, unroll2=False, phases=3,
-                       kb_override=0, un=4, p1v=1):
+                       kb_override=0, un=4, p1v=0):
     """Same contract as ops.segdp._solve_batch_jax: returns (K, best_j,
     best_k). C:(B,P,R) i32, y:(B,P) i32, W:(B,R) f32, n_cand:(B,) i32.
 
