@@ -315,6 +315,9 @@ def best_poly_batch(windows: list[str], chars: list[str]):
 
         host_all = jax.default_backend() == "cpu"
     fn = _get_scan() if buckets and not host_all else None
+    pending = []  # (dev_rows, device handles) -- readbacks deferred so
+    # every bucket's launch is in flight before the first sync (remote
+    # backends then overlap the per-launch round-trip latency).
     for L, rows_all in sorted(buckets.items()):
         if host_all:
             # Host grids have no compiled-shape constraint: sort rows by
@@ -343,18 +346,20 @@ def best_poly_batch(windows: list[str], chars: list[str]):
             tchar[: len(dev_rows), 0] = [ord(chars[i]) for i in dev_rows]
             if host_all:
                 found, first, length, cnt = _scan_np(grid == tchar, lens_np)
+                for r, i in enumerate(dev_rows):
+                    if found[r]:
+                        results[i] = (int(first[r]), int(length[r]), int(cnt[r]))
             else:
                 packed = np.packbits(grid == tchar, axis=1)
-                found, first, length, cnt = fn(
-                    jnp.asarray(packed), jnp.asarray(lens_np)
-                )
-                found = np.asarray(found)
-                first = np.asarray(first)
-                length = np.asarray(length)
-                cnt = np.asarray(cnt)
-            for r, i in enumerate(dev_rows):
-                if found[r]:
-                    results[i] = (int(first[r]), int(length[r]), int(cnt[r]))
+                pending.append((dev_rows, fn(jnp.asarray(packed), jnp.asarray(lens_np))))
+    for dev_rows, (found, first, length, cnt) in pending:
+        found = np.asarray(found)
+        first = np.asarray(first)
+        length = np.asarray(length)
+        cnt = np.asarray(cnt)
+        for r, i in enumerate(dev_rows):
+            if found[r]:
+                results[i] = (int(first[r]), int(length[r]), int(cnt[r]))
     return results
 
 

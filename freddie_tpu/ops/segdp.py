@@ -328,19 +328,23 @@ def suggested_batch_size(P: int, R: int, budget_bytes: int = 4 << 30) -> int:
     return max(1, min(4096, budget_bytes // max(per_problem, 1)))
 
 
-def solve_batch_device(
+def dispatch_batch_device(
     problems: list[DPProblem],
     thr: ScaledThresholds,
     pad_p_to: int = 8,
     pad_r_to: int = 128,
     use_pallas: bool | None = None,
-) -> list[list[int]]:
-    """Solve a batch of problems on the device (or CPU backend for tests).
+):
+    """Launch a padded batch on the device WITHOUT waiting for it.
 
-    Problems are padded to a common (P, R); identical results to
-    solve_host, bit for bit. Returns per-problem local breakpoint chains.
-    On TPU the fused Pallas kernel is used (use_pallas=None -> auto);
-    elsewhere the XLA kernel.
+    Returns (handles, work, results): `handles` is (K, best_j, best_k) as
+    device arrays (or None when every problem was solved inline on the
+    host), `work` the indices launched, `results` the partially-filled
+    output list. collect_batch_device() finishes the job. Splitting
+    dispatch from collection lets the stage put EVERY bucket's launch in
+    flight before the first readback -- on remote-attached backends the
+    per-launch round-trip latency then overlaps across launches instead
+    of serializing (the readback is the only synchronization point).
     """
     import jax
     import jax.numpy as jnp
@@ -348,7 +352,7 @@ def solve_batch_device(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not problems:
-        return []
+        return None, [], []
     results: list[list[int] | None] = [None] * len(problems)
     work = []
     for i, pr in enumerate(problems):
@@ -357,7 +361,7 @@ def solve_batch_device(
         else:
             work.append(i)
     if not work:
-        return [r for r in results]  # type: ignore
+        return None, [], results
 
     def rnd(x, m):
         return ((x + m - 1) // m) * m
@@ -406,7 +410,7 @@ def solve_batch_device(
     if thr.scale * max_operand >= 2**31:
         for i in work:
             results[i] = solve_host(problems[i], thr)
-        return [r for r in results]  # type: ignore
+        return None, [], results
 
     n_local = jax.local_device_count()
     if n_local > 1:
@@ -454,18 +458,48 @@ def solve_batch_device(
             lookup=jnp.asarray(thr.lookup),
             scale=thr.scale,
         )
-    K = np.asarray(K)
-    best_j = np.asarray(best_j)
-    best_k = np.asarray(best_k)
-    for b, i in enumerate(work):
-        j, k = int(best_j[b]), int(best_k[b])
-        if j < 0:
-            results[i] = []
-            continue
-        out = [j, k]
-        while K[b, j, k] >= 0:
-            k_ = int(K[b, j, k])
-            out.append(k_)
-            j, k = k, k_
-        results[i] = out
+    return (K, best_j, best_k), work, results
+
+
+def collect_batch_device(handles, work, results) -> list[list[int]]:
+    """Read back a dispatch_batch_device launch and walk the backpointer
+    chains. The np.asarray readbacks are the synchronization point."""
+    if handles is not None:
+        K, best_j, best_k = handles
+        K = np.asarray(K)
+        best_j = np.asarray(best_j)
+        best_k = np.asarray(best_k)
+        for b, i in enumerate(work):
+            j, k = int(best_j[b]), int(best_k[b])
+            if j < 0:
+                results[i] = []
+                continue
+            out = [j, k]
+            while K[b, j, k] >= 0:
+                k_ = int(K[b, j, k])
+                out.append(k_)
+                j, k = k, k_
+            results[i] = out
     return [r for r in results]  # type: ignore
+
+
+def solve_batch_device(
+    problems: list[DPProblem],
+    thr: ScaledThresholds,
+    pad_p_to: int = 8,
+    pad_r_to: int = 128,
+    use_pallas: bool | None = None,
+) -> list[list[int]]:
+    """Solve a batch of problems on the device (or CPU backend for tests).
+
+    Problems are padded to a common (P, R); identical results to
+    solve_host, bit for bit. Returns per-problem local breakpoint chains.
+    On TPU the fused Pallas kernel is used (use_pallas=None -> auto);
+    elsewhere the XLA kernel. dispatch_batch_device/collect_batch_device
+    are the async halves for callers overlapping several launches.
+    """
+    handles, work, results = dispatch_batch_device(
+        problems, thr, pad_p_to=pad_p_to, pad_r_to=pad_r_to,
+        use_pallas=use_pallas,
+    )
+    return collect_batch_device(handles, work, results)

@@ -29,7 +29,13 @@ from ..io.tsv import SplitTint, format_segment_tsv, load_read_sequences, parse_s
 from ..ops import signal as sig
 from ..ops.coverage import cumulative_coverage
 from ..ops.polya import annotate_gaps_and_polya
-from ..ops.segdp import DPProblem, solve_batch_device, solve_host, suggested_batch_size
+from ..ops.segdp import (
+    DPProblem,
+    collect_batch_device,
+    dispatch_batch_device,
+    solve_host,
+    suggested_batch_size,
+)
 from ..ops.thresholds import ScaledThresholds
 
 # Below this many reads the batched device polyA scorer is not worth the
@@ -209,15 +215,22 @@ def solve_problems(problems: list[DPProblem], cfg: SegmentConfig, thr: ScaledThr
             bucket_of(p.C.shape[1], (128, 512, 1536), 512),
         )
         buckets.setdefault(key, []).append(i)
+    # Dispatch EVERY bucket's launches before the first readback: device
+    # dispatch is async, so on remote-attached backends the per-launch
+    # round-trip latency overlaps across launches instead of serializing
+    # (collect_batch_device's readback is the only sync point).
+    pending = []
     for (P, R), idxs in sorted(buckets.items()):
         bs = suggested_batch_size(P, R)
         for lo in range(0, len(idxs), bs):
             chunk = idxs[lo : lo + bs]
-            sols = solve_batch_device(
+            handles, work, res = dispatch_batch_device(
                 [problems[i] for i in chunk], thr, pad_p_to=P, pad_r_to=R
             )
-            for i, sol in zip(chunk, sols):
-                results[i] = sol
+            pending.append((chunk, handles, work, res))
+    for chunk, handles, work, res in pending:
+        for i, sol in zip(chunk, collect_batch_device(handles, work, res)):
+            results[i] = sol
     return [r for r in results]  # type: ignore
 
 

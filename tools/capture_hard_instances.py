@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--workdir", default="/tmp/freddie_hard")
     ap.add_argument("--slow-s", type=float, default=1.0)
     ap.add_argument("--timeout-min", type=float, default=0.25)
+    ap.add_argument("--genes", type=int, default=0,
+                    help="override SIM n_genes (e.g. 1000 reproduces the "
+                         "~300k-read scale run where the dense instances live)")
     args = ap.parse_args()
 
     import jax
@@ -37,6 +40,9 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
     sys.path.insert(0, REPO)
     import bench
+
+    if args.genes:
+        bench.SIM = dict(bench.SIM, n_genes=args.genes)
 
     split_dir = os.path.join(args.workdir, "split")
     seg_dir = os.path.join(args.workdir, "segment")
