@@ -62,8 +62,6 @@ def _sharded_solver(mesh, read_support: int, scale: int,
         repl = NamedSharding(mesh, P())
 
         if use_pallas:
-            from jax.experimental.shard_map import shard_map
-
             from ..ops.segdp_pallas import solve_batch_pallas
 
             def kernel_local(C, y, W, n_cand, lookup):
@@ -72,11 +70,11 @@ def _sharded_solver(mesh, read_support: int, scale: int,
                     interpret=interpret, wide_weights=wide_weights,
                 )
 
-            fn = jax.jit(shard_map(
+            fn = jax.jit(jax.shard_map(
                 kernel_local, mesh=mesh,
                 in_specs=(P("loci"), P("loci"), P("loci"), P("loci"), P()),
                 out_specs=(P("loci"), P("loci"), P("loci")),
-                check_rep=False,
+                check_vma=False,
             ))
         else:
             def kernel(C, y, W, n_cand, lookup):
