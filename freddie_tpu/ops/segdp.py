@@ -293,6 +293,40 @@ def _solve_batch_jax(C, y, W, n_cand, read_support, lookup, scale):
     return K, best_j, best_k
 
 
+def _walk_chains(K, best_j, best_k):
+    """Walk every problem's backpointer chain ON DEVICE.
+
+    The host only needs the chain (<= P breakpoints per problem), but K is
+    (B, P, P) -- reading it back moves P**2/chain-length times more bytes
+    than needed (33 MB per 2048x64 chunk through a remote tunnel). This
+    jittable walk reproduces collect's loop exactly -- out = [j, k], then
+    k_ = K[b, j, k] while >= 0 -- and returns (B, P+2) int32 chains,
+    -1-terminated (all -1 when no segmentation won)."""
+    import jax
+    import jax.numpy as jnp
+
+    B, P, _ = K.shape
+    Kf = K.reshape(B, P * P)
+    alive0 = best_j >= 0
+
+    def step(carry, _):
+        j, k, alive = carry
+        idx = jnp.clip(j * P + k, 0, P * P - 1)
+        nxt = jnp.take_along_axis(Kf, idx[:, None], axis=1)[:, 0]
+        alive = alive & (nxt >= 0)
+        out = jnp.where(alive, nxt, -1)
+        j = jnp.where(alive, k, j)
+        k = jnp.where(alive, nxt, k)
+        return (j, k, alive), out
+
+    (_, _, _), rest = jax.lax.scan(step, (best_j, best_k, alive0), None, length=P)
+    return jnp.concatenate(
+        [best_j[:, None], jnp.where(alive0, best_k, -1)[:, None],
+         jnp.transpose(rest)],
+        axis=1,
+    ).astype(jnp.int32)
+
+
 _jitted_cache: dict = {}
 
 
@@ -300,23 +334,38 @@ def _get_jitted():
     import jax
 
     if "fn" not in _jitted_cache:
+
+        def xla_chains(C, y, W, n_cand, read_support, lookup, scale):
+            K, bj, bk = _solve_batch_jax(
+                C.astype("int32"), y, W, n_cand, read_support, lookup, scale
+            )
+            return _walk_chains(K, bj, bk)
+
         _jitted_cache["fn"] = jax.jit(
-            _solve_batch_jax, static_argnames=("read_support", "scale")
+            xla_chains, static_argnames=("read_support", "scale")
         )
     return _jitted_cache["fn"]
 
 
 def _get_jitted_pallas():
-    """The whole Pallas path (threshold precompute + kernel) under one jit:
-    without it every helper op dispatches eagerly, which on remote-dispatch
-    backends costs a network roundtrip per op."""
+    """The whole Pallas path (threshold precompute + kernel + chain walk)
+    under one jit: without it every helper op dispatches eagerly, which on
+    remote-dispatch backends costs a network roundtrip per op."""
     import jax
 
     if "pallas" not in _jitted_cache:
         from .segdp_pallas import solve_batch_pallas
 
+        def pallas_chains(C, y, W, n_cand, read_support, lookup, scale,
+                          wide_weights):
+            K, bj, bk = solve_batch_pallas(
+                C.astype("int32"), y, W, n_cand, read_support, lookup, scale,
+                wide_weights=wide_weights,
+            )
+            return _walk_chains(K, bj, bk)
+
         _jitted_cache["pallas"] = jax.jit(
-            solve_batch_pallas,
+            pallas_chains,
             static_argnames=("read_support", "scale", "wide_weights"),
         )
     return _jitted_cache["pallas"]
@@ -411,6 +460,11 @@ def dispatch_batch_device(
         for i in work:
             results[i] = solve_host(problems[i], thr)
         return None, [], results
+    # C dominates the host->device bytes; ship it as int16 whenever every
+    # coverage fits (the common case) and widen on device -- halves the
+    # transfer, identical values.
+    if int(C.max(initial=0)) < 2**15:
+        C = C.astype(np.int16)
 
     n_local = jax.local_device_count()
     if n_local > 1:
@@ -429,13 +483,14 @@ def dispatch_batch_device(
             y = np.concatenate([y, np.repeat(y[-1:], pad_b, axis=0)])
             W = np.concatenate([W, np.repeat(W[-1:], pad_b, axis=0)])
             n_cand = np.concatenate([n_cand, np.repeat(n_cand[-1:], pad_b)])
-        K, best_j, best_k = solve_batch_sharded(
+        chains = solve_batch_sharded(
             C, y, W, n_cand, next(iter(rs)), thr.lookup, thr.scale, mesh,
             wide_weights=bool(W.max(initial=0.0) > 127),
+            return_chains=True,
         )
     elif use_pallas:
         fn = _get_jitted_pallas()
-        K, best_j, best_k = fn(
+        chains = fn(
             jnp.asarray(C),
             jnp.asarray(y),
             jnp.asarray(W),
@@ -449,7 +504,7 @@ def dispatch_batch_device(
         )
     else:
         fn = _get_jitted()
-        K, best_j, best_k = fn(
+        chains = fn(
             jnp.asarray(C),
             jnp.asarray(y),
             jnp.asarray(W),
@@ -458,28 +513,22 @@ def dispatch_batch_device(
             lookup=jnp.asarray(thr.lookup),
             scale=thr.scale,
         )
-    return (K, best_j, best_k), work, results
+    return chains, work, results
 
 
 def collect_batch_device(handles, work, results) -> list[list[int]]:
-    """Read back a dispatch_batch_device launch and walk the backpointer
-    chains. The np.asarray readbacks are the synchronization point."""
+    """Read back a dispatch_batch_device launch. The chains were walked on
+    device (_walk_chains); the np.asarray readback is the synchronization
+    point and moves only (B, P+2) int32."""
     if handles is not None:
-        K, best_j, best_k = handles
-        K = np.asarray(K)
-        best_j = np.asarray(best_j)
-        best_k = np.asarray(best_k)
+        chains = np.asarray(handles)
         for b, i in enumerate(work):
-            j, k = int(best_j[b]), int(best_k[b])
-            if j < 0:
+            row = chains[b]
+            if row[0] < 0:
                 results[i] = []
                 continue
-            out = [j, k]
-            while K[b, j, k] >= 0:
-                k_ = int(K[b, j, k])
-                out.append(k_)
-                j, k = k, k_
-            results[i] = out
+            stop = np.flatnonzero(row < 0)
+            results[i] = row[: stop[0] if len(stop) else len(row)].tolist()
     return [r for r in results]  # type: ignore
 
 

@@ -40,7 +40,7 @@ def loci_mesh(n_devices: int | None = None, local: bool = False):
 
 def _sharded_solver(mesh, read_support: int, scale: int,
                     use_pallas: bool = False, wide_weights: bool = True,
-                    interpret: bool = False):
+                    interpret: bool = False, return_chains: bool = False):
     """Jitted batch-sharded DP solver, cached per (mesh, read_support,
     scale, engine) so repeated dispatches reuse the compiled executable.
 
@@ -53,9 +53,10 @@ def _sharded_solver(mesh, read_support: int, scale: int,
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..ops.segdp import _solve_batch_jax
+    from ..ops.segdp import _solve_batch_jax, _walk_chains
 
-    key = (mesh, read_support, scale, use_pallas, wide_weights, interpret)
+    key = (mesh, read_support, scale, use_pallas, wide_weights, interpret,
+           return_chains)
     fn = _fn_cache.get(key)
     if fn is None:
         batch_sh = NamedSharding(mesh, P("loci"))
@@ -65,25 +66,33 @@ def _sharded_solver(mesh, read_support: int, scale: int,
             from ..ops.segdp_pallas import solve_batch_pallas
 
             def kernel_local(C, y, W, n_cand, lookup):
-                return solve_batch_pallas(
-                    C, y, W, n_cand, read_support, lookup, scale,
-                    interpret=interpret, wide_weights=wide_weights,
+                out = solve_batch_pallas(
+                    C.astype("int32"), y, W, n_cand, read_support, lookup,
+                    scale, interpret=interpret, wide_weights=wide_weights,
                 )
+                # The chain walk is per-problem, so it runs shard-locally.
+                return _walk_chains(*out) if return_chains else out
 
             fn = jax.jit(jax.shard_map(
                 kernel_local, mesh=mesh,
                 in_specs=(P("loci"), P("loci"), P("loci"), P("loci"), P()),
-                out_specs=(P("loci"), P("loci"), P("loci")),
+                out_specs=P("loci") if return_chains
+                else (P("loci"), P("loci"), P("loci")),
                 check_vma=False,
             ))
         else:
             def kernel(C, y, W, n_cand, lookup):
-                return _solve_batch_jax(C, y, W, n_cand, read_support, lookup, scale)
+                out = _solve_batch_jax(
+                    C.astype("int32"), y, W, n_cand, read_support, lookup,
+                    scale,
+                )
+                return _walk_chains(*out) if return_chains else out
 
             fn = jax.jit(
                 kernel,
                 in_shardings=(batch_sh, batch_sh, batch_sh, batch_sh, repl),
-                out_shardings=(batch_sh, batch_sh, batch_sh),
+                out_shardings=batch_sh if return_chains
+                else (batch_sh, batch_sh, batch_sh),
             )
         _fn_cache[key] = fn
     return fn
@@ -91,18 +100,22 @@ def _sharded_solver(mesh, read_support: int, scale: int,
 
 def solve_batch_sharded(C, y, W, n_cand, read_support, lookup, scale, mesh,
                         use_pallas: bool | None = None,
-                        wide_weights: bool = True, interpret: bool = False):
+                        wide_weights: bool = True, interpret: bool = False,
+                        return_chains: bool = False):
     """Run the batched segmentation DP with the batch dim sharded over the
     mesh's 'loci' axis. The batch size must be a multiple of the mesh size
     (callers pad with dummy problems). use_pallas=None auto-selects the
     shard_mapped Pallas kernel on TPU meshes (bit-identical, ~2x per
-    chip), the XLA kernel elsewhere."""
+    chip), the XLA kernel elsewhere. return_chains=True walks the
+    backpointers on device and returns (B, P+2) -1-terminated chains
+    instead of (K, best_j, best_k) -- the production dispatch path."""
     import jax.numpy as jnp
 
     if use_pallas is None:
         use_pallas = all(d.platform == "tpu" for d in mesh.devices.flat)
     fn = _sharded_solver(mesh, read_support, scale, use_pallas=use_pallas,
-                         wide_weights=wide_weights, interpret=interpret)
+                         wide_weights=wide_weights, interpret=interpret,
+                         return_chains=return_chains)
     return fn(
         jnp.asarray(C),
         jnp.asarray(y),

@@ -60,7 +60,12 @@ class ReadRow:
 
 @dataclass
 class ClusterInstance:
-    rows: list[ReadRow]
+    # Lazily materialized when flat arrays are supplied instead (see the
+    # property below the class): the consolidated native round solver
+    # consumes the flat arrays directly, so the production path never
+    # pays for per-row Python objects; Python twins/audits materialize
+    # identical rows on first access.
+    rows: "list[ReadRow] | None"
     seg_len: np.ndarray  # (Mi,) int -- lengths of informative segments
     incomp: "np.ndarray | list[tuple[int, int]]"  # (K, 2) index pairs into rows
     epsilon: float = 0.2
@@ -70,6 +75,16 @@ class ClusterInstance:
     # re-stacking per-row views. Pure mechanics -- same values.
     exons_mat: "np.ndarray | None" = None
     corr_mat: "np.ndarray | None" = None
+    # Optional flat-array form (build_instance supplies it) consumed by
+    # the consolidated native round solver (native/round_solver.cpp) so
+    # the hot path never touches the per-row Python objects. Gap windows
+    # are contiguous informative-column ranges [lo, hi) in row-major
+    # (read 0's gaps first) order; garbage_arr mirrors rows[i].garbage.
+    garbage_arr: "np.ndarray | None" = None  # (N,) float64
+    gap_counts: "np.ndarray | None" = None  # (N,) int32
+    gap_lo: "np.ndarray | None" = None  # (G,) int32
+    gap_hi: "np.ndarray | None" = None  # (G,) int32
+    gap_len_arr: "np.ndarray | None" = None  # (G,) int64
 
     def __post_init__(self):
         # Scale epsilon to exact integers: (1±eps)·G ≶ l ± offset becomes
@@ -81,6 +96,48 @@ class ClusterInstance:
         else:
             raise ValueError(f"epsilon={self.epsilon} not an exact decimal")
         self.eps_scaled = int(round(self.epsilon * self.eps_scale))
+
+    def _materialize_rows(self) -> "list[ReadRow]":
+        """Rows from the flat arrays -- value-identical to what
+        stages/cluster.build_instance used to construct eagerly (same
+        views into exons_mat/corr_mat, same contiguous gap masks)."""
+        N, Mi = self.exons_mat.shape
+        cols = np.arange(Mi, dtype=np.int64)[None, :]
+        masks = (cols >= self.gap_lo[:, None]) & (cols < self.gap_hi[:, None])
+        rows: list[ReadRow] = []
+        g = 0
+        for k in range(N):
+            gaps = [
+                (masks[g + t], int(self.gap_len_arr[g + t]))
+                for t in range(int(self.gap_counts[k]))
+            ]
+            g += int(self.gap_counts[k])
+            rows.append(
+                ReadRow(
+                    exons=self.exons_mat[k],
+                    corr=self.corr_mat[k],
+                    garbage=float(self.garbage_arr[k]),
+                    gaps=gaps,
+                )
+            )
+        return rows
+
+
+def _rows_get(self):
+    if self._rows_store is None:
+        self._rows_store = self._materialize_rows()
+    return self._rows_store
+
+
+def _rows_set(self, v):
+    self._rows_store = v
+
+
+# The dataclass-generated __init__ assigns through this property, so
+# ClusterInstance(rows=None, ...) defers materialization until a Python
+# twin (or audit/log) first touches .rows; ClusterInstance(rows=[...])
+# behaves exactly as before.
+ClusterInstance.rows = property(_rows_get, _rows_set)
 
 
 @dataclass

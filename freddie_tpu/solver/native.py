@@ -30,7 +30,11 @@ def _load():
     if _lib is not None or _build_failed:
         return _lib
     try:
-        srcs = [_SRC, os.path.join(os.path.dirname(_SRC), "segenum.cpp")]
+        srcs = [
+            _SRC,
+            os.path.join(os.path.dirname(_SRC), "segenum.cpp"),
+            os.path.join(os.path.dirname(_SRC), "round_solver.cpp"),
+        ]
         newest = max(os.path.getmtime(s) for s in srcs)
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < newest:
             subprocess.run(
@@ -42,6 +46,7 @@ def _load():
         lib.solve_bnb.restype = ctypes.c_int
         lib.solve_segenum.restype = ctypes.c_int
         lib.solve_segenum_list.restype = ctypes.c_int
+        lib.solve_round.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _build_failed = True
@@ -151,6 +156,99 @@ def solve_exact_native(
         "BUDGET" if status == 2 else "OPTIMAL",
         out_obj.value, assigned, E, out_nodes.value,
     )
+
+
+def solve_round_native(
+    inst: ClusterInstance, deadline_s: float, node_budget: int
+) -> "tuple[str, SolveResult] | None":
+    """Consolidated native round solve (native/round_solver.cpp): phase-1
+    branch-and-bound plus the union-closure escalation in one call, fed by
+    the instance's flat arrays (no per-row Python objects, no per-rung
+    repacking). Returns None when the library or the flat arrays are
+    unavailable -- the caller then runs the rung-by-rung chain, with
+    identical results (dispatch gates are content-only twins).
+
+    Returns (kind, result): kind 'final' (result is the answer),
+    'budget' (phase-1 BUDGET, closure declined on content -- caller
+    escalates with the incumbent in `result`), or 'closure_timeout'
+    (caller runs the LP proof / full search with the incumbent)."""
+    lib = _load()
+    if lib is None or inst.exons_mat is None or inst.garbage_arr is None:
+        return None
+    from .segenum import CLOSURE_CAP, CLOSURE_MAX_SEGS
+
+    N, Mi = inst.exons_mat.shape
+    if N == 0:
+        return "final", SolveResult("OPTIMAL", 0.0, [], None)
+    words = max((Mi + 63) // 64, 1)
+    I_b = np.ascontiguousarray(inst.exons_mat, dtype=np.uint8)
+    C_b = np.ascontiguousarray(inst.corr_mat, dtype=np.uint8)
+    garbage = np.ascontiguousarray(inst.garbage_arr, dtype=np.float64)
+    seg_len = np.ascontiguousarray(inst.seg_len, dtype=np.int64)
+    gap_counts = np.ascontiguousarray(inst.gap_counts, dtype=np.int32)
+    G = max(len(inst.gap_lo), 1)
+    gap_lo = np.zeros(G, dtype=np.int32)
+    gap_hi = np.zeros(G, dtype=np.int32)
+    gap_len = np.zeros(G, dtype=np.int64)
+    gap_lo[: len(inst.gap_lo)] = inst.gap_lo
+    gap_hi[: len(inst.gap_hi)] = inst.gap_hi
+    gap_len[: len(inst.gap_len_arr)] = inst.gap_len_arr
+    incomp = np.ascontiguousarray(
+        np.asarray(inst.incomp, dtype=np.int32).reshape(-1, 2)
+    )
+
+    out_assigned = np.zeros(N, dtype=np.int32)
+    out_n = ctypes.c_int32(0)
+    out_obj = ctypes.c_double(0.0)
+    out_E = np.zeros(words, dtype=np.uint64)
+    out_nodes = ctypes.c_int64(0)
+
+    status = lib.solve_round(
+        ctypes.c_int(N),
+        ctypes.c_int(Mi),
+        _ptr(I_b, ctypes.c_uint8),
+        _ptr(C_b, ctypes.c_uint8),
+        _ptr(garbage, ctypes.c_double),
+        _ptr(seg_len, ctypes.c_int64),
+        _ptr(gap_counts, ctypes.c_int32),
+        _ptr(gap_lo, ctypes.c_int32),
+        _ptr(gap_hi, ctypes.c_int32),
+        _ptr(gap_len, ctypes.c_int64),
+        ctypes.c_int(len(incomp)),
+        _ptr(incomp, ctypes.c_int32),
+        ctypes.c_int64(inst.eps_scale),
+        ctypes.c_int64(inst.eps_scaled),
+        ctypes.c_int64(inst.offset),
+        ctypes.c_double(deadline_s),
+        ctypes.c_int64(node_budget),
+        ctypes.c_int64(CLOSURE_MAX_SEGS),
+        ctypes.c_int64(CLOSURE_CAP),
+        _ptr(out_assigned, ctypes.c_int32),
+        ctypes.byref(out_n),
+        ctypes.byref(out_obj),
+        _ptr(out_E, ctypes.c_uint64),
+        ctypes.byref(out_nodes),
+    )
+    assigned = out_assigned[: out_n.value].tolist()
+    E = np.zeros(Mi, dtype=bool)
+    if Mi:
+        bits = np.unpackbits(out_E.view(np.uint8), bitorder="little")
+        E = bits[:Mi].astype(bool)
+    if status == 0:
+        return "final", SolveResult(
+            "OPTIMAL", out_obj.value, assigned, E, out_nodes.value
+        )
+    if status == 1:
+        return "final", SolveResult(
+            "TIMEOUT", out_obj.value, [], None, out_nodes.value
+        )
+    if status == 3:
+        # Closure answers report nodes=0 like the Python closure path.
+        return "final", SolveResult("OPTIMAL", out_obj.value, assigned, E, 0)
+    incumbent = SolveResult(
+        "BUDGET", out_obj.value, assigned, E, out_nodes.value
+    )
+    return ("budget" if status == 2 else "closure_timeout"), incumbent
 
 
 def _pack_segenum(inst: ClusterInstance, dtype=np.uint32):

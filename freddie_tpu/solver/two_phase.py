@@ -55,20 +55,30 @@ def _solve_raw(inst, deadline_s, node_budget=0) -> SolveResult:
 
 def solve_two_phase(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveResult:
     t0 = time.monotonic()
+    # Consolidated native fast path: phase 1 + the union-closure
+    # escalation in one call (native/round_solver.cpp), bit-equal to the
+    # rung-by-rung chain below (tests/test_round_native.py). Returns None
+    # when the toolchain or the flat instance arrays are unavailable --
+    # then the Python chain runs with identical results (every dispatch
+    # gate is content-only in both).
+    from .native import solve_round_native
+
+    nr = solve_round_native(inst, deadline_s, NODE_BUDGET)
+    if nr is not None:
+        kind, res = nr
+        if kind == "final":
+            return res
+        # 'budget': closure declined on content (Mi out of range or
+        # closure over cap) -- run escalations 1b/1c below.
+        # 'closure_timeout': the closure replay hit the wall -- skip
+        # straight to the LP proof / full search (the Python chain does
+        # the same when closure_res is non-None and non-OPTIMAL).
+        return _escalate(
+            inst, res, t0, deadline_s, try_enum=(kind == "budget")
+        )
     res = _solve_raw(inst, deadline_s, NODE_BUDGET)
     if res.status != "BUDGET":
         return res
-    # Escalation 1: structure enumeration -- exact and fast whenever the
-    # informative-segment count is small (the usual reason the read-DFS
-    # explodes: many near-duplicate rows under dense incompatibilities).
-    # Declines purely on instance content (Mi > MAX_SEGS), so the
-    # escalation path is identical with or without the native toolchain.
-    from .segenum import (
-        solve_segment_enum,
-        solve_segment_enum_closure,
-        solve_segment_enum_wide,
-    )
-
     # Escalation 1a: enumerate the union closure of the reads' I-masks --
     # exactly the coverable structures, so the canonical answer equals
     # full enumeration's at ANY Mi (equivalence proof in
@@ -77,13 +87,32 @@ def solve_two_phase(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveRes
     # Content-only gate (Mi <= CLOSURE_MAX_SEGS + closure-size cap).
     # The phase-1 incumbent (always feasible -- assign-nothing at worst)
     # prunes closure members that cannot reach the optimum.
+    from .segenum import solve_segment_enum_closure
+
     remaining = max(deadline_s - (time.monotonic() - t0), 1.0)
     closure_res = solve_segment_enum_closure(
         inst, remaining, incumbent_cost=res.objective
     )
     if closure_res is not None and closure_res.status == "OPTIMAL":
         return closure_res
-    if closure_res is None:
+    return _escalate(inst, res, t0, deadline_s, try_enum=closure_res is None)
+
+
+def _escalate(
+    inst: ClusterInstance,
+    res: SolveResult,
+    t0: float,
+    deadline_s: float,
+    try_enum: bool,
+) -> SolveResult:
+    """Escalations past the union closure, shared by the consolidated
+    native path and the rung-by-rung chain. `res` is the phase-1
+    incumbent; `try_enum` runs 1b/1c (only when the closure DECLINED on
+    content -- when it ran and timed out, the Python chain skips them
+    too)."""
+    from .segenum import solve_segment_enum, solve_segment_enum_wide
+
+    if try_enum:
         # Escalation 1b: full 2^Mi structure enumeration for Mi <=
         # MAX_SEGS (the closure was over the cap or Mi = 0). Declines
         # purely on instance content, identical with or without the

@@ -29,7 +29,7 @@ import numpy as np
 
 from ..config import ClusterConfig
 from ..io.tsv import SegTint, format_cluster_tsv, parse_segment_tsv
-from ..solver.exact import ClusterInstance, ReadRow, SolveResult
+from ..solver.exact import ClusterInstance, SolveResult
 
 
 def _solve(inst: ClusterInstance, deadline_s: float) -> SolveResult:
@@ -356,16 +356,8 @@ def build_instance(
     if gap_owner:
         los = np.searchsorted(inf_idx, np.asarray(j1s) + 1)
         his = np.searchsorted(inf_idx, np.asarray(j2s))
-        cols = np.arange(Mi, dtype=np.int64)[None, :]
-        gap_masks = (cols >= los[:, None]) & (cols < his[:, None])
-    per_row_gaps: list[list] = [[] for _ in remaining]
-    for g, k in enumerate(gap_owner):
-        per_row_gaps[k].append((gap_masks[g], lens[g]))
-    rows = [
-        ReadRow(exons=sub_I[k], corr=sub_C[k], garbage=ilp.garbage[i],
-                gaps=per_row_gaps[k])
-        for k, i in enumerate(remaining)
-    ]
+    else:
+        los = his = np.zeros(0, dtype=np.int64)
     # Re-index surviving incompatible pairs into round positions. The
     # construction in partition_reads never emits duplicates, and every
     # solver consumes the pairs as an (unordered) constraint set, so no
@@ -378,13 +370,23 @@ def build_instance(
     keep = (pa >= 0) & (pb >= 0)
     pairs = np.stack([pa[keep], pb[keep]], axis=1).astype(np.int32)
     return ClusterInstance(
-        rows=rows,
+        rows=None,  # lazily materialized from the flat arrays on demand
         seg_len=seg_len,
         incomp=pairs,
         epsilon=cfg.epsilon,
         offset=cfg.gap_offset,
         exons_mat=sub_I,
         corr_mat=sub_C,
+        # Flat-array form for the consolidated native round solver: gap
+        # windows as [lo, hi) informative-column ranges, row-major (the
+        # gap_owner loop above iterates rounds' rows in order).
+        garbage_arr=np.array([ilp.garbage[i] for i in remaining], dtype=np.float64),
+        gap_counts=np.bincount(
+            np.asarray(gap_owner, dtype=np.int64), minlength=len(remaining)
+        ).astype(np.int32),
+        gap_lo=los.astype(np.int32),
+        gap_hi=his.astype(np.int32),
+        gap_len_arr=np.asarray(lens, dtype=np.int64),
     )
 
 

@@ -42,6 +42,16 @@ from ..ops.thresholds import ScaledThresholds
 # launch round-trips; the host scorer annotates inline during phase C1.
 POLYA_DEVICE_MIN_READS = 512
 
+# Below this much cumulative DP work (sum of P^3*R) the host oracle beats
+# the device round-trips; the streaming driver flips to device dispatch
+# the moment the running total crosses it.
+DEVICE_MIN_WORK = 5_000_000
+
+# Streaming chunk cap: buckets dispatch as soon as this many problems
+# accumulate (or at suggested_batch_size if smaller), so launches overlap
+# the rest of phase A instead of queueing behind it.
+STREAM_CHUNK_MAX = 512
+
 
 @dataclass
 class _IntervalWork:
@@ -354,54 +364,134 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
     # GIL-holding work (C-extension parsing, small-array numpy), and a
     # thread pool only adds contention -- measured on the 26k-read bench
     # dataset: 0.74 s serial vs 1.38 s with 4 threads.
+    #
+    # Phases A and B are STREAMED: as soon as a (P, R) bucket accumulates a
+    # chunk's worth of DP problems it is dispatched (async) to the device,
+    # so launches overlap the remaining host preparation instead of waiting
+    # for all of phase A; the collection loop then genotypes each tint the
+    # moment its last problem is read back, overlapping phase C1 with the
+    # still-in-flight launches. Identical solutions to the all-at-once path
+    # (same bucketing, same kernels); only the schedule changes.
     def prepare_one(job):
         _contig, _tint_id, split_tsv, reads_tsv = job
         tint = parse_split_tsv(split_tsv)
         load_read_sequences(tint, reads_tsv)
         return prepare_tint(tint, cfg, thr)
 
-    prepared = [prepare_one(j) for j in jobs]
+    from ..utils.metrics import profile_trace
+
     works: list[TintWork] = []
     all_problems: list[DPProblem] = []
     offsets: list[int] = []
-    for work, problems in prepared:
-        offsets.append(len(all_problems))
-        all_problems.extend(problems)
-        works.append(work)
+    solutions: list[list[int] | None] = []
+    buckets: dict[tuple[int, int], list[int]] = {}
+    pending: list = []  # (chunk_ids, handles, work, res) in dispatch order
+    total_work = 0  # cumulative DP cost seen so far (device-worth gate)
+    device_on = False
 
-    # Phase B: one batched device dispatch for every problem of every tint.
-    # Set FREDDIE_TRACE_DIR to capture a jax.profiler trace of the launches.
-    from ..utils.metrics import profile_trace
+    def bucket_of(x, edges, step):
+        for e in edges:
+            if x <= e:
+                return e
+        return ((x + step - 1) // step) * step
+
+    def dispatch_chunks(key, force=False):
+        nonlocal pending
+        idxs = buckets.get(key, [])
+        P, R = key
+        bs = min(suggested_batch_size(P, R), STREAM_CHUNK_MAX)
+        while len(idxs) >= bs or (force and idxs):
+            chunk, idxs = idxs[:bs], idxs[bs:]
+            buckets[key] = idxs
+            handles, wk, res = dispatch_batch_device(
+                [all_problems[i] for i in chunk], thr, pad_p_to=P, pad_r_to=R
+            )
+            pending.append((chunk, handles, wk, res))
 
     with profile_trace(os.environ.get("FREDDIE_TRACE_DIR")):
-        solutions = solve_problems(all_problems, cfg, thr)
-
-    # Phase C1 (parallel like phase A): genotype every tint. PolyA
-    # annotation is deferred when the batched device path applies.
-    total_reads = sum(len(w.tint.reads) for w in works)
-    batch_polya = cfg.use_device and total_reads >= POLYA_DEVICE_MIN_READS
-
-    def genotype_one(args):
-        (_contig, _tint_id, _, _), work, off = args
-        n = sum(len(iw.problems) for iw in work.intervals)
-        sols = solutions[off : off + n]
-        k = 0
-        for iw in work.intervals:  # re-map local problem ids
-            iw.problems = list(range(k, k + len(iw.problems)))
-            k += len(iw.problems)
-        final_positions, segs = genotype_tint(work, sols, cfg, thr)
-        if not batch_polya:
-            for read in work.tint.reads:
-                read.gaps = annotate_gaps_and_polya(
-                    read.data, segs, read.intervals, read.seq, read.strand
+        for job in jobs:
+            work, problems = prepare_one(job)
+            off = len(all_problems)
+            offsets.append(off)
+            works.append(work)
+            all_problems.extend(problems)
+            solutions.extend([None] * len(problems))
+            for gid in range(off, off + len(problems)):
+                p = all_problems[gid]
+                if len(p.y) <= 2:
+                    solutions[gid] = []
+                    continue
+                total_work += len(p.y) ** 3 * p.C.shape[1]
+                key = (
+                    bucket_of(len(p.y), (16, 32, 64), 32),
+                    bucket_of(p.C.shape[1], (128, 512, 1536), 512),
                 )
-        return final_positions, segs
+                buckets.setdefault(key, []).append(gid)
+            if not device_on and cfg.use_device and total_work >= DEVICE_MIN_WORK:
+                device_on = True
+            if device_on:
+                for key in list(buckets):
+                    dispatch_chunks(key)
 
-    # Serial like phase A (vectorized genotyping measured 0.23 s serial
-    # vs 0.53 s with 4 threads: GIL contention outweighs the released
-    # slices).
-    triples = list(zip(jobs, works, offsets))
-    finals = [genotype_one(t) for t in triples]
+        if device_on:
+            for key in sorted(buckets):
+                dispatch_chunks(key, force=True)
+        else:
+            # Tiny total workload (or use_device=False): the host oracle
+            # beats the device round-trips; same results either way.
+            for gid, sol in enumerate(solutions):
+                if sol is None:
+                    solutions[gid] = solve_host(all_problems[gid], thr)
+
+        # Collection + phase C1, interleaved: genotype every tint whose
+        # problems are all solved, while later chunks are still in flight.
+        total_reads = sum(len(w.tint.reads) for w in works)
+        batch_polya = cfg.use_device and total_reads >= POLYA_DEVICE_MIN_READS
+
+        def genotype_one(args):
+            (_contig, _tint_id, _, _), work, off = args
+            n = sum(len(iw.problems) for iw in work.intervals)
+            sols = solutions[off : off + n]
+            k = 0
+            for iw in work.intervals:  # re-map local problem ids
+                iw.problems = list(range(k, k + len(iw.problems)))
+                k += len(iw.problems)
+            final_positions, segs = genotype_tint(work, sols, cfg, thr)
+            if not batch_polya:
+                for read in work.tint.reads:
+                    read.gaps = annotate_gaps_and_polya(
+                        read.data, segs, read.intervals, read.seq, read.strand
+                    )
+            return final_positions, segs
+
+        triples = list(zip(jobs, works, offsets))
+        n_probs = [
+            sum(len(iw.problems) for iw in w.intervals) for w in works
+        ]
+        unsolved = [
+            sum(1 for gid in range(off, off + n) if solutions[gid] is None)
+            for off, n in zip(offsets, n_probs)
+        ]
+        # Map each problem to its tint for completion countdown.
+        tint_of = np.zeros(len(all_problems), dtype=np.int64)
+        for t, (off, n) in enumerate(zip(offsets, n_probs)):
+            tint_of[off : off + n] = t
+        finals: list = [None] * len(triples)
+        next_ready = 0  # genotype in tint order (deterministic, cheap)
+
+        def drain_ready():
+            nonlocal next_ready
+            while next_ready < len(triples) and unsolved[next_ready] == 0:
+                finals[next_ready] = genotype_one(triples[next_ready])
+                next_ready += 1
+
+        drain_ready()
+        for chunk, handles, wk, res in pending:
+            for gid, sol in zip(chunk, collect_batch_device(handles, wk, res)):
+                solutions[gid] = sol
+                unsolved[tint_of[gid]] -= 1
+            drain_ready()
+        assert next_ready == len(triples)
 
     # Phase C2 (device, batched): every read's polyA soft-clip scans across
     # ALL tints in one bucketed launch set (ops.polya_batch); byte-identical

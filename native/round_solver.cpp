@@ -1,0 +1,293 @@
+// Consolidated per-round cluster solve: phase-1 branch-and-bound PLUS the
+// union-closure escalation in ONE native call.
+//
+// Motivation (round-3 profile, 300k reads / 10.5k instances): the solver
+// twins were already C++, but each rung paid its own Python packing --
+// solve_exact_native re-sorted and re-packed bitsets per call (8.6 s of
+// pure marshalling), the closure path packed AGAIN via _PerStructure and
+// _pack_segenum (5 s), and the closure build/bounds ran in numpy (4 s).
+// This entry takes the round's flat arrays once (uint8 matrices + gap
+// column ranges straight out of stages/cluster.build_instance) and runs
+//
+//   phase 1: solve_bnb (bnb_solver.cpp) with the deterministic node
+//            budget -- bit-equal twin of solver/exact.py;
+//   on BUDGET: the union-closure enumeration -- closure build, optimistic
+//            bounds, incumbent filter, canonical (optimistic, mask) sort,
+//            then freddie_run_enum (segenum.cpp), the bit-equal twin of
+//            solver/segenum.solve_segment_enum_closure.
+//
+// Dispatch gates are CONTENT-only and identical to the Python chain
+// (solver/two_phase.py): Mi/cap limits decide escalation, never toolchain
+// availability -- the Python twins remain the definition and transparent
+// fallback, and results are bit-identical (tests/test_round_native.py).
+//
+// Replaces the hot path of the reference's Gurobi loop
+// (py/freddie_cluster.py:347-636).
+
+#include <algorithm>
+#include <chrono>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+extern "C" int solve_bnb(
+    int n_reads, int n_segs,
+    const uint64_t* exons, const uint64_t* corr, const double* garbage,
+    const int64_t* seg_len,
+    const int32_t* gap_counts, const uint64_t* gap_masks,
+    const int64_t* gap_lens,
+    int n_incomp, const int32_t* incomp_pairs,
+    int64_t eps_scale, int64_t eps_scaled, int64_t offset,
+    double deadline_s, int64_t node_budget,
+    int32_t* out_assigned, int32_t* out_n_assigned,
+    double* out_objective, uint64_t* out_E, int64_t* out_nodes);
+
+int freddie_run_enum(
+    int n_reads,
+    const uint64_t* I_masks, const uint64_t* C_masks, const double* garbage,
+    const int64_t* seg_len,
+    const int32_t* gap_counts, const uint64_t* gap_masks,
+    const int64_t* gap_lens,
+    int n_incomp, const int32_t* incomp_pairs,
+    int64_t sc, int64_t eps, int64_t off,
+    const uint64_t* order, const double* order_opt, int64_t n_order,
+    std::chrono::steady_clock::time_point t_end, double seed_gain,
+    int32_t* out_assigned, int32_t* out_n_assigned,
+    double* out_objective, uint64_t* out_E);
+
+namespace {
+
+// Bits [lo, hi) of a multi-word mask (the gap windows from build_instance
+// are contiguous informative-column ranges).
+inline void range_mask(int lo, int hi, int words, uint64_t* out) {
+  for (int w = 0; w < words; ++w) out[w] = 0;
+  for (int b = lo; b < hi; ++b) out[b >> 6] |= 1ull << (b & 63);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns:
+//   0  phase-1 OPTIMAL (within the node budget)     -> result is final
+//   1  phase-1 TIMEOUT (wall deadline)              -> result is final
+//   2  phase-1 BUDGET and closure declined (Mi out of [1, closure_max]
+//      or closure size > closure_cap)               -> caller escalates
+//      with the returned phase-1 incumbent (same gates as the Python
+//      two_phase chain: segenum / wide / LP / full)
+//   3  closure OPTIMAL                              -> result is final
+//   4  closure TIMEOUT                              -> caller runs the
+//      LP proof / full search with the returned phase-1 incumbent
+// All read indices are RAW (caller order); sorting for the DFS happens
+// here (heaviest-garbage-first, then index -- solver/exact.py's order).
+int solve_round(
+    int n_reads, int n_segs,
+    const uint8_t* I_bytes,    // [n_reads][n_segs] 0/1
+    const uint8_t* C_bytes,    // [n_reads][n_segs] 0/1
+    const double* garbage,     // [n_reads]
+    const int64_t* seg_len,    // [n_segs]
+    const int32_t* gap_counts, // [n_reads] (raw order)
+    const int32_t* gap_lo,     // [total_gaps] first informative col inside
+    const int32_t* gap_hi,     // [total_gaps] end col (exclusive)
+    const int64_t* gap_lens,   // [total_gaps]
+    int n_incomp,
+    const int32_t* incomp_pairs,  // [n_incomp][2] raw indices
+    int64_t sc, int64_t eps, int64_t off,
+    double deadline_s, int64_t node_budget,
+    int64_t closure_max_segs, int64_t closure_cap,
+    // outputs
+    int32_t* out_assigned, int32_t* out_n, double* out_obj,
+    uint64_t* out_E,  // [words]
+    int64_t* out_nodes) {
+  const auto t0 = std::chrono::steady_clock::now();
+  int words = (n_segs + 63) / 64;
+  if (words == 0) words = 1;
+  const int W = words;
+  const int N = n_reads;
+
+  // Pack the 0/1 matrices once (raw order).
+  std::vector<uint64_t> I_raw((size_t)N * W, 0), C_raw((size_t)N * W, 0);
+  for (int i = 0; i < N; ++i) {
+    const uint8_t* Ir = I_bytes + (size_t)i * n_segs;
+    const uint8_t* Cr = C_bytes + (size_t)i * n_segs;
+    for (int j = 0; j < n_segs; ++j) {
+      if (Ir[j]) I_raw[(size_t)i * W + (j >> 6)] |= 1ull << (j & 63);
+      if (Cr[j]) C_raw[(size_t)i * W + (j >> 6)] |= 1ull << (j & 63);
+    }
+  }
+  // Raw-order gap offsets and masks.
+  std::vector<int> goff(N + 1, 0);
+  for (int i = 0; i < N; ++i) goff[i + 1] = goff[i] + gap_counts[i];
+  const int total_gaps = goff[N];
+  std::vector<uint64_t> gmask_raw((size_t)std::max(total_gaps, 1) * W, 0);
+  for (int g = 0; g < total_gaps; ++g)
+    range_mask(gap_lo[g], gap_hi[g], W, gmask_raw.data() + (size_t)g * W);
+
+  // DFS order: heaviest garbage first, then raw index (stable).
+  std::vector<int> order(N);
+  for (int i = 0; i < N; ++i) order[i] = i;
+  std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+    if (garbage[a] != garbage[b]) return garbage[a] > garbage[b];
+    return a < b;
+  });
+  std::vector<int> pos_of(N);
+  for (int p = 0; p < N; ++p) pos_of[order[p]] = p;
+
+  std::vector<uint64_t> exons_s((size_t)N * W), corr_s((size_t)N * W);
+  std::vector<double> garbage_s(N);
+  std::vector<int32_t> gcount_s(N);
+  std::vector<uint64_t> gmask_s((size_t)std::max(total_gaps, 1) * W, 0);
+  std::vector<int64_t> glen_s(std::max(total_gaps, 1), 0);
+  size_t gpos = 0;
+  for (int p = 0; p < N; ++p) {
+    int i = order[p];
+    std::memcpy(&exons_s[(size_t)p * W], &I_raw[(size_t)i * W],
+                W * sizeof(uint64_t));
+    std::memcpy(&corr_s[(size_t)p * W], &C_raw[(size_t)i * W],
+                W * sizeof(uint64_t));
+    garbage_s[p] = garbage[i];
+    gcount_s[p] = gap_counts[i];
+    for (int g = goff[i]; g < goff[i + 1]; ++g, ++gpos) {
+      std::memcpy(&gmask_s[gpos * W], &gmask_raw[(size_t)g * W],
+                  W * sizeof(uint64_t));
+      glen_s[gpos] = gap_lens[g];
+    }
+  }
+  std::vector<int32_t> incomp_s((size_t)std::max(n_incomp, 1) * 2, 0);
+  for (int e = 0; e < n_incomp; ++e) {
+    incomp_s[2 * e] = pos_of[incomp_pairs[2 * e]];
+    incomp_s[2 * e + 1] = pos_of[incomp_pairs[2 * e + 1]];
+  }
+
+  // ---- phase 1: budgeted branch-and-bound (bit-equal solver/exact.py).
+  std::vector<int32_t> p1_assigned(std::max(N, 1));
+  int32_t p1_n = 0;
+  double p1_obj = 0.0;
+  std::vector<uint64_t> p1_E(W, 0);
+  int64_t p1_nodes = 0;
+  int st = solve_bnb(N, n_segs, exons_s.data(), corr_s.data(),
+                     garbage_s.data(), seg_len, gcount_s.data(),
+                     gmask_s.data(), glen_s.data(), n_incomp,
+                     incomp_s.data(), sc, eps, off, deadline_s, node_budget,
+                     p1_assigned.data(), &p1_n, &p1_obj, p1_E.data(),
+                     &p1_nodes);
+  *out_nodes = p1_nodes;
+  *out_obj = p1_obj;
+  // Map the incumbent back to raw ascending indices.
+  std::vector<int32_t> raw_assigned(p1_assigned.begin(),
+                                    p1_assigned.begin() + p1_n);
+  for (auto& a : raw_assigned) a = order[a];
+  std::sort(raw_assigned.begin(), raw_assigned.end());
+  *out_n = (int32_t)raw_assigned.size();
+  for (size_t i = 0; i < raw_assigned.size(); ++i)
+    out_assigned[i] = raw_assigned[i];
+  for (int w = 0; w < W; ++w) out_E[w] = p1_E[w];
+  if (st == 1) { *out_n = 0; return 1; }  // TIMEOUT: no assignment reported
+  if (st == 0) return 0;                  // phase-1 OPTIMAL
+
+  // ---- escalation: union-closure enumeration (bit-equal twin of
+  // solver/segenum.solve_segment_enum_closure). Content-only gates.
+  if (n_segs < 1 || n_segs > (int)closure_max_segs) return 2;
+
+  // Distinct raw I masks, ascending (np.unique); incremental OR-closure.
+  std::vector<uint64_t> distinct(N);
+  for (int i = 0; i < N; ++i) distinct[i] = I_raw[(size_t)i * W];
+  std::sort(distinct.begin(), distinct.end());
+  distinct.erase(std::unique(distinct.begin(), distinct.end()),
+                 distinct.end());
+  std::vector<uint64_t> closure{0};
+  std::vector<uint64_t> merged;
+  for (uint64_t m : distinct) {
+    if (std::binary_search(closure.begin(), closure.end(), m)) continue;
+    merged.clear();
+    merged.reserve(closure.size() * 2);
+    for (uint64_t e : closure) {
+      merged.push_back(e);
+      merged.push_back(e | m);
+    }
+    std::sort(merged.begin(), merged.end());
+    merged.erase(std::unique(merged.begin(), merged.end()), merged.end());
+    closure.swap(merged);
+    if ((int64_t)closure.size() > closure_cap) return 2;
+  }
+
+  // Optimistic bound per closure mask: all subset-compatible positive-
+  // profit reads assigned, ignoring gaps/conflicts/coverage. Exact
+  // doubles (multiples of 0.5), so summation order is irrelevant.
+  double g_total = 0.0;
+  for (int i = 0; i < N; ++i) g_total += garbage[i];
+  const size_t K = closure.size();
+  std::vector<double> optimistic(K);
+  for (size_t k = 0; k < K; ++k) {
+    const uint64_t E = closure[k];
+    double pos = 0.0;
+    for (int i = 0; i < N; ++i) {
+      if (I_raw[(size_t)i * W] & ~E) continue;
+      double d = garbage[i] -
+                 (double)__builtin_popcountll(C_raw[(size_t)i * W] & E);
+      if (d > 0) pos += d;
+    }
+    optimistic[k] = g_total - pos;
+  }
+
+  // Incumbent filter + canonical (optimistic, mask) order + DFS floor.
+  bool integral = true;
+  for (int i = 0; i < N; ++i)
+    if (garbage[i] != std::floor(garbage[i])) { integral = false; break; }
+  const double gran = integral ? 1.0 : 0.5;
+  const double inc = p1_obj;
+  std::vector<size_t> keep;
+  keep.reserve(K);
+  for (size_t k = 0; k < K; ++k)
+    if (optimistic[k] <= inc + 1e-9) keep.push_back(k);
+  std::stable_sort(keep.begin(), keep.end(), [&](size_t a, size_t b) {
+    if (optimistic[a] != optimistic[b]) return optimistic[a] < optimistic[b];
+    return closure[a] < closure[b];
+  });
+  std::vector<uint64_t> enum_order(keep.size());
+  std::vector<double> enum_opt(keep.size());
+  for (size_t k = 0; k < keep.size(); ++k) {
+    enum_order[k] = closure[keep[k]];
+    enum_opt[k] = optimistic[keep[k]];
+  }
+  const double seed_gain = g_total - inc - gran;
+
+  // Remaining wall budget, like the Python chain's max(deadline-spent, 1).
+  double spent = std::chrono::duration<double>(
+                     std::chrono::steady_clock::now() - t0)
+                     .count();
+  double remaining = deadline_s - spent;
+  if (remaining < 1.0) remaining = 1.0;
+  auto t_end = std::chrono::steady_clock::now() +
+               std::chrono::microseconds((int64_t)(remaining * 1e6));
+
+  // Single-word raw gap masks for the (Mi <= 64) replay.
+  std::vector<uint64_t> gmask1(std::max(total_gaps, 1), 0);
+  for (int g = 0; g < total_gaps; ++g) gmask1[g] = gmask_raw[(size_t)g * W];
+  std::vector<uint64_t> I1(N), C1(N);
+  for (int i = 0; i < N; ++i) {
+    I1[i] = I_raw[(size_t)i * W];
+    C1[i] = C_raw[(size_t)i * W];
+  }
+
+  std::vector<int32_t> cl_assigned(std::max(N, 1));
+  int32_t cl_n = 0;
+  double cl_obj = 0.0;
+  uint64_t cl_E = 0;
+  int est = freddie_run_enum(
+      N, I1.data(), C1.data(), garbage, seg_len, gap_counts, gmask1.data(),
+      gap_lens, n_incomp, incomp_pairs, sc, eps, off, enum_order.data(),
+      enum_opt.data(), (int64_t)enum_order.size(), t_end, seed_gain,
+      cl_assigned.data(), &cl_n, &cl_obj, &cl_E);
+  if (est == 1) return 4;  // closure TIMEOUT; phase-1 incumbent stands
+  *out_obj = cl_obj;
+  *out_n = cl_n;
+  for (int i = 0; i < cl_n; ++i) out_assigned[i] = cl_assigned[i];
+  for (int w = 0; w < W; ++w) out_E[w] = 0;
+  out_E[0] = cl_E;
+  return 3;
+}
+
+}  // extern "C"

@@ -119,12 +119,15 @@ void rec(SubCtx& c, int p, double gain, uint64_t uni) {
   rec(c, p + 1, gain, uni);
 }
 
+}  // namespace
+
 // The canonical incumbent loop over structures: visits `order` (already
 // sorted ascending by (optimistic, mask)), solving the per-E optimal
 // conflict-free covering assignment by DFS; identical semantics and
 // tie-breaks to solver/segenum.py's _replay + _PerStructure.best_for.
-// Shared by the full-enumeration entry (solve_segenum) and the
-// bound-filtered wide entry (solve_segenum_list).
+// Shared by the full-enumeration entry (solve_segenum), the
+// bound-filtered wide entry (solve_segenum_list) and the consolidated
+// round solver (round_solver.cpp) -- hence external linkage.
 // seed_gain: an external DFS floor (-inf to disable). The caller derives
 // it from a FEASIBLE incumbent cost c as g_total - c - granularity, so
 // "gain > seed_gain" admits exactly the assignments with cost <= c
@@ -133,7 +136,7 @@ void rec(SubCtx& c, int p, double gain, uint64_t uni) {
 // still found and the canonical result is unchanged -- intermediate
 // incumbent updates with cost > c are skipped, which only weakens the
 // (ascending-optimistic) early break, never the answer.
-int run_enum(
+int freddie_run_enum(
     int n_reads,
     const uint64_t* I_masks, const uint64_t* C_masks, const double* garbage,
     const int64_t* seg_len,
@@ -327,8 +330,6 @@ int run_enum(
   return timed_out ? 1 : 0;
 }
 
-}  // namespace
-
 extern "C" {
 
 // Returns 0 = OPTIMAL, 1 = TIMEOUT, -1 = Mi too large.
@@ -396,7 +397,7 @@ int solve_segenum(
   for (uint32_t e = 0; e < n_masks; ++e) order_opt[e] = optimistic[order[e]];
 
   uint64_t E64 = 0;
-  int status = run_enum(n_reads, I64.data(), C64.data(), garbage, seg_len,
+  int status = freddie_run_enum(n_reads, I64.data(), C64.data(), garbage, seg_len,
                         gap_counts, gm64.data(), gap_lens, n_incomp,
                         incomp_pairs, sc, eps, off, order.data(),
                         order_opt.data(), (int64_t)n_masks, t_end,
@@ -434,7 +435,7 @@ int solve_segenum_list(
   if (n_segs > 64) return -1;
   auto t_end = std::chrono::steady_clock::now() +
                std::chrono::microseconds((int64_t)(deadline_s * 1e6));
-  return run_enum(n_reads, I_masks, C_masks, garbage, seg_len, gap_counts,
+  return freddie_run_enum(n_reads, I_masks, C_masks, garbage, seg_len, gap_counts,
                   gap_masks, gap_lens, n_incomp, incomp_pairs, sc, eps, off,
                   order, order_opt, n_order, t_end, seed_gain,
                   out_assigned, out_n_assigned, out_objective, out_E);
