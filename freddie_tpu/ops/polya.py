@@ -151,7 +151,35 @@ def _best_poly(seq: str, lo: int, hi: int, strand: str,
                min_len: int = 20, min_purity: float = 0.85):
     """Best polyA/polyT candidate in query window [lo, hi) (read-orientation
     adjusted); returns (offset, length, purity, char) or None. `offset` is
-    measured from the window start in alignment orientation."""
+    measured from the window start in alignment orientation.
+
+    Dispatches to the C Kadane scorer (native/polyatok.c best_run) at the
+    default thresholds; the Python twin below is the semantic oracle and
+    transparent fallback (tests/test_polyatok.py fuzzes them equal)."""
+    mod = _load_ctok() if (min_len, min_purity) == (20, 0.85) else None
+    if mod is not None and hasattr(mod, "best_run"):
+        try:
+            minus = 1 if strand == "-" else 0
+            best = None
+            best_p = -1.0
+            for char in ("A", "T"):
+                r = mod.best_run(seq, lo, hi, minus, char)
+                if r is None:
+                    continue
+                first, length, cnt = r
+                p = cnt / length
+                if p > best_p:  # strict: A wins ties, like max() below
+                    best_p = p
+                    best = (first, length, p, char)
+            return best
+        except Exception:
+            pass
+    return _best_poly_py(seq, lo, hi, strand, min_len, min_purity)
+
+
+def _best_poly_py(seq: str, lo: int, hi: int, strand: str,
+                  min_len: int = 20, min_purity: float = 0.85):
+    """Pure-Python twin of _best_poly (the semantic oracle)."""
     cands = []
     for char in ("A", "T"):
         if strand == "-":

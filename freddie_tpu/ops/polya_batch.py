@@ -277,23 +277,40 @@ def best_poly_batch(windows: list[str], chars: list[str]):
     """
     import jax.numpy as jnp
 
+    from .polya import _load_ctok
+
+    ctok = _load_ctok()
+    if ctok is not None and not hasattr(ctok, "best_run"):
+        ctok = None
+
+    def host_score(rows):
+        """Host-score the given window indices: the C Kadane scorer when
+        built (one call per window, no grid assembly), else the numpy
+        twin -- identical results either way (fuzz-pinned)."""
+        if ctok is not None:
+            for i in rows:
+                r = ctok.best_run(windows[i], 0, len(windows[i]), 0, chars[i])
+                if r is not None:
+                    results[i] = r
+            return
+        for lo in range(0, len(rows), 1024):  # bound the (B, Lmax) grids
+            chunk = sorted(rows[lo : lo + 1024], key=lambda i: len(windows[i]))
+            Lmax = max(len(windows[i]) for i in chunk)
+            lens_np = np.array([len(windows[i]) for i in chunk], dtype=np.int32)
+            grid = np.zeros((len(chunk), Lmax), dtype=np.uint8)
+            mask = np.arange(Lmax, dtype=np.int32)[None, :] < lens_np[:, None]
+            grid[mask] = np.frombuffer(
+                "".join(windows[i] for i in chunk).encode(), dtype=np.uint8
+            )
+            tchar = np.array([[ord(chars[i])] for i in chunk], dtype=np.uint8)
+            found, first, length, cnt = _scan_np(grid == tchar, lens_np)
+            for r, i in enumerate(chunk):
+                if found[r]:
+                    results[i] = (int(first[r]), int(length[r]), int(cnt[r]))
+
     n = len(windows)
     results: list[tuple[int, int, int] | None] = [None] * n
-    long_rows = [i for i in range(n) if len(windows[i]) > MAX_WINDOW]
-    for lo in range(0, len(long_rows), 1024):  # bound the (B, Lmax) grids
-        rows = long_rows[lo : lo + 1024]
-        Lmax = max(len(windows[i]) for i in rows)
-        lens_np = np.array([len(windows[i]) for i in rows], dtype=np.int32)
-        grid = np.zeros((len(rows), Lmax), dtype=np.uint8)
-        mask = np.arange(Lmax, dtype=np.int32)[None, :] < lens_np[:, None]
-        grid[mask] = np.frombuffer(
-            "".join(windows[i] for i in rows).encode(), dtype=np.uint8
-        )
-        tchar = np.array([[ord(chars[i])] for i in rows], dtype=np.uint8)
-        found, first, length, cnt = _scan_np(grid == tchar, lens_np)
-        for r, i in enumerate(rows):
-            if found[r]:
-                results[i] = (int(first[r]), int(length[r]), int(cnt[r]))
+    host_score([i for i in range(n) if len(windows[i]) > MAX_WINDOW])
 
     buckets: dict[int, list[int]] = {}
     for i in range(n):
@@ -320,16 +337,11 @@ def best_poly_batch(windows: list[str], chars: list[str]):
     # backends then overlap the per-launch round-trip latency).
     for L, rows_all in sorted(buckets.items()):
         if host_all:
-            # Host grids have no compiled-shape constraint: sort rows by
-            # window length so each chunk's grid is padded to its own
-            # (tight) maximum instead of the bucket edge. Results are
-            # scattered back by absolute index, so the order is free.
-            rows_all = sorted(rows_all, key=lambda i: len(windows[i]))
+            host_score(rows_all)
+            continue
         for lo in range(0, len(rows_all), _MAX_ROWS):
             dev_rows = rows_all[lo : lo + _MAX_ROWS]
-            B = len(dev_rows) if host_all else _pad_rows(len(dev_rows))
-            if host_all:
-                L = max(len(windows[i]) for i in dev_rows)
+            B = _pad_rows(len(dev_rows))
             # Vectorized host packing: scatter the concatenated window
             # bytes into the padded (B, L) grid (row-major boolean
             # assignment lays them out window-by-window), compare against
@@ -344,14 +356,8 @@ def best_poly_batch(windows: list[str], chars: list[str]):
             )
             tchar = np.zeros((B, 1), dtype=np.uint8)
             tchar[: len(dev_rows), 0] = [ord(chars[i]) for i in dev_rows]
-            if host_all:
-                found, first, length, cnt = _scan_np(grid == tchar, lens_np)
-                for r, i in enumerate(dev_rows):
-                    if found[r]:
-                        results[i] = (int(first[r]), int(length[r]), int(cnt[r]))
-            else:
-                packed = np.packbits(grid == tchar, axis=1)
-                pending.append((dev_rows, fn(jnp.asarray(packed), jnp.asarray(lens_np))))
+            packed = np.packbits(grid == tchar, axis=1)
+            pending.append((dev_rows, fn(jnp.asarray(packed), jnp.asarray(lens_np))))
     for dev_rows, (found, first, length, cnt) in pending:
         found = np.asarray(found)
         first = np.asarray(first)

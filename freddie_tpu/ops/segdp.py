@@ -383,6 +383,7 @@ def dispatch_batch_device(
     pad_p_to: int = 8,
     pad_r_to: int = 128,
     use_pallas: bool | None = None,
+    pad_b_to: int = 0,
 ):
     """Launch a padded batch on the device WITHOUT waiting for it.
 
@@ -428,6 +429,11 @@ def dispatch_batch_device(
     B_pad = 8
     while B_pad < B:
         B_pad <<= 1
+    # pad_b_to lets the streaming driver pad a final partial chunk up to
+    # the bucket's standard chunk size, so it reuses the SAME compiled
+    # executable instead of minting a fresh (minutes-long on remote-
+    # compile backends) shape.
+    B_pad = max(B_pad, pad_b_to)
     C = np.zeros((B_pad, P, R), dtype=np.int32)
     y = np.zeros((B_pad, P), dtype=np.int32)
     W = np.zeros((B_pad, R), dtype=np.float32)

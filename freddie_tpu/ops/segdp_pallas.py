@@ -121,7 +121,7 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
                 preferred_element_type=jnp.float32,
             )
 
-        if p1v:
+        if p1v == 1:
             # Experimental pass-reduced variant (p1v=1, NOT the default):
             # weighted indicators straight from the T1 compares and row
             # sums as MXU ones-dots. Bit-identical in interpret mode, but
@@ -145,6 +145,38 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
                 sums = sums + 128.0 * (bdot(yw_hi, ones_r) + bdot(nw_hi, ones_r))
             O_ref[pl.ds(k0, KB)] = jnp.where(out_blk < gate, neg, out_blk)
             IN_ref[pl.ds(k0, KB), :] = sums[:, :, 0] - w_sum
+            return 0
+
+        if p1v == 2:
+            # Row sums folded into the SAME MXU dots via an appended
+            # all-ones sublane on the "from" operands: column P of each
+            # (KB, P, P+1) product is the row sum of the weighted
+            # indicator, so the two explicit (KB, P, R) VPU sum passes
+            # disappear. (The standalone ones-dot variant, p1v=1, is
+            # rejected by this backend's Mosaic -- its canonicalization
+            # turns the dot into a vector.multi_reduction with a fused
+            # accumulator; appending to an existing dot sidesteps that.)
+            # Bit-identical: products and f32 accumulation stay exact.
+            ones_row = jnp.ones((KB, 1, R), jnp.float32)
+            yea_to = T1 > thiT  # pair (p, k0+i)
+            nay_to = T1 < tloT
+            yw_lo = jnp.where(yea_to, W_lo[None], zero)  # (KB, P, R)
+            nw_lo = jnp.where(nay_to, W_lo[None], zero)
+            nay_ext = jnp.concatenate([nay_from, ones_row], axis=1)
+            yea_ext = jnp.concatenate([yea_from, ones_row], axis=1)
+            ey = bdot(yw_lo, nay_ext)  # (KB, P, P+1)
+            en = bdot(nw_lo, yea_ext)
+            out_blk = ey[:, :, :P] + en[:, :, :P]
+            sums = ey[:, :, P] + en[:, :, P]  # (KB, P)
+            if wide_weights:
+                yw_hi = jnp.where(yea_to, W_hi[None], zero)
+                nw_hi = jnp.where(nay_to, W_hi[None], zero)
+                ey_hi = bdot(yw_hi, nay_ext)
+                en_hi = bdot(nw_hi, yea_ext)
+                out_blk = out_blk + 128.0 * (ey_hi[:, :, :P] + en_hi[:, :, :P])
+                sums = sums + 128.0 * (ey_hi[:, :, P] + en_hi[:, :, P])
+            O_ref[pl.ds(k0, KB)] = jnp.where(out_blk < gate, neg, out_blk)
+            IN_ref[pl.ds(k0, KB), :] = -(w_sum - sums)
             return 0
 
         yea_to = T1 > thiT  # pair (p, k0+i)

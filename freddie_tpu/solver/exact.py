@@ -124,13 +124,19 @@ class ClusterInstance:
 
 
 def _rows_get(self):
-    if self._rows_store is None:
-        self._rows_store = self._materialize_rows()
-    return self._rows_store
+    store = self.__dict__.get("_rows_store")
+    if store is None:
+        # Legacy pickles (pre-lazy instances) carry 'rows' directly in
+        # __dict__ -- unpickling bypasses the property setter.
+        store = self.__dict__.get("rows")
+    if store is None:
+        store = self._materialize_rows()
+    self.__dict__["_rows_store"] = store
+    return store
 
 
 def _rows_set(self, v):
-    self._rows_store = v
+    self.__dict__["_rows_store"] = v
 
 
 # The dataclass-generated __init__ assigns through this property, so

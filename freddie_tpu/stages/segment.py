@@ -395,16 +395,34 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
                 return e
         return ((x + step - 1) // step) * step
 
+    full_chunks: set = set()  # buckets that dispatched a full chunk
+
+    def chunk_size(P, R):
+        # Power-of-two chunk (and batch pad) so the compiled-shape set
+        # stays small and stable across datasets.
+        bs = min(suggested_batch_size(P, R), STREAM_CHUNK_MAX)
+        p2 = 8
+        while p2 * 2 <= bs:
+            p2 *= 2
+        return p2
+
     def dispatch_chunks(key, force=False):
         nonlocal pending
         idxs = buckets.get(key, [])
         P, R = key
-        bs = min(suggested_batch_size(P, R), STREAM_CHUNK_MAX)
+        bs = chunk_size(P, R)
         while len(idxs) >= bs or (force and idxs):
             chunk, idxs = idxs[:bs], idxs[bs:]
             buckets[key] = idxs
+            if len(chunk) == bs:
+                full_chunks.add(key)
+            # A final partial chunk of a bucket that already compiled the
+            # full-chunk shape pads up to it: same executable, no fresh
+            # compile (padding rows replicate problem 0, outputs unused).
+            pad_b = bs if (key in full_chunks and len(chunk) < bs) else 0
             handles, wk, res = dispatch_batch_device(
-                [all_problems[i] for i in chunk], thr, pad_p_to=P, pad_r_to=R
+                [all_problems[i] for i in chunk], thr, pad_p_to=P,
+                pad_r_to=R, pad_b_to=pad_b,
             )
             pending.append((chunk, handles, wk, res))
 
@@ -445,8 +463,16 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
 
         # Collection + phase C1, interleaved: genotype every tint whose
         # problems are all solved, while later chunks are still in flight.
+        # The batched polyA pass only pays off when it actually reaches a
+        # device (the CPU backend routes every window to the host scorer
+        # anyway -- going per-read there skips the window-string
+        # assembly); outputs are byte-identical on every route.
         total_reads = sum(len(w.tint.reads) for w in works)
         batch_polya = cfg.use_device and total_reads >= POLYA_DEVICE_MIN_READS
+        if batch_polya and not os.environ.get("FREDDIE_POLYA_DEVICE"):
+            import jax
+
+            batch_polya = jax.default_backend() != "cpu"
 
         def genotype_one(args):
             (_contig, _tint_id, _, _), work, off = args

@@ -303,11 +303,106 @@ error:
   return NULL;
 }
 
+/* Best polyA/polyT run in one soft-clip window -- C twin of the Kadane
+ * scorer (ops/polya.py longest_poly_runs + the per-window selection;
+ * same contract as ops/polya_batch._scan_np for one row).
+ *
+ * best_run(seq, lo, hi, minus, char) -> None | (first, length, cnt)
+ *   Window w[t] = seq[lo+t] ('+') or seq[L-1-lo-t] ('-', scanning the
+ *   mirrored slice reversed); the scan char is complemented on '-'.
+ *   Kadane score s_t = max(0, s_{t-1} + (match ? +1 : -2)); each maximal
+ *   positive stretch is a run whose extent ends at its best-scoring
+ *   position (ties -> latest, the reference's max(zip(S, i))); runs
+ *   qualify at length >= 20 and 20*cnt >= 17*length (exactly the
+ *   purity >= 0.85 rational test; equals the host's float compare, see
+ *   _scan_np's docstring); the winner maximizes purity = cnt/length in
+ *   double with the EARLIEST run winning ties (sequential strict
+ *   update). Offsets are window-relative in alignment orientation. */
+static PyObject* best_run(PyObject* self, PyObject* args) {
+  const char* seq;
+  Py_ssize_t seq_len;
+  long long lo, hi;
+  int minus;
+  const char* ch;
+  Py_ssize_t ch_len;
+  if (!PyArg_ParseTuple(args, "s#LLis#", &seq, &seq_len, &lo, &hi, &minus,
+                        &ch, &ch_len))
+    return NULL;
+  if (ch_len != 1) {
+    PyErr_SetString(PyExc_ValueError, "char must be one character");
+    return NULL;
+  }
+  char target = ch[0];
+  if (minus) {
+    switch (target) {
+      case 'A': target = 'T'; break;
+      case 'T': target = 'A'; break;
+      case 'C': target = 'G'; break;
+      case 'G': target = 'C'; break;
+      default: break;
+    }
+  }
+  const long long L = (long long)seq_len;
+  const long long W = hi - lo;
+  long long best_first = -1, best_len = 0, best_cnt = 0;
+  double best_purity = -1.0;
+
+  long long score = 0;
+  long long run_first = -1, run_cnt = 0;
+  long long best_score = -1, best_t = -1, cnt_at_best = 0;
+#define FINISH_RUN()                                                       \
+  do {                                                                     \
+    if (run_first >= 0) {                                                  \
+      long long length = best_t + 1 - run_first;                           \
+      if (length >= 20 && 20 * cnt_at_best >= 17 * length) {               \
+        double p = (double)cnt_at_best / (double)length;                   \
+        if (p > best_purity) {                                             \
+          best_purity = p;                                                 \
+          best_first = run_first;                                          \
+          best_len = length;                                               \
+          best_cnt = cnt_at_best;                                          \
+        }                                                                  \
+      }                                                                    \
+      run_first = -1;                                                      \
+    }                                                                      \
+  } while (0)
+
+  for (long long t = 0; t < W; ++t) {
+    long long idx = minus ? (L - 1 - lo - t) : (lo + t);
+    int m = (idx >= 0 && idx < L && seq[idx] == target);
+    score += m ? 1 : -2;
+    if (score < 0) score = 0;
+    if (score > 0) {
+      if (run_first < 0) {
+        run_first = t;
+        run_cnt = 0;
+        best_score = -1;
+        best_t = -1;
+        cnt_at_best = 0;
+      }
+      if (m) ++run_cnt;
+      if (score >= best_score) { /* ties -> latest position */
+        best_score = score;
+        best_t = t;
+        cnt_at_best = run_cnt;
+      }
+    } else {
+      FINISH_RUN();
+    }
+  }
+  FINISH_RUN();
+#undef FINISH_RUN
+  if (best_first < 0) Py_RETURN_NONE;
+  return Py_BuildValue("(LLL)", best_first, best_len, best_cnt);
+}
+
 static PyMethodDef Methods[] = {
     {"clip_context", clip_context, METH_VARARGS,
      "Covered-run structure of one read."},
     {"emit_tokens", emit_tokens, METH_VARARGS,
      "Token list from a clip context and resolved polyA candidates."},
+    {"best_run", best_run, METH_VARARGS,
+     "Best qualifying polyA/T run in one soft-clip window."},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "polyatok",

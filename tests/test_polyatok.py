@@ -107,3 +107,32 @@ def test_insertion_clamp_quirk():
 
 def test_no_coverage_returns_none():
     assert clip_context([0, 0, 2], [(0, 1), (2, 3), (4, 5)], [], "NNNN") is None
+
+
+def test_best_run_fuzz_vs_python_oracle():
+    """C Kadane scorer (best_run) vs the Python _best_poly oracle across
+    random sequences, windows, strands, and A/T densities -- including
+    boundary purities around 0.85 (the 20*cnt >= 17*len integer filter
+    must equal the float compare)."""
+    import numpy as np
+
+    from freddie_tpu.ops.polya import _best_poly, _best_poly_py, _load_ctok
+
+    mod = _load_ctok()
+    if mod is None or not hasattr(mod, "best_run"):
+        import pytest
+
+        pytest.skip("no C toolchain")
+    rng = np.random.default_rng(99)
+    bases = np.array(list("ACGT"))
+    for trial in range(400):
+        L = int(rng.integers(1, 200))
+        # Bias towards A/T-rich sequences so qualifying runs exist often.
+        probs = rng.dirichlet([3, 1, 1, 3])
+        seq = "".join(rng.choice(bases, size=L, p=probs))
+        lo = int(rng.integers(0, L + 1))
+        hi = int(rng.integers(lo, L + 1))
+        strand = "+" if rng.random() < 0.5 else "-"
+        got = _best_poly(seq, lo, hi, strand)
+        want = _best_poly_py(seq, lo, hi, strand)
+        assert got == want, (seq, lo, hi, strand, got, want)

@@ -26,10 +26,19 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 DEFAULT_SHAPES = [
-    (512, 16, 512, 0),
-    (64, 32, 512, 0),
-    (64, 64, 512, 0),
-    (2048, 64, 512, 0),  # bench.py kernel microbench
+    (2048, 64, 512, 0),  # bench.py kernel microbench (raw kernel path)
+]
+
+# Production segment-stage dispatch shapes (the composed jit: int16
+# coverage cast + Pallas kernel + on-device chain walk). These are the
+# bucket/chunk shapes the streaming driver emits on the bench dataset;
+# warming goes through ops.segdp.dispatch_batch_device so the exact
+# production executable lands in the cache.
+DEFAULT_PROD_SHAPES = [
+    (512, 16, 512),
+    (64, 32, 512),
+    (64, 64, 512),
+    (512, 16, 128),
 ]
 
 # (padded_rows, window_len) buckets of the polyA scan: the full shape
@@ -80,6 +89,44 @@ print(f"warm B={B} P={P} R={R} wide={wide}: {time.perf_counter() - t0:.0f}s",
       flush=True)
 """
 
+PROD_CHILD = r"""
+import os, sys, time
+sys.path.insert(0, @REPO@)
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", os.path.join(@REPO@, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import jax.numpy as jnp
+import threading
+def _claim_wedged():
+    sys.stderr.write("claim wedged\n"); sys.stderr.flush(); os._exit(3)
+_t = threading.Timer(float(os.environ.get("FREDDIE_CLAIM_PROBE_S", "240")), _claim_wedged)
+_t.daemon = True
+_t.start()
+_ = np.asarray(jnp.zeros((8, 8)).sum())
+_t.cancel()
+from freddie_tpu.ops.segdp import DPProblem, collect_batch_device, dispatch_batch_device
+from freddie_tpu.ops.thresholds import ScaledThresholds
+
+B, P, R = @SHAPE@
+thr = ScaledThresholds(0.9)
+rng = np.random.default_rng(0)
+problems = [
+    DPProblem(
+        C=np.cumsum(rng.integers(0, 3, (P, R)), axis=0).astype(np.int64),
+        y=np.cumsum(rng.integers(100, 200, P)).astype(np.int64),
+        W=np.ones(R, dtype=np.int64),
+        read_support=3,
+    )
+    for _ in range(B)
+]
+t0 = time.perf_counter()
+handles, work, res = dispatch_batch_device(problems, thr, pad_p_to=P, pad_r_to=R)
+collect_batch_device(handles, work, res)
+print(f"warm prod B={B} P={P} R={R}: {time.perf_counter() - t0:.0f}s",
+      flush=True)
+"""
+
 POLYA_CHILD = r"""
 import os, sys, time
 sys.path.insert(0, @REPO@)
@@ -117,10 +164,15 @@ def main():
             b, l = arg[len("polya:"):].split(",")
             jobs.append((POLYA_CHILD, (int(b), int(l))))
             continue
+        if arg.startswith("prod:"):
+            b, p, r = arg[len("prod:"):].split(",")
+            jobs.append((PROD_CHILD, (int(b), int(p), int(r))))
+            continue
         parts = [int(x) for x in arg.split(",")]
         jobs.append((CHILD, tuple(parts + [0] * (4 - len(parts)))))
     if not jobs:
-        jobs = [(CHILD, s) for s in DEFAULT_SHAPES]
+        jobs = [(PROD_CHILD, s) for s in DEFAULT_PROD_SHAPES]
+        jobs += [(CHILD, s) for s in DEFAULT_SHAPES]
         jobs += [(POLYA_CHILD, s) for s in DEFAULT_POLYA_SHAPES]
     timeout_s = float(os.environ.get("FREDDIE_WARM_TIMEOUT_S", "900"))
     for template, shape in jobs:
