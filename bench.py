@@ -242,9 +242,12 @@ def run_cluster_stage(workdir):
     # (slowest ~2.5 s), so the deadline no longer shapes the stage time.
     # Reported as cluster_timeout_min.
     t_min = float(os.environ.get("FREDDIE_BENCH_CLUSTER_TIMEOUT_MIN", "1"))
+    from freddie_tpu.solver.segenum import DEVICE_SECONDS
+
+    dev0 = DEVICE_SECONDS[0]
     t0 = time.perf_counter()
     n = run_cluster(seg_dir, out, ClusterConfig(threads=4, timeout=t_min))
-    return n, time.perf_counter() - t0, t_min
+    return n, time.perf_counter() - t0, t_min, DEVICE_SECONDS[0] - dev0
 
 
 def run_isoforms_stage(workdir, truth, reachable=None):
@@ -410,7 +413,25 @@ def main():
         except subprocess.TimeoutExpired:
             pass
 
-    n_cluster, cluster_dt, cluster_t_min = run_cluster_stage(workdir)
+    # Scaling-efficiency evidence (bench_scaling.py): the sharded DP over
+    # an 8-virtual-device CPU mesh -- identical pjit/sharding program to a
+    # real slice, but time-sharing this host's cores, so the efficiency is
+    # a contention-bound lower bound (this container has one real chip).
+    scaling = None
+    try:
+        sc_child = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench_scaling.py")],
+            capture_output=True, text=True, timeout=900,
+            env=dict(os.environ, SCALING_DEVICES="8", SCALING_BACKEND="cpu"),
+        )
+        for line in sc_child.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                scaling = json.loads(line)
+    except Exception:
+        pass
+
+    n_cluster, cluster_dt, cluster_t_min, cluster_dev_s = run_cluster_stage(workdir)
     recovery = run_isoforms_stage(workdir, truth, reachable)
 
     # Headline: steady-state (hot) throughput -- the production workflow
@@ -434,11 +455,19 @@ def main():
         cluster_loci_per_s=round(n_cluster / cluster_dt, 2),
         cluster_s=round(cluster_dt, 2),
         cluster_timeout_min=cluster_t_min,
+        # Honest accounting of the cluster stage's accelerator use: after
+        # the C++ consolidation the instances' bound math sits far below
+        # the host/device crossover (tools/bound_device_experiment.py),
+        # so the device only sees the rare wide-path filter; ~0 is the
+        # EXPECTED value here, not an omission.
+        cluster_device_s=round(cluster_dev_s, 3),
         cpu_segment_s=(cpu_stats.get("segment_hot_s") or cpu_stats["segment_s"])
         if cpu_stats else None,
         kernel_reads_per_s=stats["kernel_reads_per_s"],
         kernel_tflops=stats["kernel_tflops"],
         backend=stats["backend"],
+        scaling_efficiency=scaling["value"] if scaling else None,
+        scaling_per_mesh=scaling["per_mesh"] if scaling else None,
         **recovery,
     )
     if stats.get("backend") == "cpu":

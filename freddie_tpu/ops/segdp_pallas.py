@@ -62,7 +62,7 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
             O_ref, OT_ref, IN_ref, IN2_ref, H_ref, SM_ref,
             *, P, R, scale, read_support, wide_weights, blocked=True,
             unroll1=False, unroll2=False, phases=3, kb_override=0, un=4,
-            p1v=0):
+            p1v=2):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -352,7 +352,7 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
 def solve_batch_pallas(C, y, W, n_cand, read_support, lookup, scale,
                        interpret=False, wide_weights=True, blocked=True,
                        unroll1=False, unroll2=False, phases=3,
-                       kb_override=0, un=4, p1v=0):
+                       kb_override=0, un=4, p1v=2):
     """Same contract as ops.segdp._solve_batch_jax: returns (K, best_j,
     best_k). C:(B,P,R) i32, y:(B,P) i32, W:(B,R) f32, n_cand:(B,) i32.
 

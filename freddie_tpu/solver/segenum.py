@@ -380,6 +380,11 @@ def _solve_segment_enum_py(inst: ClusterInstance, deadline_s: float = 60.0) -> S
     return _replay(ctx, order, optimistic, t_end)
 
 
+# Wall seconds spent in device bound evaluation (the cluster stage's only
+# accelerator use after consolidation); bench.py reports the fraction.
+DEVICE_SECONDS = [0.0]
+
+
 def _optimistic_device(inst: ClusterInstance, n_masks: int) -> np.ndarray:
     """Per-mask optimistic bounds via one jitted XLA scan (device when a
     TPU is attached, XLA-CPU otherwise). All quantities are exact in f32
@@ -419,7 +424,11 @@ def _optimistic_device(inst: ClusterInstance, n_masks: int) -> np.ndarray:
         _, out = jax.lax.scan(body, 0, jnp.arange(n_blocks, dtype=jnp.uint32))
         return out.reshape(-1)
 
+    import time as _time
+
+    t0 = _time.perf_counter()
     out = np.asarray(scan_blocks(jnp.asarray(I_int), jnp.asarray(C_int), jnp.asarray(g)))
+    DEVICE_SECONDS[0] += _time.perf_counter() - t0
     return out[:n_masks].astype(np.float64)
 
 

@@ -425,6 +425,7 @@ def cluster_tint(
             t0 = _time.perf_counter()
             res = _solve(inst, deadline_s=cfg.timeout * 60.0)
             slog.record(p_idx, _round, len(remaining), res, _time.perf_counter() - t0)
+            slog.dump_solution(p_idx, _round, res)
             if res.status != "OPTIMAL":
                 break
             assigned_pos = set(res.assigned)
@@ -519,5 +520,16 @@ def run_cluster(segment_dir: str, outdir: str, cfg: ClusterConfig | None = None,
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
-            return sum(ex.map(_cluster_one, jobs))
-    return sum(_cluster_one(j) for j in jobs)
+            n = sum(ex.map(_cluster_one, jobs))
+    else:
+        n = sum(_cluster_one(j) for j in jobs)
+    if cfg.logs_dir is not None:
+        # Stage-level roll-up of every tint's solver status table (the
+        # .sol/.glog-era reader's "how did the solver do overall").
+        import json as _json
+
+        from ..utils.metrics import summarize_solver_logs
+
+        with open(os.path.join(cfg.logs_dir, "solver_summary.json"), "w") as f:
+            _json.dump(summarize_solver_logs(cfg.logs_dir), f, indent=1)
+    return n

@@ -107,9 +107,67 @@ class SolverLog:
                 f,
             )
 
+    def dump_solution(self, partition: int, round_num: int, res) -> None:
+        """Serialize one solve's result (the reference's Gurobi .sol dump
+        analog, py/freddie_cluster.py:595-600): status, objective, the
+        isoform exon bitstring over informative segments, and the
+        assigned read-rep positions."""
+        if self.dir is None:
+            return
+        path = os.path.join(
+            self.dir, f"partition.{partition}.round.{round_num}.sol.json"
+        )
+        with open(path, "w") as f:
+            json.dump(
+                dict(
+                    status=res.status,
+                    objective=res.objective,
+                    isoform=(
+                        None
+                        if res.isoform is None
+                        else "".join(str(int(x)) for x in np.asarray(res.isoform))
+                    ),
+                    assigned=[int(i) for i in res.assigned],
+                    nodes=int(res.nodes),
+                ),
+                f,
+            )
+
     def close(self) -> None:
         if self.fh is not None:
             self.fh.close()
+
+
+def summarize_solver_logs(logs_dir: str) -> dict:
+    """Stage-level roll-up of every tint's solver.log under logs_dir
+    (recursive): solve counts by status, objective/node/second totals.
+    The reference's closest analog is eyeballing timeout.log across
+    tints; this writes one machine-readable summary."""
+    import glob
+
+    counts: dict[str, int] = {}
+    solves = 0
+    nodes = 0
+    seconds = 0.0
+    for path in sorted(
+        glob.glob(os.path.join(logs_dir, "**", "solver.log"), recursive=True)
+    ):
+        with open(path) as f:
+            next(f, None)  # header
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) < 8:
+                    continue
+                counts[parts[0]] = counts.get(parts[0], 0) + 1
+                solves += 1
+                nodes += int(parts[6])
+                seconds += float(parts[7])
+    return dict(
+        solves=solves,
+        by_status=dict(sorted(counts.items())),
+        nodes=nodes,
+        solver_seconds=round(seconds, 3),
+    )
 
 
 @contextlib.contextmanager

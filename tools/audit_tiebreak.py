@@ -70,7 +70,19 @@ def audit_config(name: str, seed: int, stats: dict) -> None:
                 tint = parse_segment_tsv(path)
 
                 def hook(inst):
-                    verdict = audit_instance(inst)
+                    # Offline budget knobs: the default interactive budget
+                    # (30 s / 2M nodes) classifies all but the very
+                    # hardest instances; FREDDIE_AUDIT_DEADLINE_S /
+                    # FREDDIE_AUDIT_NODE_CAP raise it for the tail.
+                    verdict = audit_instance(
+                        inst,
+                        deadline_s=float(
+                            os.environ.get("FREDDIE_AUDIT_DEADLINE_S", "30")
+                        ),
+                        node_cap=int(
+                            os.environ.get("FREDDIE_AUDIT_NODE_CAP", "2000000")
+                        ),
+                    )
                     stats[verdict] = stats.get(verdict, 0) + 1
                     stats.setdefault("sizes", []).append(
                         (len(inst.rows), len(inst.seg_len))
