@@ -42,6 +42,9 @@ def test_segment_polya_device_byte_identical(split_dir, tmp_path, monkeypatch):
     monkeypatch.setattr(seg, "POLYA_DEVICE_MIN_READS", 10**9)
     seg.run_segment(split_dir, host_out, SegmentConfig())
     monkeypatch.setattr(seg, "POLYA_DEVICE_MIN_READS", 0)
+    # The stage only batches when a device route will engage; force it on
+    # the CPU test backend (the same env the production override uses).
+    monkeypatch.setenv("FREDDIE_POLYA_DEVICE", "1")
     seg.run_segment(split_dir, dev_out, SegmentConfig())
     host_files = _tsv_set(host_out)
     dev_files = _tsv_set(dev_out)
@@ -90,3 +93,58 @@ def test_solve_batch_device_uses_sharded_dispatch():
     assert mesh_mod._fn_cache, "sharded dispatch was not used"
     want = [solve_host(p, thr) for p in problems]
     assert got == want
+
+
+def test_streaming_chunks_and_flush_padding(tmp_path, monkeypatch):
+    """Tiny streaming chunks force mid-phase-A dispatches, multi-chunk
+    tints, and the flush path that pads a final partial chunk up to the
+    bucket's standard shape -- outputs must stay byte-identical to the
+    all-at-once host solve. (A noisy simulation: the clean fixture's
+    problems are all trivial and would never dispatch.)"""
+    from freddie_tpu.ops import segdp
+    from freddie_tpu.stages import segment as seg
+
+    sim = simulate(
+        seed=77, n_genes=8, isoforms_per_gene=3, reads_per_isoform=12,
+        end_jitter=25, indel_rate=0.1, junction_jitter=6, alt_splice=True,
+        big_del_rate=0.06,
+    )
+    bam, fq = str(tmp_path / "r.bam"), str(tmp_path / "r.fastq")
+    sim.write_bam(bam)
+    sim.write_fastq(fq)
+    split_dir = str(tmp_path / "split")
+    run_split(bam, [fq], split_dir, SplitConfig())
+
+    ref_out = str(tmp_path / "ref")
+    cfg_host = SegmentConfig(use_device=False)
+    seg.run_segment(split_dir, ref_out, cfg_host)
+
+    dispatched = []
+    orig = segdp.dispatch_batch_device
+
+    def spy(problems, thr, pad_p_to=8, pad_r_to=128, use_pallas=None,
+            pad_b_to=0):
+        dispatched.append((len(problems), pad_b_to))
+        return orig(problems, thr, pad_p_to, pad_r_to, use_pallas, pad_b_to)
+
+    monkeypatch.setattr(seg, "STREAM_CHUNK_MAX", 8)
+    monkeypatch.setattr(seg, "DEVICE_MIN_WORK", 0)
+    monkeypatch.setattr(seg, "dispatch_batch_device", spy)
+    stream_out = str(tmp_path / "stream")
+    seg.run_segment(split_dir, stream_out, SegmentConfig())
+
+    assert len(dispatched) > 1, "chunking did not split the workload"
+    # At least one full chunk and (if any partial flush followed a full
+    # chunk in the same bucket) a pad_b_to equal to the chunk size.
+    assert any(n == 8 for n, _pad in dispatched)
+    for n, pad in dispatched:
+        if pad:
+            assert n < 8 and pad == 8
+
+    ref_files = _tsv_set(ref_out)
+    got_files = _tsv_set(stream_out)
+    assert [os.path.relpath(f, ref_out) for f in ref_files] == [
+        os.path.relpath(f, stream_out) for f in got_files
+    ]
+    for a, b in zip(ref_files, got_files):
+        assert filecmp.cmp(a, b, shallow=False), os.path.relpath(a, ref_out)
