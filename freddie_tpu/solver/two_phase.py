@@ -28,13 +28,19 @@ from .native import solve_exact_native
 # Phase-1 budget: easy instances finish well under this; hard ones
 # escalate quickly to the (native) structure enumeration. The value is
 # part of the deterministic output contract (it decides which engine's
-# equally-optimal tie-break an instance gets). Measured on the bench
-# dataset: 583/1041 instances finish in phase 1 while the 458 that
-# escalate burned 8.3 of 10.0 phase-1 seconds at 50k nodes; 10k keeps
-# the incumbent good enough to seed the closure DFS floors and nearly
-# halves the stage (15.1 -> 8.8 s single-thread). Below 10k the weaker
-# incumbents cost more in escalation than they save here.
-NODE_BUDGET = 10_000
+# equally-optimal tie-break an instance gets), so changes require a
+# deliberate golden-fixture regeneration (tests/test_golden.py recipe).
+# History: 50k -> 10k in round 2 (15.1 -> 8.8 s single-thread on the
+# bench dataset -- pre-consolidation, escalations paid Python
+# marshalling, so strong incumbents were precious). Round 3's
+# consolidated C++ escalation (native/round_solver.cpp) made the
+# closure rung cheap, flipping the trade: on the 300k corpus
+# (400 tints, single-thread) 10k/5k/2k/1k/500 nodes measure
+# 29.1/26.5/24.8/22.7/21.2 s with zero timeouts throughout. 1k keeps a
+# margin against pathological instances where the phase-1 incumbent is
+# the only effective closure filter; 500 buys 6% more for double the
+# incumbent risk.
+NODE_BUDGET = 1_000
 
 
 def _objective_granularity(inst: ClusterInstance) -> float:

@@ -463,16 +463,25 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
 
         # Collection + phase C1, interleaved: genotype every tint whose
         # problems are all solved, while later chunks are still in flight.
-        # The batched polyA pass only pays off when it actually reaches a
-        # device (the CPU backend routes every window to the host scorer
-        # anyway -- going per-read there skips the window-string
-        # assembly); outputs are byte-identical on every route.
+        # The batched device polyA pass only pays off when the C Kadane
+        # scorer is NOT built: with it, per-read host scoring beats the
+        # device batch even on a real chip (measured on the 26k bench
+        # dataset: 1.38 s of device launches/transfers vs ~0.4 s of C --
+        # soft-clip scanning is byte-twiddling, not MXU work). Outputs
+        # are byte-identical on every route; FREDDIE_POLYA_DEVICE=1
+        # forces the device path (its tests/benches).
         total_reads = sum(len(w.tint.reads) for w in works)
         batch_polya = cfg.use_device and total_reads >= POLYA_DEVICE_MIN_READS
         if batch_polya and not os.environ.get("FREDDIE_POLYA_DEVICE"):
-            import jax
+            from ..ops.polya import _load_ctok
 
-            batch_polya = jax.default_backend() != "cpu"
+            ctok = _load_ctok()
+            if ctok is not None and hasattr(ctok, "best_run"):
+                batch_polya = False
+            else:
+                import jax
+
+                batch_polya = jax.default_backend() != "cpu"
 
         def genotype_one(args):
             (_contig, _tint_id, _, _), work, off = args
