@@ -479,7 +479,11 @@ def _cluster_one(job: tuple[str, str, str, "ClusterConfig"]) -> int:
         cfg = dataclasses.replace(cfg, logs_dir=os.path.join(cfg.logs_dir, contig))
     tint = parse_segment_tsv(in_path)
     isoforms, garbage = cluster_tint(tint, cfg)
-    with open(out_path, "w") as f:
+    # Atomic: the per-tint resume above trusts an existing file, so a
+    # crash mid-write must not leave a truncated one.
+    from ..utils.fsio import atomic_write
+
+    with atomic_write(out_path) as f:
         f.write(format_cluster_tsv(tint, isoforms, garbage))
     return 1
 

@@ -205,7 +205,9 @@ def run_isoforms(
         for job in jobs:
             records.extend(_tint_isoforms_job(job))
     records.sort()
-    with open(output, "w") as f:
+    from ..utils.fsio import atomic_write
+
+    with atomic_write(output) as f:
         for _key, text in records:
             f.write(text)
             f.write("\n")

@@ -34,21 +34,28 @@ def run_pipeline(
 
     from ..utils.metrics import StageMetrics
 
+    from ..utils.fsio import is_complete, mark_complete
+
     def stage(name, out_path, fn):
         if os.path.exists(out_path):
-            if resume:
-                log(f"[pipeline] {name}: exists, skipping")
+            if resume and is_complete(out_path):
+                log(f"[pipeline] {name}: complete, skipping")
                 return None
-            # Snakemake semantics: a forced re-run removes the stale stage
-            # output first (rules own their output paths).
+            # Snakemake semantics: a forced re-run -- or a resume over a
+            # stage that crashed mid-write (no completion marker) --
+            # removes the stale stage output first (rules own their
+            # output paths).
             import shutil
 
+            if resume:
+                log(f"[pipeline] {name}: incomplete output, re-running")
             if os.path.isdir(out_path):
                 shutil.rmtree(out_path)
             else:
                 os.remove(out_path)
         metrics = StageMetrics(name)
         result = fn()
+        mark_complete(out_path)
         if isinstance(result, dict):
             metrics.add("tints", sum(result.values()))
         elif isinstance(result, int):

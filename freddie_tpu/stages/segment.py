@@ -26,6 +26,7 @@ import numpy as np
 
 from ..config import SegmentConfig
 from ..io.tsv import SplitTint, format_segment_tsv, load_read_sequences, parse_split_tsv
+from ..utils.fsio import atomic_write
 from ..ops import signal as sig
 from ..ops.coverage import cumulative_coverage
 from ..ops.polya import annotate_gaps_and_polya
@@ -548,6 +549,6 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
         triples, finals
     ):
         out_path = os.path.join(outdir, contig, f"segment_{contig}_{tint_id}.tsv")
-        with open(out_path, "w") as f:
+        with atomic_write(out_path) as f:
             f.write(format_segment_tsv(work.tint, final_positions))
     return len(jobs)

@@ -27,6 +27,8 @@ def _walk(root):
     out = {}
     for r, _d, fns in os.walk(root):
         for fn in fns:
+            if fn.startswith("."):  # completion markers are infrastructure
+                continue
             p = os.path.join(r, fn)
             out[os.path.relpath(p, root)] = p
     return out

@@ -1,0 +1,130 @@
+"""Failure-detection / elastic-recovery behavior: crash-safe outputs and
+resume semantics (SURVEY.md §5 -- the reference delegates this to
+Snakemake's DAG; here the stage driver owns it)."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from freddie_tpu.config import ClusterConfig, PipelineConfig
+from freddie_tpu.stages.cluster import run_cluster
+from freddie_tpu.stages.pipeline import run_pipeline
+from freddie_tpu.utils.fsio import MARKER, atomic_write, is_complete
+from freddie_tpu.utils.sim import simulate
+
+
+@pytest.fixture(scope="module")
+def pipe(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fault")
+    sim = simulate(seed=13)
+    bam, fq = str(d / "r.bam"), str(d / "r.fastq")
+    sim.write_bam(bam)
+    sim.write_fastq(fq)
+    out = str(d / "out")
+    run_pipeline(bam, [fq], out, PipelineConfig(), log=lambda *_: None)
+    return bam, fq, out
+
+
+def test_atomic_write_crash_leaves_no_partial(tmp_path):
+    path = str(tmp_path / "x.tsv")
+    with pytest.raises(RuntimeError):
+        with atomic_write(path) as f:
+            f.write("half a row")
+            raise RuntimeError("crash mid-write")
+    assert not os.path.exists(path)
+    assert not os.path.exists(path + ".tmp")
+    with atomic_write(path) as f:
+        f.write("complete\n")
+    assert open(path).read() == "complete\n"
+
+
+def test_pipeline_stages_marked_complete(pipe):
+    _bam, _fq, out = pipe
+    for stage in ("split", "segment", "cluster"):
+        assert is_complete(os.path.join(out, stage)), stage
+    assert is_complete(os.path.join(out, "isoforms.gtf"))
+
+
+def test_resume_skips_complete_and_redoes_crashed_stage(pipe):
+    bam, fq, out = pipe
+    work = out + "_resume"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(out, work)
+    # Simulate a crash during cluster: marker missing + a stray partial.
+    os.remove(os.path.join(work, "cluster", MARKER))
+    stray = os.path.join(work, "cluster", "cluster_chr1_0.tsv.tmp")
+    with open(stray, "w") as f:
+        f.write("partial")
+    os.remove(os.path.join(work, "isoforms.gtf"))
+    logs = []
+    run_pipeline(bam, [fq], work, PipelineConfig(), resume=True,
+                 log=logs.append)
+    text = "\n".join(logs)
+    assert "split: complete, skipping" in text
+    assert "segment: complete, skipping" in text
+    assert "cluster: incomplete output, re-running" in text
+    assert not os.path.exists(stray)  # the crashed dir was rebuilt
+    assert is_complete(os.path.join(work, "cluster"))
+    # Deterministic stages: the re-run reproduces the original bytes.
+    for root, _dirs, fns in os.walk(os.path.join(out, "cluster")):
+        for fn in fns:
+            if fn == MARKER:
+                continue
+            a = os.path.join(root, fn)
+            b = a.replace(out, work, 1)
+            assert open(a).read() == open(b).read(), fn
+    assert (
+        open(os.path.join(work, "isoforms.gtf")).read()
+        == open(os.path.join(out, "isoforms.gtf")).read()
+    )
+
+
+def test_cluster_per_tint_resume_recomputes_only_missing(pipe, tmp_path):
+    _bam, _fq, out = pipe
+    seg_dir = os.path.join(out, "segment")
+    redo = str(tmp_path / "cluster_redo")
+    shutil.copytree(os.path.join(out, "cluster"), redo)
+    # Drop one tint's output; leave a stray .tmp from a "crash".
+    victims = []
+    for root, _dirs, fns in os.walk(redo):
+        for fn in sorted(fns):
+            if fn.startswith("cluster_") and fn.endswith(".tsv"):
+                victims.append(os.path.join(root, fn))
+    assert victims
+    os.remove(victims[0])
+    with open(victims[0] + ".tmp", "w") as f:
+        f.write("partial")
+    mtimes = {p: os.path.getmtime(p) for p in victims[1:]}
+    run_cluster(seg_dir, redo, ClusterConfig())
+    # Missing tint recomputed byte-identically; others untouched.
+    orig = victims[0].replace(redo, os.path.join(out, "cluster"), 1)
+    assert open(victims[0]).read() == open(orig).read()
+    for p, m in mtimes.items():
+        assert os.path.getmtime(p) == m, f"{p} was rewritten"
+
+
+def test_solver_timeout_routes_reads_to_garbage(pipe, monkeypatch):
+    """The reference's Gurobi TimeLimit -> non-OPTIMAL -> garbage semantics
+    (py/freddie_cluster.py:750-751,767-773): a solver that cannot prove
+    optimality must stop the round loop and recycle the partition."""
+    from freddie_tpu.io.tsv import parse_segment_tsv
+    from freddie_tpu.solver.exact import SolveResult
+    from freddie_tpu.stages import cluster as cl
+
+    _bam, _fq, out = pipe
+    seg_dir = os.path.join(out, "segment")
+    paths = []
+    for root, _dirs, fns in os.walk(seg_dir):
+        for fn in sorted(fns):
+            if fn.startswith("segment_"):
+                paths.append(os.path.join(root, fn))
+    tint = parse_segment_tsv(paths[0])
+    monkeypatch.setattr(
+        cl, "_solve",
+        lambda inst, deadline_s: SolveResult("TIMEOUT", 0.0, [], None),
+    )
+    isoforms, garbage = cl.cluster_tint(tint, ClusterConfig())
+    assert isoforms == []
+    assert sorted(garbage) == list(range(len(tint.read_reps)))
