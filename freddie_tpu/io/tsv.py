@@ -33,7 +33,7 @@ _IV_RE = re.compile(r"(\d+)-(\d+):(\d+)-(\d+):(.*)")
 # ---------------------------------------------------------------------- split
 
 
-@dataclass
+@dataclass(slots=True)
 class TintRead:
     id: int
     name: str
@@ -46,7 +46,7 @@ class TintRead:
     gaps: list = field(default_factory=list)
 
 
-@dataclass
+@dataclass(slots=True)
 class SplitTint:
     id: int
     chrom: str
@@ -222,7 +222,7 @@ _SOFTCLIP_GAP = re.compile(r"([ES]SC):(\d+),")
 _POLY_GAP = re.compile(r"([ES][AT])_(\d+):(\d+),")
 
 
-@dataclass
+@dataclass(slots=True)
 class SegRead:
     id: int
     name: str
@@ -238,7 +238,7 @@ class SegRead:
     partition: int = -1
 
 
-@dataclass
+@dataclass(slots=True)
 class SegTint:
     id: int
     chrom: str
