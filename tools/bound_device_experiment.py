@@ -61,6 +61,23 @@ def main():
         jax.config.update("jax_platforms", args.backend)
     import jax.numpy as jnp
 
+    # Claim watchdog (axon tunnel claims can wedge forever; see
+    # tools/warm_kernels.py): probe with a tiny op under a timer thread.
+    import threading
+
+    def _wedged():
+        sys.stderr.write("claim wedged\n")
+        sys.stderr.flush()
+        os._exit(3)
+
+    t = threading.Timer(
+        float(os.environ.get("FREDDIE_CLAIM_PROBE_S", "240")), _wedged
+    )
+    t.daemon = True
+    t.start()
+    _ = np.asarray(jnp.zeros((8, 8)).sum())
+    t.cancel()
+
     Mi = 64
 
     @jax.jit
