@@ -90,6 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("-o", "--outdir", required=True)
     pl.add_argument("--config", default=None, help="YAML pipeline config")
     pl.add_argument("--resume", action="store_true")
+    pl.add_argument("--protect", action="store_true",
+                    help="make completed stage outputs read-only "
+                         "(the reference Snakefile's protected())")
 
     wf = sub.add_parser("workflow", help="multi-sample config-driven run (Snakemake equivalent)")
     wf.add_argument("config", help="workflow YAML (outpath, samples, stages)")
@@ -171,7 +174,8 @@ def main(argv=None) -> int:
         from .stages.pipeline import run_pipeline
 
         cfg = PipelineConfig.from_yaml(args.config) if args.config else PipelineConfig()
-        run_pipeline(args.bam, args.reads, args.outdir, cfg, resume=args.resume)
+        run_pipeline(args.bam, args.reads, args.outdir, cfg,
+                     resume=args.resume, protect=args.protect)
     elif args.command == "workflow":
         from .stages.workflow import load_workflow_config, run_workflow
 

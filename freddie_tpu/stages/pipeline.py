@@ -22,8 +22,12 @@ def run_pipeline(
     outdir: str,
     cfg: PipelineConfig | None = None,
     resume: bool = False,
+    protect: bool = False,
     log=print,
 ) -> dict:
+    """protect=True makes each completed stage's outputs read-only (the
+    Snakefile's protected() analog, Snakefile:35-36,112): accidental
+    rewrites fail loudly; a forced re-run chmods them back first."""
     cfg = cfg or PipelineConfig()
     os.makedirs(outdir, exist_ok=True)
     split_dir = os.path.join(outdir, "split")
@@ -34,7 +38,7 @@ def run_pipeline(
 
     from ..utils.metrics import StageMetrics
 
-    from ..utils.fsio import is_complete, mark_complete
+    from ..utils.fsio import is_complete, mark_complete, set_writable
 
     def stage(name, out_path, fn):
         if os.path.exists(out_path):
@@ -44,11 +48,12 @@ def run_pipeline(
             # Snakemake semantics: a forced re-run -- or a resume over a
             # stage that crashed mid-write (no completion marker) --
             # removes the stale stage output first (rules own their
-            # output paths).
+            # output paths; protected outputs are made writable first).
             import shutil
 
             if resume:
                 log(f"[pipeline] {name}: incomplete output, re-running")
+            set_writable(out_path)
             if os.path.isdir(out_path):
                 shutil.rmtree(out_path)
             else:
@@ -56,6 +61,10 @@ def run_pipeline(
         metrics = StageMetrics(name)
         result = fn()
         mark_complete(out_path)
+        if protect:
+            from ..utils.fsio import protect_outputs
+
+            protect_outputs(out_path)
         if isinstance(result, dict):
             metrics.add("tints", sum(result.values()))
         elif isinstance(result, int):

@@ -55,3 +55,37 @@ def is_complete(out_path: str) -> bool:
     if os.path.isdir(out_path):
         return os.path.exists(os.path.join(out_path, MARKER))
     return os.path.exists(out_path)
+
+
+def protect_outputs(out_path: str) -> None:
+    """Make a completed stage's outputs read-only -- the reference
+    Snakefile's protected() analog (Snakefile:35-36,112). Directories
+    keep their execute/list bits; the completion marker stays writable
+    so resume logic can always manage it."""
+    import stat
+
+    def ro(p):
+        os.chmod(p, os.stat(p).st_mode & ~(stat.S_IWUSR | stat.S_IWGRP | stat.S_IWOTH))
+
+    if os.path.isdir(out_path):
+        for root, _dirs, fns in os.walk(out_path):
+            for fn in fns:
+                if fn != MARKER:
+                    ro(os.path.join(root, fn))
+    else:
+        ro(out_path)
+
+
+def set_writable(out_path: str) -> None:
+    """Undo protect_outputs before a forced re-run removes the outputs."""
+    import stat
+
+    def rw(p):
+        os.chmod(p, os.stat(p).st_mode | stat.S_IWUSR)
+
+    if os.path.isdir(out_path):
+        for root, _dirs, fns in os.walk(out_path):
+            for fn in fns:
+                rw(os.path.join(root, fn))
+    elif os.path.exists(out_path):
+        rw(out_path)

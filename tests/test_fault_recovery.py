@@ -128,3 +128,31 @@ def test_solver_timeout_routes_reads_to_garbage(pipe, monkeypatch):
     isoforms, garbage = cl.cluster_tint(tint, ClusterConfig())
     assert isoforms == []
     assert sorted(garbage) == list(range(len(tint.read_reps)))
+
+
+def test_protected_outputs(pipe, tmp_path):
+    """protect=True = the Snakefile's protected() analog: completed stage
+    outputs are read-only; a forced re-run restores writability. (Mode
+    bits are asserted directly -- root bypasses permission checks, so
+    PermissionError cannot be relied on in this container.)"""
+    import stat
+
+    bam, fq, _out = pipe
+    work = str(tmp_path / "prot")
+    run_pipeline(bam, [fq], work, PipelineConfig(), protect=True,
+                 log=lambda *_: None)
+    W = stat.S_IWUSR | stat.S_IWGRP | stat.S_IWOTH
+    victims = []
+    for root, _dirs, fns in os.walk(os.path.join(work, "cluster")):
+        for fn in fns:
+            if fn.endswith(".tsv"):
+                victims.append(os.path.join(root, fn))
+    assert victims
+    for v in victims:
+        assert os.stat(v).st_mode & W == 0, v
+    assert os.stat(os.path.join(work, "isoforms.gtf")).st_mode & W == 0
+    # Forced (non-resume) re-run succeeds over the protected outputs and
+    # re-protects the fresh ones.
+    run_pipeline(bam, [fq], work, PipelineConfig(), protect=True,
+                 log=lambda *_: None)
+    assert os.stat(os.path.join(work, "isoforms.gtf")).st_mode & W == 0
