@@ -170,12 +170,15 @@ def solve_round_native(
 
     Returns (kind, result): kind 'final' (result is the answer),
     'budget' (phase-1 BUDGET, closure declined on content -- caller
-    escalates with the incumbent in `result`), or 'closure_timeout'
-    (caller runs the LP proof / full search with the incumbent)."""
+    escalates with the incumbent in `result`), 'closure_timeout'
+    (caller runs the LP proof / full search with the incumbent), or
+    'closure_device' (closure built but N*K crosses the device-bounds
+    gate -- caller re-runs the closure escalation in Python, where the
+    bound evaluation goes to the batched XLA matmul)."""
     lib = _load()
     if lib is None or inst.exons_mat is None or inst.garbage_arr is None:
         return None
-    from .segenum import CLOSURE_CAP, CLOSURE_MAX_SEGS
+    from .segenum import BOUNDS_DEVICE_MIN, CLOSURE_CAP, CLOSURE_MAX_SEGS
 
     N, Mi = inst.exons_mat.shape
     if N == 0:
@@ -223,6 +226,7 @@ def solve_round_native(
         ctypes.c_int64(node_budget),
         ctypes.c_int64(CLOSURE_MAX_SEGS),
         ctypes.c_int64(CLOSURE_CAP),
+        ctypes.c_int64(BOUNDS_DEVICE_MIN),
         _ptr(out_assigned, ctypes.c_int32),
         ctypes.byref(out_n),
         ctypes.byref(out_obj),
@@ -248,7 +252,8 @@ def solve_round_native(
     incumbent = SolveResult(
         "BUDGET", out_obj.value, assigned, E, out_nodes.value
     )
-    return ("budget" if status == 2 else "closure_timeout"), incumbent
+    kinds = {2: "budget", 4: "closure_timeout", 5: "closure_device"}
+    return kinds[status], incumbent
 
 
 def _pack_segenum(inst: ClusterInstance, dtype=np.uint32):

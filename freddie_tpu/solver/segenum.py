@@ -58,6 +58,13 @@ WIDE_MAX_SEGS = 26  # device-assisted bound-filtered enumeration ceiling
 WIDE_CANDIDATE_CAP = 200_000  # filtered-mask budget for the wide path
 CLOSURE_MAX_SEGS = 64  # union-closure enumeration ceiling (u64 masks)
 CLOSURE_CAP = 100_000  # closure-size budget for the closure path
+# Above this many (reads x closure masks) the bound evaluation goes to a
+# batched XLA matmul (TPU when attached, XLA-CPU otherwise -- identical
+# exact values either way, so the gate stays content-only). Crossover
+# measured on the real chip (tools/bound_device_experiment.py): at
+# N=1000/K=20k the host loop costs ~0.1-1 s vs ~32 ms device incl. the
+# ~30 ms tunnel launch floor; below it the launch floor loses.
+BOUNDS_DEVICE_MIN = 20_000_000
 
 
 class _DfsTimeout(Exception):
@@ -385,6 +392,59 @@ def _solve_segment_enum_py(inst: ClusterInstance, deadline_s: float = 60.0) -> S
 DEVICE_SECONDS = [0.0]
 
 
+def _optimistic_masks_device(ctx: _PerStructure, masks: np.ndarray) -> np.ndarray:
+    """Per-mask optimistic bounds for an explicit mask list via two
+    batched (N, Mi) x (Mi, K) matmuls -- the device form of
+    _PerStructure.optimistic_block, bit-equal to it: 0/1 operands are
+    exact in the MXU's bf16 pass, f32 accumulation is exact because
+    every term is a multiple of 0.5 and every partial sum stays far
+    below 2**23 (reads <= 1500 x garbage <= 4500). Falls back to the
+    host loop if that magnitude guard ever fails."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    N = ctx.N
+    Mi = ctx.Mi
+    if ctx.g_total >= 2**22 or N == 0:  # exactness guard (never in practice)
+        out = np.empty(len(masks), dtype=np.float64)
+        for lo in range(0, len(masks), 1 << 12):
+            out[lo : lo + (1 << 12)] = ctx.optimistic_block(masks[lo : lo + (1 << 12)])
+        return out
+
+    def bits_of(words: np.ndarray) -> np.ndarray:
+        return (
+            (words[:, None] >> np.arange(Mi, dtype=np.uint64)[None, :]) & 1
+        ).astype(np.float32)
+
+    I_f = bits_of(ctx.I_int)
+    C_f = bits_of(ctx.C_int)
+    E_f = bits_of(np.asarray(masks, dtype=np.uint64))
+
+    @jax.jit
+    def bounds(I_f, C_f, g, E_f):
+        viol = I_f @ E_f.T  # popcount(I & E)
+        tot = jnp.sum(I_f, axis=1, keepdims=True)  # popcount(I)
+        subset_ok = viol == tot  # I subset of E  <=>  |I & E| == |I|
+        corr = C_f @ E_f.T
+        d = g[:, None] - corr
+        pos = jnp.where(subset_ok & (d > 0), d, 0.0)
+        return jnp.sum(g) - jnp.sum(pos, axis=0)
+
+    t0 = _time.perf_counter()
+    out = np.asarray(
+        bounds(
+            jnp.asarray(I_f),
+            jnp.asarray(C_f),
+            jnp.asarray(ctx.g.astype(np.float32)),
+            jnp.asarray(E_f),
+        )
+    ).astype(np.float64)
+    DEVICE_SECONDS[0] += _time.perf_counter() - t0
+    return out
+
+
 def _optimistic_device(inst: ClusterInstance, n_masks: int) -> np.ndarray:
     """Per-mask optimistic bounds via one jitted XLA scan (device when a
     TPU is attached, XLA-CPU otherwise). All quantities are exact in f32
@@ -553,10 +613,15 @@ def solve_segment_enum_closure(
         if len(closure) > CLOSURE_CAP:
             return None
     masks = closure  # np.unique output is already sorted
-    optimistic = np.empty(len(masks), dtype=np.float64)
-    block = 1 << 12
-    for lo in range(0, len(masks), block):
-        optimistic[lo : lo + block] = ctx.optimistic_block(masks[lo : lo + block])
+    if N * len(masks) >= BOUNDS_DEVICE_MIN:
+        # Big enough that the batched matmul bounds win (content-only
+        # gate; values bit-equal to the host loop on any backend).
+        optimistic = _optimistic_masks_device(ctx, masks)
+    else:
+        optimistic = np.empty(len(masks), dtype=np.float64)
+        block = 1 << 12
+        for lo in range(0, len(masks), block):
+            optimistic[lo : lo + block] = ctx.optimistic_block(masks[lo : lo + block])
     seed_gain = None
     if incumbent_cost is not None:
         keep = optimistic <= incumbent_cost + 1e-9

@@ -79,12 +79,18 @@ def solve_two_phase(inst: ClusterInstance, deadline_s: float = 60.0) -> SolveRes
         # 'closure_timeout': the closure replay hit the wall -- skip
         # straight to the LP proof / full search (the Python chain does
         # the same when closure_res is non-None and non-OPTIMAL).
-        return _escalate(
-            inst, res, t0, deadline_s, try_enum=(kind == "budget")
-        )
-    res = _solve_raw(inst, deadline_s, NODE_BUDGET)
-    if res.status != "BUDGET":
-        return res
+        # 'closure_device': N*closure crosses the device-bounds gate --
+        # run the Python closure escalation (its bound evaluation goes
+        # to the batched XLA matmul; values bit-equal, so the canonical
+        # result matches the all-native path).
+        if kind != "closure_device":
+            return _escalate(
+                inst, res, t0, deadline_s, try_enum=(kind == "budget")
+            )
+    else:
+        res = _solve_raw(inst, deadline_s, NODE_BUDGET)
+        if res.status != "BUDGET":
+            return res
     # Escalation 1a: enumerate the union closure of the reads' I-masks --
     # exactly the coverable structures, so the canonical answer equals
     # full enumeration's at ANY Mi (equivalence proof in

@@ -80,6 +80,12 @@ extern "C" {
 //   3  closure OPTIMAL                              -> result is final
 //   4  closure TIMEOUT                              -> caller runs the
 //      LP proof / full search with the returned phase-1 incumbent
+//   5  closure built but N*closure_size >= bounds_device_min: the bound
+//      evaluation is big enough that a batched device matmul wins
+//      (tools/bound_device_experiment.py crossover) -> caller re-runs
+//      the closure escalation in Python with device bounds (bit-equal
+//      values, so the canonical result is unchanged; the rebuild costs
+//      milliseconds against the saved bound time)
 // All read indices are RAW (caller order); sorting for the DFS happens
 // here (heaviest-garbage-first, then index -- solver/exact.py's order).
 int solve_round(
@@ -97,6 +103,8 @@ int solve_round(
     int64_t sc, int64_t eps, int64_t off,
     double deadline_s, int64_t node_budget,
     int64_t closure_max_segs, int64_t closure_cap,
+    int64_t bounds_device_min,  // N*closure_size gate; <=0 disables
+
     // outputs
     int32_t* out_assigned, int32_t* out_n, double* out_obj,
     uint64_t* out_E,  // [words]
@@ -212,6 +220,9 @@ int solve_round(
     closure.swap(merged);
     if ((int64_t)closure.size() > closure_cap) return 2;
   }
+  if (bounds_device_min > 0 &&
+      (int64_t)N * (int64_t)closure.size() >= bounds_device_min)
+    return 5;
 
   // Optimistic bound per closure mask: all subset-compatible positive-
   // profit reads assigned, ignoring gaps/conflicts/coverage. Exact

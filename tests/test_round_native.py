@@ -127,3 +127,41 @@ def test_round_native_empty_instance():
     inst.incomp = []
     kind, res = solve_round_native(inst, 60.0, 100)
     assert kind == "final" and res.status == "OPTIMAL" and res.objective == 0.0
+
+
+def test_device_bounds_match_host_and_gate_roundtrip(monkeypatch):
+    """The batched matmul bound evaluation must be bit-equal to the host
+    loop, and the closure_device escalation (C++ defers, Python re-runs
+    the closure with device bounds) must return exactly what the
+    all-native path returns."""
+    import freddie_tpu.solver.segenum as se
+    from freddie_tpu.solver.segenum import (
+        _PerStructure,
+        _optimistic_masks_device,
+    )
+
+    rng = np.random.default_rng(4242)
+    for _ in range(10):
+        N = int(rng.integers(2, 60))
+        M = int(rng.integers(2, 14))
+        inst = attach_flat(random_instance(rng, N, M))
+        ctx = _PerStructure(inst)
+        masks = np.unique(
+            rng.integers(0, 1 << M, size=200).astype(np.uint64)
+        )
+        want = ctx.optimistic_block(masks)
+        got = _optimistic_masks_device(ctx, masks)
+        assert np.array_equal(got, want)
+
+    # Round-trip: force the gate to 1 so every escalating instance takes
+    # the closure_device path; results must equal the ungated solve.
+    monkeypatch.setattr(tp, "NODE_BUDGET", 5)
+    for seed in range(6):
+        rng = np.random.default_rng(seed + 6400)
+        inst = attach_flat(random_instance(rng, int(rng.integers(6, 30)),
+                                           int(rng.integers(2, 12))))
+        want = tp.solve_two_phase(inst, 60.0)
+        monkeypatch.setattr(se, "BOUNDS_DEVICE_MIN", 1)
+        got = tp.solve_two_phase(inst, 60.0)
+        monkeypatch.setattr(se, "BOUNDS_DEVICE_MIN", 20_000_000)
+        assert_same(got, want)
