@@ -293,8 +293,11 @@ def best_poly_batch(windows: list[str], chars: list[str]):
                 if r is not None:
                     results[i] = r
             return
+        # Sort by window length BEFORE chunking so each chunk's grid pads
+        # to a tight per-chunk maximum instead of the global one.
+        rows = sorted(rows, key=lambda i: len(windows[i]))
         for lo in range(0, len(rows), 1024):  # bound the (B, Lmax) grids
-            chunk = sorted(rows[lo : lo + 1024], key=lambda i: len(windows[i]))
+            chunk = rows[lo : lo + 1024]
             Lmax = max(len(windows[i]) for i in chunk)
             lens_np = np.array([len(windows[i]) for i in chunk], dtype=np.int32)
             grid = np.zeros((len(chunk), Lmax), dtype=np.uint8)

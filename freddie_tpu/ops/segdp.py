@@ -371,6 +371,23 @@ def _get_jitted_pallas():
     return _jitted_cache["pallas"]
 
 
+def bucket_shape(n_cand: int, n_reps: int) -> tuple[int, int]:
+    """The padded (P, R) bucket a problem lands in. ONE definition shared
+    by the batch helper and the streaming stage driver, so the compiled
+    kernel-shape set (which tools/warm_kernels.py pre-warms and
+    dryrun_multichip rehearses) cannot silently diverge between them.
+    Coarse edges keep the shape count small; past the last edge, round
+    up by the step."""
+
+    def edge(x, edges, step):
+        for e in edges:
+            if x <= e:
+                return e
+        return ((x + step - 1) // step) * step
+
+    return edge(n_cand, (16, 32, 64), 32), edge(n_reps, (128, 512, 1536), 512)
+
+
 def suggested_batch_size(P: int, R: int, budget_bytes: int = 4 << 30) -> int:
     """Batch size keeping the (B,P,P,R) intermediates within budget."""
     per_problem = P * P * R * 4 * 6 + P * P * P * 4
@@ -387,8 +404,9 @@ def dispatch_batch_device(
 ):
     """Launch a padded batch on the device WITHOUT waiting for it.
 
-    Returns (handles, work, results): `handles` is (K, best_j, best_k) as
-    device arrays (or None when every problem was solved inline on the
+    Returns (handles, work, results): `handles` is the (B, P+2) int32
+    device array of -1-terminated breakpoint chains (walked ON device by
+    _walk_chains; None when every problem was solved inline on the
     host), `work` the indices launched, `results` the partially-filled
     output list. collect_batch_device() finishes the job. Splitting
     dispatch from collection lets the stage put EVERY bucket's launch in

@@ -390,6 +390,7 @@ def _solve_segment_enum_py(inst: ClusterInstance, deadline_s: float = 60.0) -> S
 # Wall seconds spent in device bound evaluation (the cluster stage's only
 # accelerator use after consolidation); bench.py reports the fraction.
 DEVICE_SECONDS = [0.0]
+_bounds_jit: dict = {}
 
 
 def _optimistic_masks_device(ctx: _PerStructure, masks: np.ndarray) -> np.ndarray:
@@ -422,15 +423,23 @@ def _optimistic_masks_device(ctx: _PerStructure, masks: np.ndarray) -> np.ndarra
     C_f = bits_of(ctx.C_int)
     E_f = bits_of(np.asarray(masks, dtype=np.uint64))
 
-    @jax.jit
-    def bounds(I_f, C_f, g, E_f):
-        viol = I_f @ E_f.T  # popcount(I & E)
-        tot = jnp.sum(I_f, axis=1, keepdims=True)  # popcount(I)
-        subset_ok = viol == tot  # I subset of E  <=>  |I & E| == |I|
-        corr = C_f @ E_f.T
-        d = g[:, None] - corr
-        pos = jnp.where(subset_ok & (d > 0), d, 0.0)
-        return jnp.sum(g) - jnp.sum(pos, axis=0)
+    # One module-level jitted function (jax.jit caches per function
+    # OBJECT): re-creating the closure per call would re-trace -- and on
+    # a compile-cache miss recompile -- every invocation, eating the
+    # device win the gate is predicated on.
+    if "bounds" not in _bounds_jit:
+
+        def bounds(I_f, C_f, g, E_f):
+            viol = I_f @ E_f.T  # popcount(I & E)
+            tot = jnp.sum(I_f, axis=1, keepdims=True)  # popcount(I)
+            subset_ok = viol == tot  # I subset of E <=> |I & E| == |I|
+            corr = C_f @ E_f.T
+            d = g[:, None] - corr
+            pos = jnp.where(subset_ok & (d > 0), d, 0.0)
+            return jnp.sum(g) - jnp.sum(pos, axis=0)
+
+        _bounds_jit["bounds"] = jax.jit(bounds)
+    bounds = _bounds_jit["bounds"]
 
     t0 = _time.perf_counter()
     out = np.asarray(

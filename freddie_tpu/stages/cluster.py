@@ -506,6 +506,12 @@ def run_cluster(segment_dir: str, outdir: str, cfg: ClusterConfig | None = None,
         if not os.path.isdir(cdir):
             continue
         os.makedirs(os.path.join(outdir, contig), exist_ok=True)
+        # Sweep stray .tmp files from a crashed previous run (atomic
+        # writes never publish them; they are just disk litter).
+        out_cdir = os.path.join(outdir, contig)
+        for fn in os.listdir(out_cdir):
+            if fn.endswith(".tmp"):
+                os.remove(os.path.join(out_cdir, fn))
         for fn in sorted(os.listdir(cdir)):
             if not (fn.startswith("segment_") and fn.endswith(".tsv")):
                 continue

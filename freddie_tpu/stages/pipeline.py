@@ -40,24 +40,33 @@ def run_pipeline(
 
     from ..utils.fsio import is_complete, mark_complete, set_writable
 
-    def stage(name, out_path, fn):
+    def stage(name, out_path, fn, incremental=False):
         if os.path.exists(out_path):
             if resume and is_complete(out_path):
                 log(f"[pipeline] {name}: complete, skipping")
                 return None
-            # Snakemake semantics: a forced re-run -- or a resume over a
-            # stage that crashed mid-write (no completion marker) --
-            # removes the stale stage output first (rules own their
-            # output paths; protected outputs are made writable first).
             import shutil
 
-            if resume:
-                log(f"[pipeline] {name}: incomplete output, re-running")
-            set_writable(out_path)
-            if os.path.isdir(out_path):
-                shutil.rmtree(out_path)
+            if resume and incremental:
+                # The stage's per-tint writes are atomic (and cluster
+                # skips already-written tints), so a crashed run's
+                # partial directory is salvageable: re-run IN PLACE
+                # instead of discarding completed work.
+                log(f"[pipeline] {name}: incomplete output, resuming in place")
+                set_writable(out_path)
             else:
-                os.remove(out_path)
+                # Snakemake semantics: a forced re-run -- or a resume
+                # over a non-incremental stage that crashed mid-write
+                # (no completion marker) -- removes the stale output
+                # first (rules own their output paths; protected
+                # outputs are made writable first).
+                if resume:
+                    log(f"[pipeline] {name}: incomplete output, re-running")
+                set_writable(out_path)
+                if os.path.isdir(out_path):
+                    shutil.rmtree(out_path)
+                else:
+                    os.remove(out_path)
         metrics = StageMetrics(name)
         result = fn()
         mark_complete(out_path)
@@ -73,9 +82,16 @@ def run_pipeline(
         log(f"[pipeline] {name}: done in {stats[name]['seconds']:.2f}s ({result})")
         return result
 
+    # split demands fresh contig dirs (exist_ok=False, faithful to the
+    # reference); segment overwrites atomically and cluster additionally
+    # skips already-complete tints, so both resume in place.
     stage("split", split_dir, lambda: run_split(bam, reads, split_dir, cfg.split))
-    stage("segment", segment_dir, lambda: run_segment(split_dir, segment_dir, cfg.segment))
-    stage("cluster", cluster_dir, lambda: run_cluster(segment_dir, cluster_dir, cfg.cluster))
+    stage("segment", segment_dir,
+          lambda: run_segment(split_dir, segment_dir, cfg.segment),
+          incremental=True)
+    stage("cluster", cluster_dir,
+          lambda: run_cluster(segment_dir, cluster_dir, cfg.cluster),
+          incremental=True)
     stage(
         "isoforms",
         gtf_path,

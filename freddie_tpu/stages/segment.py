@@ -32,6 +32,7 @@ from ..ops.coverage import cumulative_coverage
 from ..ops.polya import annotate_gaps_and_polya
 from ..ops.segdp import (
     DPProblem,
+    bucket_shape,
     collect_batch_device,
     dispatch_batch_device,
     solve_host,
@@ -205,27 +206,15 @@ def solve_problems(problems: list[DPProblem], cfg: SegmentConfig, thr: ScaledThr
     if total_work < 5_000_000:  # ~a handful of small problems
         return [solve_host(p, thr) for p in problems]
     results: list[list[int] | None] = [None] * len(problems)
-    # Bucket by padded (P, R). Bucket edges are coarse so the number of
-    # compiled kernel shapes stays small (compilation is expensive on
-    # remote-compile backends); the persistent JAX cache then makes them
-    # one-time costs.
+    # Bucket by padded (P, R) -- ops.segdp.bucket_shape, the single
+    # definition shared with the streaming driver so the compiled
+    # kernel-shape set stays identical everywhere.
     buckets: dict[tuple[int, int], list[int]] = {}
-
-    def bucket_of(x, edges, step):
-        for e in edges:
-            if x <= e:
-                return e
-        return ((x + step - 1) // step) * step
-
     for i, p in enumerate(problems):
         if len(p.y) <= 2:
             results[i] = []
             continue
-        key = (
-            bucket_of(len(p.y), (16, 32, 64), 32),
-            bucket_of(p.C.shape[1], (128, 512, 1536), 512),
-        )
-        buckets.setdefault(key, []).append(i)
+        buckets.setdefault(bucket_shape(len(p.y), p.C.shape[1]), []).append(i)
     # Dispatch EVERY bucket's launches before the first readback: device
     # dispatch is async, so on remote-attached backends the per-launch
     # round-trip latency overlaps across launches instead of serializing
@@ -390,12 +379,6 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
     total_work = 0  # cumulative DP cost seen so far (device-worth gate)
     device_on = False
 
-    def bucket_of(x, edges, step):
-        for e in edges:
-            if x <= e:
-                return e
-        return ((x + step - 1) // step) * step
-
     full_chunks: set = set()  # buckets that dispatched a full chunk
 
     def chunk_size(P, R):
@@ -441,10 +424,7 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
                     solutions[gid] = []
                     continue
                 total_work += len(p.y) ** 3 * p.C.shape[1]
-                key = (
-                    bucket_of(len(p.y), (16, 32, 64), 32),
-                    bucket_of(p.C.shape[1], (128, 512, 1536), 512),
-                )
+                key = bucket_shape(len(p.y), p.C.shape[1])
                 buckets.setdefault(key, []).append(gid)
             if not device_on and cfg.use_device and total_work >= DEVICE_MIN_WORK:
                 device_on = True

@@ -54,18 +54,29 @@ def test_resume_skips_complete_and_redoes_crashed_stage(pipe):
     shutil.copytree(out, work)
     # Simulate a crash during cluster: marker missing + a stray partial.
     os.remove(os.path.join(work, "cluster", MARKER))
-    stray = os.path.join(work, "cluster", "cluster_chr1_0.tsv.tmp")
+    stray = os.path.join(work, "cluster", "chr1", "cluster_chr1_0.tsv.tmp")
     with open(stray, "w") as f:
         f.write("partial")
     os.remove(os.path.join(work, "isoforms.gtf"))
+    kept = {}
+    for root, _dirs, fns in os.walk(os.path.join(work, "cluster")):
+        for fn in fns:
+            if fn.endswith(".tsv"):
+                p = os.path.join(root, fn)
+                kept[p] = os.path.getmtime(p)
     logs = []
     run_pipeline(bam, [fq], work, PipelineConfig(), resume=True,
                  log=logs.append)
+    for p, m in kept.items():  # completed tints were reused, not redone
+        assert os.path.getmtime(p) == m, p
     text = "\n".join(logs)
     assert "split: complete, skipping" in text
     assert "segment: complete, skipping" in text
-    assert "cluster: incomplete output, re-running" in text
-    assert not os.path.exists(stray)  # the crashed dir was rebuilt
+    # Cluster's per-tint writes are atomic and already-written tints are
+    # skipped, so the crashed stage resumes IN PLACE (completed tints
+    # are not thrown away) and stray temp files are swept.
+    assert "cluster: incomplete output, resuming in place" in text
+    assert not os.path.exists(stray)
     assert is_complete(os.path.join(work, "cluster"))
     # Deterministic stages: the re-run reproduces the original bytes.
     for root, _dirs, fns in os.walk(os.path.join(out, "cluster")):

@@ -35,10 +35,15 @@ DEFAULT_SHAPES = [
 # warming goes through ops.segdp.dispatch_batch_device so the exact
 # production executable lands in the cache.
 DEFAULT_PROD_SHAPES = [
-    (512, 16, 512),
-    (64, 32, 512),
-    (64, 64, 512),
-    (512, 16, 128),
+    (512, 16, 512, 0),
+    (64, 32, 512, 0),
+    (64, 64, 512, 0),
+    (512, 16, 128, 0),
+    # int32-coverage variants (coverage > 32,767 bases ships as int32;
+    # a distinct executable that must be warmed too).
+    (512, 16, 512, 1),
+    (64, 32, 512, 1),
+    (64, 64, 512, 1),
 ]
 
 # (padded_rows, window_len) buckets of the polyA scan: the full shape
@@ -108,12 +113,16 @@ _t.cancel()
 from freddie_tpu.ops.segdp import DPProblem, collect_batch_device, dispatch_batch_device
 from freddie_tpu.ops.thresholds import ScaledThresholds
 
-B, P, R = @SHAPE@
+B, P, R, wide_c = @SHAPE@
 thr = ScaledThresholds(0.9)
 rng = np.random.default_rng(0)
+# wide_c=1 forces coverage values past int16, warming the int32-input
+# executable variant (long reads can exceed 32,767 covered bases; the
+# dispatcher ships int16 only when every value fits).
+base = 40_000 if wide_c else 0
 problems = [
     DPProblem(
-        C=np.cumsum(rng.integers(0, 3, (P, R)), axis=0).astype(np.int64),
+        C=base + np.cumsum(rng.integers(0, 3, (P, R)), axis=0).astype(np.int64),
         y=np.cumsum(rng.integers(100, 200, P)).astype(np.int64),
         W=np.ones(R, dtype=np.int64),
         read_support=3,
@@ -123,7 +132,7 @@ problems = [
 t0 = time.perf_counter()
 handles, work, res = dispatch_batch_device(problems, thr, pad_p_to=P, pad_r_to=R)
 collect_batch_device(handles, work, res)
-print(f"warm prod B={B} P={P} R={R}: {time.perf_counter() - t0:.0f}s",
+print(f"warm prod B={B} P={P} R={R} wide_c={wide_c}: {time.perf_counter() - t0:.0f}s",
       flush=True)
 """
 
@@ -165,8 +174,8 @@ def main():
             jobs.append((POLYA_CHILD, (int(b), int(l))))
             continue
         if arg.startswith("prod:"):
-            b, p, r = arg[len("prod:"):].split(",")
-            jobs.append((PROD_CHILD, (int(b), int(p), int(r))))
+            parts = [int(x) for x in arg[len("prod:"):].split(",")]
+            jobs.append((PROD_CHILD, tuple(parts + [0] * (4 - len(parts)))))
             continue
         parts = [int(x) for x in arg.split(",")]
         jobs.append((CHILD, tuple(parts + [0] * (4 - len(parts)))))
