@@ -106,6 +106,12 @@ class PipelineConfig:
     segment: SegmentConfig = dataclasses.field(default_factory=SegmentConfig)
     cluster: ClusterConfig = dataclasses.field(default_factory=ClusterConfig)
     isoforms: IsoformsConfig = dataclasses.field(default_factory=IsoformsConfig)
+    # Per-stage retry budget (the Snakemake scheduler's rule-retry
+    # analog): a stage raising an exception is cleaned up and re-run up
+    # to this many extra times before the pipeline fails. Transient
+    # faults (OOM-killed worker pools, remote-accelerator hiccups) pass;
+    # deterministic bugs still fail fast with the last traceback.
+    retries: int = 0
 
     @staticmethod
     def from_yaml(path: str) -> "PipelineConfig":

@@ -68,7 +68,24 @@ def run_pipeline(
                 else:
                     os.remove(out_path)
         metrics = StageMetrics(name)
-        result = fn()
+        for attempt in range(cfg.retries + 1):
+            try:
+                result = fn()
+                break
+            except Exception:
+                if attempt == cfg.retries:
+                    raise
+                log(f"[pipeline] {name}: attempt {attempt + 1} failed; retrying")
+                # Clean slate for the retry unless the stage resumes
+                # incrementally (atomic per-tint outputs survive).
+                if not incremental and os.path.exists(out_path):
+                    import shutil
+
+                    set_writable(out_path)
+                    if os.path.isdir(out_path):
+                        shutil.rmtree(out_path)
+                    else:
+                        os.remove(out_path)
         mark_complete(out_path)
         if protect:
             from ..utils.fsio import protect_outputs

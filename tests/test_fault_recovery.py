@@ -167,3 +167,38 @@ def test_protected_outputs(pipe, tmp_path):
     run_pipeline(bam, [fq], work, PipelineConfig(), protect=True,
                  log=lambda *_: None)
     assert os.stat(os.path.join(work, "isoforms.gtf")).st_mode & W == 0
+
+
+def test_stage_retry_orchestration(pipe, tmp_path, monkeypatch):
+    """cfg.retries re-runs a stage that raises (the Snakemake scheduler's
+    rule-retry analog): a transiently failing segment stage succeeds on
+    the second attempt and the pipeline completes normally; with
+    retries=0 the same fault propagates."""
+    from freddie_tpu.stages import pipeline as pl
+
+    bam, fq, out = pipe
+    calls = {"n": 0}
+    real = pl.run_segment
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("transient fault injected")
+        return real(*a, **k)
+
+    monkeypatch.setattr(pl, "run_segment", flaky)
+    work = str(tmp_path / "retry")
+    logs = []
+    stats = run_pipeline(bam, [fq], work, PipelineConfig(retries=1),
+                         log=logs.append)
+    assert calls["n"] == 2
+    assert any("segment: attempt 1 failed; retrying" in l for l in logs)
+    assert (
+        open(os.path.join(work, "isoforms.gtf")).read()
+        == open(os.path.join(out, "isoforms.gtf")).read()
+    )
+
+    calls["n"] = 0
+    with pytest.raises(OSError):
+        run_pipeline(bam, [fq], str(tmp_path / "retry0"), PipelineConfig(),
+                     log=lambda *_: None)
