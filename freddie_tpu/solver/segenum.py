@@ -154,6 +154,31 @@ class _PerStructure:
         self.conflict[inc[:, 1], inc[:, 0]] = True
         self.any_conflict = bool(len(inc))
 
+    def _global_cliques(self) -> np.ndarray:
+        """Greedy first-fit clique cover of the conflict graph in read
+        order (twin of the identical construction in native/segenum.cpp's
+        run_enum); cached. Only built when conflicts exist."""
+        got = getattr(self, "_gclique", None)
+        if got is not None:
+            return got
+        N = self.N
+        clique_of = np.zeros(N, dtype=np.int64)
+        members: list[np.ndarray] = []
+        for i in range(N):
+            crow = self.conflict[i]
+            placed = -1
+            for k, m in enumerate(members):
+                if not (m & ~crow).any():
+                    placed = k
+                    break
+            if placed < 0:
+                placed = len(members)
+                members.append(np.zeros(N, dtype=bool))
+            clique_of[i] = placed
+            members[placed][i] = True
+        self._gclique = clique_of
+        return clique_of
+
     def optimistic_block(self, E_blk: np.ndarray) -> np.ndarray:
         """Lower bound per structure: all positive-profit subset-compatible
         reads assigned, ignoring gap windows, conflicts and coverage
@@ -198,6 +223,23 @@ class _PerStructure:
             return None, None
         # coverage requirement: union of chosen I must equal E
         d = self.g[cand] - _popcount_u64(self.C_int[cand] & np.uint64(E))
+        if self.any_conflict and floor_gain is not None and len(cand):
+            # Fused tight-bound early skip (twin of native/segenum.cpp's
+            # run_enum): at most one positive profit per global conflict
+            # clique among the (already gap-filtered) candidates is an
+            # admissible gain bound; at-or-below the floor, no assignment
+            # here can strictly improve (same argument as the DFS floor),
+            # so the conflict setup and the DFS are skipped.
+            pos = d > 0
+            if pos.any():
+                cl = self._global_cliques()[cand[pos]]
+                cmax = np.zeros(int(cl.max()) + 1, dtype=np.float64)
+                np.maximum.at(cmax, cl, d[pos])
+                gain_bound = float(cmax.sum())
+            else:
+                gain_bound = 0.0
+            if gain_bound <= floor_gain:
+                return None, None
         # order candidates by descending profit, then index (deterministic)
         perm = np.lexsort((cand, -d))
         sub_order = cand[perm]

@@ -171,6 +171,42 @@ int freddie_run_enum(
   uint64_t best_E = 0;
   std::vector<int> best_S;
 
+  // Global greedy first-fit clique cover of the conflict graph (read
+  // order): any clique's members mutually conflict, so at most one can
+  // be assigned for ANY structure. Per mask, granting one positive
+  // profit per clique (subset-compatible reads only, gaps ignored --
+  // dropping constraints only loosens it) is a TIGHTER admissible bound
+  // than the loose `order_opt`; masks it already rules out skip the
+  // O(|cand|^2) conflict setup and the DFS entirely. Skipping such a
+  // mask cannot change the canonical result: its true cost >= the
+  // bound >= best_cost, and incumbent updates are strict. Built only
+  // when conflicts exist (without them the bound equals order_opt).
+  std::vector<int32_t> gclique(n_reads, 0);
+  int n_gcliques = 0;
+  if (n_incomp > 0) {
+    std::vector<std::vector<uint64_t>> members;
+    for (int i = 0; i < n_reads; ++i) {
+      const uint64_t* crow = conflict.data() + (size_t)i * rw;
+      int placed = -1;
+      for (size_t k = 0; k < members.size(); ++k) {
+        bool subset = true;
+        for (int w = 0; w < rw; ++w)
+          if (members[k][w] & ~crow[w]) { subset = false; break; }
+        if (subset) { placed = (int)k; break; }
+      }
+      if (placed < 0) {
+        placed = (int)members.size();
+        members.emplace_back(rw, 0);
+      }
+      gclique[i] = placed;
+      members[placed][i >> 6] |= 1ull << (i & 63);
+    }
+    n_gcliques = (int)members.size();
+  }
+  std::vector<double> gclique_max(std::max(n_gcliques, 1), 0.0);
+  std::vector<int64_t> gclique_epoch(std::max(n_gcliques, 1), -1);
+  int64_t g_epoch = 0;
+
   std::vector<int> cand;
   std::vector<double> cand_delta;
   std::vector<int> sub_all;   // candidate read indices, profit-ordered
@@ -209,6 +245,32 @@ int freddie_run_enum(
       cand.push_back(i);
     }
     if (E && cand.empty()) continue;
+
+    if (n_incomp > 0) {
+      // Fused tight-bound early skip: the candidate deltas are already
+      // in hand, so granting at most one positive profit per global
+      // conflict clique (see the cover comment above) costs one O(|cand|)
+      // pass and is admissible over the FILTERED candidates (assignable
+      // reads are exactly these). When the bound cannot beat the floor
+      // (the strict-update incumbent or the external seed), the
+      // O(|cand|^2) conflict setup and the DFS are skipped -- the
+      // canonical result is unchanged by the floor argument.
+      ++g_epoch;
+      double gain_bound = 0.0;
+      for (int i : cand) {
+        double d = cand_delta[i];
+        if (d <= 0) continue;
+        int k = gclique[i];
+        double prev = (gclique_epoch[k] == g_epoch) ? gclique_max[k] : 0.0;
+        if (d > prev) {
+          gain_bound += d - prev;
+          gclique_max[k] = d;
+          gclique_epoch[k] = g_epoch;
+        }
+      }
+      const double floor_gain = std::max(g_total - best_cost, seed_gain);
+      if (gain_bound <= floor_gain) continue;
+    }
 
     // Profit-descending, then index (stable on exact doubles).
     sub_all = cand;
