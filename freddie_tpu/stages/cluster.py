@@ -52,6 +52,14 @@ class IlpData:
     FL: list[tuple[int, int]]
     garbage: list[float]
     gaps: list[dict]  # per rep: {(j1, j2): l} including virtual tail gaps
+    # Flat per-tint gap arrays (rep-major, dict order within a rep):
+    # the same data as `gaps`, pre-flattened once so build_instance's
+    # per-round packaging is pure index arithmetic instead of Python
+    # dict loops.
+    gap_rep: np.ndarray = None  # (G,) int64 rep index
+    gap_j1: np.ndarray = None  # (G,) int64
+    gap_j2: np.ndarray = None  # (G,) int64
+    gap_l: np.ndarray = None  # (G,) int64
 
 
 def first_last_covered(I_row: list[int]) -> tuple[int, int]:
@@ -108,12 +116,22 @@ def preprocess(tint: SegTint, cfg: ClusterConfig) -> IlpData:
             tint.reads[ridx].poly_tail_category = category
             tint.reads[ridx].gaps = rep_gaps
     shape = (len(I), M)
+    flat = [
+        (k, j1, j2, l)
+        for k, rep_gaps in enumerate(gaps)
+        for (j1, j2), l in rep_gaps.items()
+    ]
+    ga = np.array(flat, dtype=np.int64).reshape(-1, 4)
     return IlpData(
         I=np.array(I, dtype=np.uint8).reshape(shape),
         C=np.array(C, dtype=np.uint8).reshape(shape),
         FL=FL,
         garbage=garbage,
         gaps=gaps,
+        gap_rep=ga[:, 0],
+        gap_j1=ga[:, 1],
+        gap_j2=ga[:, 2],
+        gap_l=ga[:, 3],
     )
 
 
@@ -341,30 +359,26 @@ def build_instance(
     # Informative-column slices for the whole round at once.
     sub_I = ilp.I[remaining][:, inf_idx] == 1  # (n, Mi)
     sub_C = ilp.C[remaining][:, inf_idx] == 1
-    # One batched searchsorted maps every gap's (j1, j2) to the slice of
-    # informative columns strictly between them.
-    gap_owner: list[int] = []
-    j1s: list[int] = []
-    j2s: list[int] = []
-    lens: list[int] = []
-    for k, i in enumerate(remaining):
-        for (j1, j2), l in ilp.gaps[i].items():
-            gap_owner.append(k)
-            j1s.append(j1)
-            j2s.append(j2)
-            lens.append(l)
-    if gap_owner:
-        los = np.searchsorted(inf_idx, np.asarray(j1s) + 1)
-        his = np.searchsorted(inf_idx, np.asarray(j2s))
-    else:
-        los = his = np.zeros(0, dtype=np.int64)
+    pos_map = np.full(ilp.I.shape[0], -1, dtype=np.int64)
+    pos_map[np.asarray(remaining, dtype=np.int64)] = np.arange(len(remaining))
+    # Gaps of the remaining reps straight from the per-tint flat arrays
+    # (pre-flattened in preprocess): pure index arithmetic, no Python
+    # dict loops. Partitions concatenate unique-group members, so
+    # `remaining` need not be ascending -- a stable sort by round
+    # position restores the row-major order the solver ABI requires
+    # (and preserves each rep's dict order within its row).
+    k_of = pos_map[ilp.gap_rep]
+    gsel = np.flatnonzero(k_of >= 0)
+    gsel = gsel[np.argsort(k_of[gsel], kind="stable")]
+    gap_owner = k_of[gsel]
+    lens = ilp.gap_l[gsel]
+    los = np.searchsorted(inf_idx, ilp.gap_j1[gsel] + 1)
+    his = np.searchsorted(inf_idx, ilp.gap_j2[gsel])
     # Re-index surviving incompatible pairs into round positions. The
     # construction in partition_reads never emits duplicates, and every
     # solver consumes the pairs as an (unordered) constraint set, so no
     # dedup pass is needed.
     inc = np.asarray(incomp, dtype=np.int64).reshape(-1, 2)
-    pos_map = np.full(ilp.I.shape[0], -1, dtype=np.int64)
-    pos_map[np.asarray(remaining, dtype=np.int64)] = np.arange(len(remaining))
     pa = pos_map[inc[:, 0]]
     pb = pos_map[inc[:, 1]]
     keep = (pa >= 0) & (pb >= 0)
