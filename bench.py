@@ -467,6 +467,7 @@ def main():
         kernel_tflops=stats["kernel_tflops"],
         backend=stats["backend"],
         scaling_efficiency=scaling["value"] if scaling else None,
+        scaling_at_mesh=scaling.get("at_mesh") if scaling else None,
         scaling_per_mesh=scaling["per_mesh"] if scaling else None,
         **recovery,
     )

@@ -77,13 +77,22 @@ def main():
         results[nd] = B * R / dt
 
     base = results[sizes[0]] / sizes[0]
-    eff = results[sizes[-1]] / (sizes[-1] * base)
+    # Headline efficiency at the largest mesh the PHYSICAL cores can
+    # time-share meaningfully: on an N-core host, an M-virtual-device
+    # mesh with M > N measures core oversubscription, not the sharded
+    # program (a real M-chip slice runs each shard on its own chip).
+    # per_mesh still reports every size measured.
+    phys = os.cpu_count() or 1
+    meaningful = [n for n in sizes if n <= phys] or sizes[:1]
+    head = meaningful[-1]
+    eff = results[head] / (head * base)
     print(
         json.dumps(
             dict(
                 metric="segdp_scaling_efficiency",
                 value=round(eff, 3),
                 unit="fraction",
+                at_mesh=head,
                 per_mesh={str(k): round(v) for k, v in results.items()},
             )
         )
