@@ -301,6 +301,54 @@ def run_isoforms_stage(workdir, truth, reachable=None):
     return out
 
 
+def mild_recovery(workdir):
+    """End-to-end recovery on the suite's MILD config (the
+    tests/test_many_loci.py simulation: jitter 4, no alt splicing, no big
+    deletions) -- surfacing the '>= 0.85 on milder configs' claim as a
+    measured bench field instead of a comment. The headline dataset stays
+    the deliberately harsh one."""
+    from freddie_tpu.config import PipelineConfig
+    from freddie_tpu.stages.pipeline import run_pipeline
+    from freddie_tpu.utils.sim import simulate
+
+    d = os.path.join(workdir, "mild")
+    os.makedirs(d, exist_ok=True)
+    sim = simulate(seed=11, n_genes=40, isoforms_per_gene=3,
+                   reads_per_isoform=80, end_jitter=20, indel_rate=0.05,
+                   junction_jitter=4)
+    bam, fq = os.path.join(d, "r.bam"), os.path.join(d, "r.fastq")
+    sim.write_bam(bam)
+    sim.write_fastq(fq)
+    run_pipeline(bam, [fq], os.path.join(d, "out"), PipelineConfig(),
+                 log=lambda *_: None)
+    want = {tuple(tr.exons) for tr in sim.transcripts}
+    got, cur = set(), []
+    for l in open(os.path.join(d, "out", "isoforms.gtf")):
+        f = l.split("\t")
+        if f[2] == "transcript":
+            if cur:
+                got.add(tuple(cur))
+            cur = []
+        else:
+            cur.append((int(f[3]), int(f[4])))
+    if cur:
+        got.add(tuple(cur))
+
+    def matches(t, g, internal_tol=10, end_tol=40):
+        if len(t) != len(g):
+            return False
+        tb = [b for ex in t for b in ex]
+        gb = [b for ex in g for b in ex]
+        for i, (a, b) in enumerate(zip(tb, gb)):
+            tol = end_tol if i in (0, len(tb) - 1) else internal_tol
+            if abs(a - b) > tol:
+                return False
+        return True
+
+    rec = sum(1 for t in want if any(matches(t, g) for g in got))
+    return round(rec / max(len(want), 1), 3)
+
+
 def segments_identical(a_dir, b_dir) -> bool:
     import filecmp
     import glob
@@ -433,6 +481,10 @@ def main():
 
     n_cluster, cluster_dt, cluster_t_min, cluster_dev_s = run_cluster_stage(workdir)
     recovery = run_isoforms_stage(workdir, truth, reachable)
+    try:
+        recovery["recovery_rate_mild"] = mild_recovery(workdir)
+    except Exception:
+        recovery["recovery_rate_mild"] = None
 
     # Headline: steady-state (hot) throughput -- the production workflow
     # runner processes many samples per process, amortizing the one-time
