@@ -481,10 +481,20 @@ def main():
 
     n_cluster, cluster_dt, cluster_t_min, cluster_dev_s = run_cluster_stage(workdir)
     recovery = run_isoforms_stage(workdir, truth, reachable)
+    # Mild-config recovery in a CPU-pinned child: the parent must never
+    # initialize the axon platform (single-claim chip, wedging claims).
+    recovery["recovery_rate_mild"] = None
     try:
-        recovery["recovery_rate_mild"] = mild_recovery(workdir)
+        child = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--mild-child", workdir],
+            capture_output=True, text=True, timeout=900,
+        )
+        for line in child.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                recovery["recovery_rate_mild"] = json.loads(line)["recovery_rate_mild"]
     except Exception:
-        recovery["recovery_rate_mild"] = None
+        pass
 
     # Headline: steady-state (hot) throughput -- the production workflow
     # runner processes many samples per process, amortizing the one-time
@@ -550,5 +560,11 @@ if __name__ == "__main__":
         out_name = "segment_cpu" if "--alt-out" in sys.argv[4:] else "segment"
         tpu_child(sys.argv[2], sys.argv[3],
                   force_cpu="--cpu" in sys.argv[4:], out_name=out_name)
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--mild-child":
+        sys.path.insert(0, REPO)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        print(json.dumps({"recovery_rate_mild": mild_recovery(sys.argv[2])}))
     else:
         main()
