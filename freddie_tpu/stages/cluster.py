@@ -478,6 +478,24 @@ def cluster_tint(
     return isoforms, garbage_rids
 
 
+# Process-pool gate: segment-TSV bytes above which the spawn pool's
+# multi-second worker startup amortizes. ~2.7 s of stage work per MB
+# measured on the 300k corpus (23 MB -> 63 s serial); at 8 MB the pool
+# saves ~3x its startup on 4 cores.
+POOL_MIN_BYTES = 8 << 20
+
+
+def _worker_init() -> None:
+    """Process-pool worker setup: pin JAX to the host CPU backend. The
+    remote TPU claim is exclusive (and acquisition can hang); a worker
+    that reaches the solver's device-assisted wide path must use CPU-XLA,
+    which is value-identical (the device path asserts bit-equality) and
+    fast at the sizes that survive the reference's partitioning caps."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def _cluster_one(job: tuple[str, str, str, "ClusterConfig"]) -> int:
     in_path, out_path, contig, cfg = job
     # Idempotent per-tint resume: outputs are deterministic, so an
@@ -540,13 +558,46 @@ def run_cluster(segment_dir: str, outdir: str, cfg: ClusterConfig | None = None,
                     cfg,
                 )
             )
-    if cfg.threads > 1 and len(jobs) > 1:
-        from concurrent.futures import ThreadPoolExecutor
+    # Parallel dispatch. Per-tint packaging (TSV parse, partition graph,
+    # instance build) is Python/numpy holding the GIL, so a thread pool
+    # serializes ~1/3 of the stage; a spawn process pool scales it too.
+    # Spawned workers each pay a multi-second interpreter+jax import
+    # (sitecustomize), so the pool is gated to inputs big enough to
+    # amortize it; per-tint outputs are deterministic files, so the two
+    # paths (and a broken pool falling back mid-stage -- completed tints
+    # resume idempotently) are byte-identical.
+    total_bytes = sum(os.path.getsize(p) for p, _o, _c, _cfg in jobs)
+    pooled = False
+    if cfg.threads > 1 and len(jobs) > 1 and total_bytes > POOL_MIN_BYTES:
+        import multiprocessing
+        from concurrent.futures import ProcessPoolExecutor
+        from concurrent.futures.process import BrokenProcessPool
 
-        with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
-            n = sum(ex.map(_cluster_one, jobs))
-    else:
-        n = sum(_cluster_one(j) for j in jobs)
+        # Biggest inputs first: tint wall time tracks input size, and a
+        # multi-second tint scheduled last would own the stage's tail.
+        order = sorted(
+            range(len(jobs)), key=lambda k: -os.path.getsize(jobs[k][0])
+        )
+        try:
+            # spawn, not fork: the parent may hold JAX's threads.
+            with ProcessPoolExecutor(
+                max_workers=cfg.threads,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_worker_init,
+            ) as ex:
+                n = sum(ex.map(_cluster_one, [jobs[k] for k in order],
+                               chunksize=4))
+            pooled = True
+        except BrokenProcessPool:
+            pass
+    if not pooled:
+        if cfg.threads > 1 and len(jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=cfg.threads) as ex:
+                n = sum(ex.map(_cluster_one, jobs))
+        else:
+            n = sum(_cluster_one(j) for j in jobs)
     if cfg.logs_dir is not None:
         # Stage-level roll-up of every tint's solver status table (the
         # .sol/.glog-era reader's "how did the solver do overall").

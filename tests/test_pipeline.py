@@ -75,6 +75,38 @@ def test_pipeline_deterministic(tmp_path):
     assert outs[0] == outs[1]
 
 
+def test_cluster_process_pool_byte_identical(tmp_path, monkeypatch):
+    """cluster -t N with the size gate forced open (spawn process pool,
+    biggest-first scheduling) == serial, byte for byte, per tint file."""
+    import filecmp
+
+    from freddie_tpu.config import ClusterConfig, SegmentConfig, SplitConfig
+    from freddie_tpu.stages import cluster as cl
+    from freddie_tpu.stages.segment import run_segment
+    from freddie_tpu.stages.split import run_split
+    from freddie_tpu.utils.sim import simulate
+
+    sim = simulate(seed=31, n_genes=4, isoforms_per_gene=2, reads_per_isoform=8,
+                   minus_strand_genes=True, truncate_prob=0.2, tail_prob=0.8)
+    bam, fq = str(tmp_path / "r.bam"), str(tmp_path / "r.fastq")
+    sim.write_bam(bam)
+    sim.write_fastq(fq)
+    run_split(bam, [fq], str(tmp_path / "split"), SplitConfig())
+    run_segment(str(tmp_path / "split"), str(tmp_path / "segment"), SegmentConfig())
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    n1 = cl.run_cluster(str(tmp_path / "segment"), a, ClusterConfig())
+    monkeypatch.setattr(cl, "POOL_MIN_BYTES", 0)
+    n2 = cl.run_cluster(str(tmp_path / "segment"), b, ClusterConfig(threads=2))
+    assert n1 == n2 > 0
+    matched = 0
+    for contig in os.listdir(a):
+        for fn in os.listdir(os.path.join(a, contig)):
+            assert filecmp.cmp(os.path.join(a, contig, fn),
+                               os.path.join(b, contig, fn), shallow=False), fn
+            matched += 1
+    assert matched == n1
+
+
 def test_isoforms_process_pool_byte_identical(tmp_path):
     """isoforms -t N (process pool over tints) == serial, byte for byte."""
     import filecmp
