@@ -173,11 +173,10 @@ def parse_split_tsv(path: str) -> SplitTint:
             chrom=chrom,
             intervals=intervals,
             read_count=n_reads,
-            reads=[
-                TintRead(id=rid, name=name, chrom=rchrom, strand=strand,
-                         tint=rtint, intervals=ivs)
-                for rid, name, rchrom, strand, rtint, ivs in rows
-            ],
+            # Positional: C rows are (id, name, chrom, strand, tint,
+            # intervals) in TintRead field order; kwargs construction
+            # measurably dominates at 300k reads.
+            reads=[TintRead(*row) for row in rows],
             read_reps=reps,
         )
         assert len(tint.reads) == tint.read_count
@@ -186,10 +185,18 @@ def parse_split_tsv(path: str) -> SplitTint:
 
 
 def load_read_sequences(tint: SplitTint, reads_tsv: str) -> None:
-    rid_to_seq = {}
-    for line in open(reads_tsv):
-        fields = line.rstrip("\n").split("\t")
-        rid_to_seq[int(fields[0])] = fields[3]
+    rid_to_seq = None
+    mod = _load_tsvparse()
+    if mod is not None and hasattr(mod, "load_reads_seqs"):
+        try:
+            rid_to_seq = mod.load_reads_seqs(reads_tsv)
+        except Exception:
+            rid_to_seq = None  # Python loop reproduces the error semantics
+    if rid_to_seq is None:
+        rid_to_seq = {}
+        for line in open(reads_tsv):
+            fields = line.rstrip("\n").split("\t")
+            rid_to_seq[int(fields[0])] = fields[3]
     assert len(rid_to_seq) == len(tint.reads)
     for read in tint.reads:
         read.seq = rid_to_seq[read.id]

@@ -733,11 +733,98 @@ serror:
   return NULL;
 }
 
+/* ------------------------------------------------------------------ reads
+ * load_reads_seqs(path) -> {read_id: seq}
+ *
+ * Native twin of freddie_tpu/io/tsv.py:load_read_sequences's dict-building
+ * loop (wire format: split stage's reads_{contig}_{tint}.tsv rows
+ * "id \t chrom \t tint \t seq"). Matches the Python semantics exactly:
+ * field 3 is the text between the 3rd tab and the 4th tab or line end
+ * (the line's sole '\n' already consumed by the line scan), duplicate ids
+ * keep the last occurrence, text decodes as UTF-8. Malformed rows raise
+ * ValueError; the Python wrapper falls back to its own loop so error
+ * behavior never depends on the toolchain. */
+static PyObject* load_reads_seqs(PyObject* self, PyObject* args) {
+  const char* path;
+  if (!PyArg_ParseTuple(args, "s", &path)) return NULL;
+
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+    return NULL;
+  }
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  char* buf = (char*)malloc((size_t)fsize + 1);
+  if (!buf || fread(buf, 1, (size_t)fsize, f) != (size_t)fsize) {
+    fclose(f);
+    free(buf);
+    PyErr_SetString(PyExc_OSError, "short read");
+    return NULL;
+  }
+  fclose(f);
+  buf[fsize] = '\n';
+
+  PyObject* out = PyDict_New();
+  if (!out) {
+    free(buf);
+    return NULL;
+  }
+  const char* p = buf;
+  const char* bend = buf + fsize;
+  while (p < bend) {
+    const char* eol = memchr(p, '\n', (size_t)(bend - p + 1));
+    if (!eol) eol = bend;
+    const char* line = p;
+    const char* lend = eol;
+    p = eol + 1;
+    if (line == lend) continue; /* blank, like ''.split() would KeyError
+                                   in Python -- but Python iterates lines
+                                   from open(), which never yields '' */
+    const char* q = line;
+    long long rid = parse_ll(&q, lend);
+    if (rid < 0 || q >= lend || *q != '\t') goto bad;
+    /* skip to the 3rd tab */
+    const char* t = q;
+    for (int k = 0; k < 2; ++k) {
+      t = memchr(t + 1, '\t', (size_t)(lend - t - 1));
+      if (!t) goto bad;
+    }
+    const char* seq_s = t + 1;
+    const char* t4 = memchr(seq_s, '\t', (size_t)(lend - seq_s));
+    const char* seq_e = t4 ? t4 : lend;
+    {
+      PyObject* key = PyLong_FromLongLong(rid);
+      PyObject* val =
+          PyUnicode_DecodeUTF8(seq_s, (Py_ssize_t)(seq_e - seq_s), NULL);
+      if (!key || !val || PyDict_SetItem(out, key, val) < 0) {
+        Py_XDECREF(key);
+        Py_XDECREF(val);
+        goto err;
+      }
+      Py_DECREF(key);
+      Py_DECREF(val);
+    }
+  }
+  free(buf);
+  return out;
+
+bad:
+  PyErr_SetString(PyExc_ValueError, "reads tsv: malformed row");
+err:
+  free(buf);
+  Py_DECREF(out);
+  return NULL;
+}
+
 static PyMethodDef Methods[] = {
     {"parse_split_file", parse_split_file, METH_VARARGS,
      "Parse one split TSV into (chrom, tint, intervals, n_reads, reads)."},
     {"parse_segment_file", parse_segment_file, METH_VARARGS,
      "Parse one segment TSV into (tint, chrom, positions, rows, reps)."},
+    {"load_reads_seqs", load_reads_seqs, METH_VARARGS,
+     "Parse one reads TSV into {read_id: seq}."},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "tsvparse",
