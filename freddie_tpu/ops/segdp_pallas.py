@@ -44,15 +44,20 @@ from __future__ import annotations
 import functools
 
 
-def _phase1_block(P: int, R: int, wide_weights: bool) -> int:
+def _phase1_block(P: int, R: int, wide_weights: bool, p1v: int = 2) -> int:
     """Leading-k block size for phase 1: the largest power-of-two divisor
-    of P whose live block tensors (one int32 + four/six f32 (KB,P,R))
-    stay within ~8 MB of VMEM (the (P,P,P) outside tensor, C, and the DP
-    state take the rest of the ~16 MB budget)."""
-    n_f32 = 6 if wide_weights else 4
+    of P whose live block tensors (one int32 + four/six f32 (KB,P,R) --
+    or bf16 halves for p1v=3) stay within ~8 MB of VMEM (the (P,P,P)
+    outside tensor, C, and the DP state take the rest of the ~16 MB
+    budget)."""
+    n_ind = 6 if wide_weights else 4
+    # p1v=3 halves the indicator bytes (bf16) but adds the two (KB,P+1,R)
+    # concat copies; other variants keep the original f32 accounting so
+    # their compiled block shapes are unchanged.
+    elem = 4 + 2 * (n_ind + 2) if p1v == 3 else 4 * (1 + n_ind)
     budget = 11 << 20
     kb = P
-    while kb > 1 and kb * P * R * 4 * (1 + n_f32) > budget:
+    while kb > 1 and kb * P * R * elem > budget:
         kb //= 2
     return kb
 
@@ -96,7 +101,7 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
     # ~170 ms/2048 problems while the matmuls cost ~4 ms); fat 3-D blocks
     # amortize instruction issue and let the contraction run as one
     # batched dot per block.
-    KB = kb_override or _phase1_block(P, R, wide_weights)
+    KB = kb_override or _phase1_block(P, R, wide_weights, p1v)
 
     def phase1_blocked(t, _):
         k0 = t * KB
@@ -109,11 +114,16 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
         tlo = Tlo_ref[0, pl.ds(k0, KB), :][:, :, None]
         zero = jnp.float32(0.0)
         one = jnp.float32(1.0)
-        # The "from" compares (-T1 vs t) fold the negation into the
-        # threshold side: -T1 > thi == T1 < -thi. Negating the (KB, P, 1)
-        # thresholds costs KB*P ops instead of a full (KB, P, R) pass.
-        yea_from = jnp.where(T1 < -thi, one, zero)  # pair (k0+i, p)
-        nay_from = jnp.where(T1 > -tlo, one, zero)
+
+        def from_indicators(dtype):
+            # The "from" compares (-T1 vs t) fold the negation into the
+            # threshold side: -T1 > thi == T1 < -thi. Negating the
+            # (KB, P, 1) thresholds costs KB*P ops instead of a full
+            # (KB, P, R) pass.
+            o = jnp.array(1.0, dtype)
+            z = jnp.array(0.0, dtype)
+            return (jnp.where(T1 < -thi, o, z),  # yea, pair (k0+i, p)
+                    jnp.where(T1 > -tlo, o, z))  # nay
 
         def bdot(a, b):
             return jax.lax.dot_general(
@@ -132,6 +142,7 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
             # real VPU op count (a cmp+select pair costs the same whether
             # the mask is named or not). Kept for A/B on backends where
             # the MXU sum lowers properly (tools/sweep_kernel.py kb:un:1).
+            yea_from, nay_from = from_indicators(jnp.float32)
             yw_lo = jnp.where(T1 > thiT, W_lo[None], zero)  # (KB, P, R)
             nw_lo = jnp.where(T1 < tloT, W_lo[None], zero)
             ones_r = jnp.ones((KB, 1, R), jnp.float32)
@@ -147,6 +158,49 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
             IN_ref[pl.ds(k0, KB), :] = sums[:, :, 0] - w_sum
             return 0
 
+        if p1v == 3:
+            # p1v=2 with bf16 indicator operands. Every value in the pair
+            # tensors is an integer 0..127 (indicator times a 7-bit weight
+            # part), exactly representable in bf16 -- and the f32 MXU path
+            # rounds operands to bf16 anyway, so the products (and their
+            # exact f32 accumulation: <= R*127 < 2^24) are bit-identical
+            # (tests/test_segdp.py::test_pallas_p1v3_bit_identical). The
+            # win would be bandwidth: the six (KB, P, R) select/concat
+            # passes store HALF the bytes, and the halved VMEM footprint
+            # admits a larger KB (fewer sequencing iterations).
+            #
+            # NOT the default: the axon remote-compile Mosaic rejects it
+            # ("Invalid relayout ... vector<KBx64x512xi1>: (8,128) ->
+            # (16,128)" -- the i32 compare's i1 mask cannot retile to the
+            # bf16 select's packing; measured 2026-08-19, same class of
+            # block as the int8 contraction). Kept, like p1v=1, for A/B
+            # on local-compile backends (tools/sweep_kernel.py kb:un:3).
+            bzero = jnp.bfloat16(0.0)
+            ones_row = jnp.ones((KB, 1, R), jnp.bfloat16)
+            yea_fb, nay_fb = from_indicators(jnp.bfloat16)
+            W_lob = W_lo.astype(jnp.bfloat16)
+            yea_to = T1 > thiT
+            nay_to = T1 < tloT
+            yw_lo = jnp.where(yea_to, W_lob[None], bzero)  # (KB, P, R)
+            nw_lo = jnp.where(nay_to, W_lob[None], bzero)
+            nay_ext = jnp.concatenate([nay_fb, ones_row], axis=1)
+            yea_ext = jnp.concatenate([yea_fb, ones_row], axis=1)
+            ey = bdot(yw_lo, nay_ext)  # (KB, P, P+1) f32
+            en = bdot(nw_lo, yea_ext)
+            out_blk = ey[:, :, :P] + en[:, :, :P]
+            sums = ey[:, :, P] + en[:, :, P]  # (KB, P)
+            if wide_weights:
+                W_hib = W_hi.astype(jnp.bfloat16)
+                yw_hi = jnp.where(yea_to, W_hib[None], bzero)
+                nw_hi = jnp.where(nay_to, W_hib[None], bzero)
+                ey_hi = bdot(yw_hi, nay_ext)
+                en_hi = bdot(nw_hi, yea_ext)
+                out_blk = out_blk + 128.0 * (ey_hi[:, :, :P] + en_hi[:, :, :P])
+                sums = sums + 128.0 * (ey_hi[:, :, P] + en_hi[:, :, P])
+            O_ref[pl.ds(k0, KB)] = jnp.where(out_blk < gate, neg, out_blk)
+            IN_ref[pl.ds(k0, KB), :] = -(w_sum - sums)
+            return 0
+
         if p1v == 2:
             # Row sums folded into the SAME MXU dots via an appended
             # all-ones sublane on the "from" operands: column P of each
@@ -158,6 +212,7 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
             # accumulator; appending to an existing dot sidesteps that.)
             # Bit-identical: products and f32 accumulation stay exact.
             ones_row = jnp.ones((KB, 1, R), jnp.float32)
+            yea_from, nay_from = from_indicators(jnp.float32)
             yea_to = T1 > thiT  # pair (p, k0+i)
             nay_to = T1 < tloT
             yw_lo = jnp.where(yea_to, W_lo[None], zero)  # (KB, P, R)
@@ -179,6 +234,7 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
             IN_ref[pl.ds(k0, KB), :] = -(w_sum - sums)
             return 0
 
+        yea_from, nay_from = from_indicators(jnp.float32)
         yea_to = T1 > thiT  # pair (p, k0+i)
         nay_to = T1 < tloT
         yw_lo = jnp.where(yea_to, W_lo[None], zero)  # (KB, P, R)

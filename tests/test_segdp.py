@@ -202,3 +202,40 @@ def test_pallas_interpret_matches_xla(wide):
     np.testing.assert_array_equal(np.asarray(bkx), np.asarray(bkp))
     np.testing.assert_array_equal(
         np.asarray(Kx)[:, : P - 1, :], np.asarray(Kp)[:, : P - 1, :])
+
+
+@pytest.mark.parametrize("wide", [False, True])
+def test_pallas_p1v3_bit_identical(wide):
+    """The bf16-operand phase-1 variant (p1v=3) must match p1v=2 bit for
+    bit: every pair-tensor value is an integer 0..127 (exact in bf16) and
+    the f32 MXU path rounds operands to bf16 anyway, so the products and
+    their f32 accumulation (<= R*127 < 2^24 terms) are identical."""
+    import jax.numpy as jnp
+
+    from freddie_tpu.ops.segdp_pallas import solve_batch_pallas
+
+    rng = np.random.default_rng(13 if wide else 17)
+    thr = ScaledThresholds(0.9)
+    B, P, R = 4, 16, 128
+    C = np.zeros((B, P, R), dtype=np.int32)
+    y = np.zeros((B, P), dtype=np.int32)
+    W = np.zeros((B, R), dtype=np.float32)
+    n_cand = np.zeros((B,), dtype=np.int32)
+    for b in range(B):
+        p = int(rng.integers(6, P + 1))
+        pr = random_problem(rng, p, R)
+        C[b, :p] = pr.C
+        C[b, p:] = pr.C[-1]
+        y[b, :p] = pr.y
+        y[b, p:] = pr.y[-1]
+        W[b] = pr.W if not wide else pr.W * 97
+        n_cand[b] = p
+    lookup = jnp.asarray(thr.lookup)
+    outs = []
+    for v in (2, 3):
+        outs.append(solve_batch_pallas(
+            jnp.asarray(C), jnp.asarray(y), jnp.asarray(W),
+            jnp.asarray(n_cand), 3, lookup, thr.scale, interpret=True,
+            wide_weights=wide, p1v=v))
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
