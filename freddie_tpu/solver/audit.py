@@ -55,7 +55,10 @@ def audit_instance(
     N = len(inst.rows)
     if N == 0:
         return "unique"
-    if Mi > CLOSURE_MAX_SEGS:
+    # The audit's own enumeration machinery is single-word (u64 numpy
+    # masks); it declines past 64 segments even though the production
+    # closure escalation now runs to CLOSURE_MAX_SEGS=128 (two words).
+    if Mi > min(CLOSURE_MAX_SEGS, 64):
         return "unknown-mi"
     res = solve_two_phase(inst, deadline_s)
     if res.status != "OPTIMAL":

@@ -46,6 +46,7 @@ def _load():
         lib.solve_bnb.restype = ctypes.c_int
         lib.solve_segenum.restype = ctypes.c_int
         lib.solve_segenum_list.restype = ctypes.c_int
+        lib.solve_segenum_list_w2.restype = ctypes.c_int
         lib.solve_round.restype = ctypes.c_int
         _lib = lib
     except Exception:
@@ -256,25 +257,26 @@ def solve_round_native(
     return kinds[status], incumbent
 
 
-def _pack_segenum(inst: ClusterInstance, dtype=np.uint32):
+def _pack_segenum(inst: ClusterInstance, dtype=np.uint32, words: int = 1):
     """Flat bitmask arrays for the segenum entry points (u32 for the full
-    enumeration ABI, u64 for the list-replay ABI)."""
+    enumeration ABI, u64 for the list-replay ABI; words=2 emits (n, 2)
+    little-endian uint64 word rows for the two-word replay ABI)."""
     rows = inst.rows
     M = len(inst.seg_len)
-    assert M <= 8 * dtype().itemsize, (M, dtype)
+    assert M <= 8 * dtype().itemsize * words, (M, dtype, words)
 
     def masks_of(vecs: list) -> np.ndarray:
-        """Stack of bool vectors -> one little-endian bitmask each."""
+        """Stack of bool vectors -> little-endian bitmask words each."""
         n = len(vecs)
-        padded = np.zeros((n, 64), dtype=bool)
+        padded = np.zeros((n, 64 * words), dtype=bool)
         if n and M:
             padded[:, :M] = np.asarray(vecs, dtype=bool)
-        return (
-            np.packbits(padded, axis=1, bitorder="little")
-            .view(np.uint64)
-            .ravel()
-            .astype(dtype)
+        packed = (
+            np.packbits(padded, axis=1, bitorder="little").view(np.uint64)
         )
+        if words == 1:
+            return packed.ravel().astype(dtype)
+        return np.ascontiguousarray(packed.reshape(n, words))
 
     if inst.exons_mat is not None:
         I_masks = masks_of(inst.exons_mat)
@@ -289,7 +291,8 @@ def _pack_segenum(inst: ClusterInstance, dtype=np.uint32):
         gap_masks = masks_of([m for r in rows for (m, _l) in r.gaps])
         gap_lens = np.array([l for r in rows for (_m, l) in r.gaps], dtype=np.int64)
     else:
-        gap_masks = np.zeros(1, dtype=dtype)
+        gap_masks = (np.zeros(1, dtype=dtype) if words == 1
+                     else np.zeros((1, words), dtype=np.uint64))
         gap_lens = np.zeros(1, dtype=np.int64)
     incomp = np.asarray(inst.incomp, dtype=np.int32).reshape(-1, 2)
     return I_masks, C_masks, garbage, seg_len, gap_counts, gap_masks, gap_lens, incomp
@@ -371,26 +374,28 @@ def solve_segenum_list_native(
     (result-preservation argument in native/segenum.cpp's run_enum)."""
     lib = _load()
     M = len(inst.seg_len)
-    if lib is None or M > 64:
+    if lib is None or M > 128:
         return None
     N = len(inst.rows)
     if N == 0:
         return SolveResult("OPTIMAL", 0.0, [], None)
 
+    order = np.asarray(order)
+    words = 1 if M <= 64 else 2
     (I_masks, C_masks, garbage, seg_len, gap_counts, gap_masks, gap_lens,
-     incomp) = _pack_segenum(inst, dtype=np.uint64)
-    order = np.ascontiguousarray(order, dtype=np.uint64)
+     incomp) = _pack_segenum(inst, dtype=np.uint64, words=words)
+    if order.ndim == 2 and order.shape[1] == 1:
+        order = order[:, 0]
     order_opt = np.ascontiguousarray(order_opt, dtype=np.float64)
     out_assigned = np.zeros(N, dtype=np.int32)
     out_n = ctypes.c_int32(0)
     out_obj = ctypes.c_double(0.0)
-    out_E = ctypes.c_uint64(0)
 
-    status = lib.solve_segenum_list(
+    common_pre = [
         ctypes.c_int(N),
         ctypes.c_int(M),
-        _ptr(I_masks, ctypes.c_uint64),
-        _ptr(C_masks, ctypes.c_uint64),
+        _ptr(np.ascontiguousarray(I_masks), ctypes.c_uint64),
+        _ptr(np.ascontiguousarray(C_masks), ctypes.c_uint64),
         _ptr(garbage, ctypes.c_double),
         _ptr(seg_len, ctypes.c_int64),
         _ptr(gap_counts, ctypes.c_int32),
@@ -401,7 +406,8 @@ def solve_segenum_list_native(
         ctypes.c_int64(inst.eps_scale),
         ctypes.c_int64(inst.eps_scaled),
         ctypes.c_int64(inst.offset),
-        _ptr(order, ctypes.c_uint64),
+    ]
+    common_post = [
         _ptr(order_opt, ctypes.c_double),
         ctypes.c_int64(len(order)),
         ctypes.c_double(deadline_s),
@@ -409,6 +415,27 @@ def solve_segenum_list_native(
         _ptr(out_assigned, ctypes.c_int32),
         ctypes.byref(out_n),
         ctypes.byref(out_obj),
-        ctypes.byref(out_E),
+    ]
+    if words == 1:
+        order1 = np.ascontiguousarray(order, dtype=np.uint64)
+        out_E = ctypes.c_uint64(0)
+        status = lib.solve_segenum_list(
+            *common_pre, _ptr(order1, ctypes.c_uint64), *common_post,
+            ctypes.byref(out_E),
+        )
+        return _segenum_result(status, out_assigned, out_n, out_obj, out_E, M)
+    order2 = np.ascontiguousarray(order.reshape(len(order), 2),
+                                  dtype=np.uint64)
+    out_E2 = np.zeros(2, dtype=np.uint64)
+    status = lib.solve_segenum_list_w2(
+        *common_pre, _ptr(order2, ctypes.c_uint64), *common_post,
+        _ptr(out_E2, ctypes.c_uint64),
     )
-    return _segenum_result(status, out_assigned, out_n, out_obj, out_E, M)
+    if status < 0:
+        return None
+    if status == 1:
+        return SolveResult("TIMEOUT", out_obj.value, [], None, 0)
+    E_int = int(out_E2[0]) | (int(out_E2[1]) << 64)
+    E = np.array([(E_int >> b) & 1 for b in range(M)], dtype=bool)
+    assigned = sorted(out_assigned[: out_n.value].tolist())
+    return SolveResult("OPTIMAL", out_obj.value, assigned, E, 0)

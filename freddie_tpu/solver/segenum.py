@@ -56,7 +56,14 @@ from .exact import ClusterInstance, SolveResult
 MAX_SEGS = 20  # full-enumeration twins: 2^20 masks at most
 WIDE_MAX_SEGS = 26  # device-assisted bound-filtered enumeration ceiling
 WIDE_CANDIDATE_CAP = 200_000  # filtered-mask budget for the wide path
-CLOSURE_MAX_SEGS = 64  # union-closure enumeration ceiling (u64 masks)
+# Union-closure enumeration ceiling. Masks are (W,) uint64 word arrays
+# (W = 2 past 64 segments; the native twins run unsigned __int128), so
+# the rung covers every Mi the reference's pipeline can produce in
+# practice -- profiled 300k-read corpora put the escalating tail at
+# Mi ~ 75 with closures of ~3e4 masks, which previously fell through to
+# the unbudgeted full read-DFS (round-3 profile: ~13 s of 42 s solve).
+# History: 64 (u64 masks) until round 3's two-word generalization.
+CLOSURE_MAX_SEGS = 128
 CLOSURE_CAP = 100_000  # closure-size budget for the closure path
 # Above this many (reads x closure masks) the bound evaluation goes to a
 # batched XLA matmul (TPU when attached, XLA-CPU otherwise -- identical
@@ -115,17 +122,21 @@ class _PerStructure:
         Mi = len(inst.seg_len)
         N = len(inst.rows)
         self.Mi, self.N = Mi, N
+        # Mask word count: 1 for Mi <= 64 (the historical representation,
+        # all values identical to the old 1-word arrays), 2 up to 128.
+        W = max((Mi + 63) // 64, 1)
+        self.W = W
 
         def masks_of(vecs: list) -> np.ndarray:
-            """Stack of bool vectors -> little-endian uint64 bitmask each."""
+            """Stack of bool vectors -> (n, W) little-endian uint64 words."""
             n = len(vecs)
-            padded = np.zeros((n, 64), dtype=bool)
+            padded = np.zeros((n, W * 64), dtype=bool)
             if n and Mi:
                 padded[:, :Mi] = np.asarray(vecs, dtype=bool)
             return (
                 np.packbits(padded, axis=1, bitorder="little")
                 .view(np.uint64)
-                .ravel()
+                .reshape(n, W)
             )
 
         if inst.exons_mat is not None:
@@ -179,13 +190,35 @@ class _PerStructure:
         self._gclique = clique_of
         return clique_of
 
+    def _words_of_int(self, E: int) -> np.ndarray:
+        """Python int mask -> (W,) little-endian uint64 words."""
+        return np.array(
+            [(E >> (64 * w)) & 0xFFFFFFFFFFFFFFFF for w in range(self.W)],
+            dtype=np.uint64,
+        )
+
+    @staticmethod
+    def _int_of_row(row) -> int:
+        """(W,) uint64 words -> Python int mask (word-agnostic)."""
+        m = 0
+        for w, v in enumerate(np.atleast_1d(row)):
+            m |= int(v) << (64 * w)
+        return m
+
     def optimistic_block(self, E_blk: np.ndarray) -> np.ndarray:
         """Lower bound per structure: all positive-profit subset-compatible
         reads assigned, ignoring gap windows, conflicts and coverage
-        (dropping the gap filter only loosens it)."""
+        (dropping the gap filter only loosens it). E_blk: (K,) uint64 for
+        1-word instances, or (K, W) word rows."""
         E_blk = np.asarray(E_blk, dtype=np.uint64)
-        subset_ok = (self.I_int[:, None] & ~E_blk[None, :]) == 0
-        d = self.g[:, None] - _popcount_u64(self.C_int[:, None] & E_blk[None, :])
+        if E_blk.ndim == 1:
+            E_blk = E_blk[:, None]
+        subset_ok = ((self.I_int[:, None, :] & ~E_blk[None, :, :]) == 0).all(
+            axis=2
+        )
+        d = self.g[:, None] - _popcount_u64(
+            self.C_int[:, None, :] & E_blk[None, :, :]
+        ).sum(axis=2)
         pos_gain = np.where(subset_ok & (d > 0), d, 0.0).sum(axis=0)
         return self.g_total - pos_gain
 
@@ -205,13 +238,16 @@ class _PerStructure:
         blow up exponentially under dense incompatibilities, so (like the
         C++ core) the wall check lives inside the recursion, not only in
         the caller's per-mask loop."""
-        ok = (self.I_int & ~np.uint64(E)) == 0  # subset-compatible
+        Ew = self._words_of_int(int(E))
+        ok = ((self.I_int & ~Ew[None, :]) == 0).all(axis=1)  # subset-compat.
         if self.n_gaps:
-            gm = self.gap_masks & np.uint64(E)
+            gm = self.gap_masks & Ew[None, :]
             G = np.zeros(self.n_gaps, dtype=np.int64)
             for b in range(self.Mi):
                 if (E >> b) & 1:
-                    G += ((gm >> np.uint64(b)) & 1).astype(np.int64) * self.seg_len[b]
+                    G += (
+                        (gm[:, b >> 6] >> np.uint64(b & 63)) & 1
+                    ).astype(np.int64) * self.seg_len[b]
             gok = ((self.sc - self.eps) * G <= self.sc * (self.gap_lens + self.off)) & (
                 self.sc * (self.gap_lens - self.off) <= (self.sc + self.eps) * G
             )
@@ -222,7 +258,7 @@ class _PerStructure:
         if E and not len(cand):
             return None, None
         # coverage requirement: union of chosen I must equal E
-        d = self.g[cand] - _popcount_u64(self.C_int[cand] & np.uint64(E))
+        d = self.g[cand] - _popcount_u64(self.C_int[cand] & Ew[None, :]).sum(axis=1)
         if self.any_conflict and floor_gain is not None and len(cand):
             # Fused tight-bound early skip (twin of native/segenum.cpp's
             # run_enum): at most one positive profit per global conflict
@@ -257,11 +293,11 @@ class _PerStructure:
         base_gain = float(sub_delta_all[free].sum())
         base_union = 0
         for v in self.I_int[sub_order[free]]:
-            base_union |= int(v)
+            base_union |= self._int_of_row(v)
         rest = np.flatnonzero(~free)
         rest_order = sub_order[rest]
         sub_delta = sub_delta_all[rest].tolist()
-        sub_I = [int(v) for v in self.I_int[rest_order]]
+        sub_I = [self._int_of_row(v) for v in self.I_int[rest_order]]
         n_sub = len(rest_order)
         if conf_sub is not None and n_sub:
             conf_rest = conf_sub[np.ix_(rest, rest)]
@@ -457,13 +493,18 @@ def _optimistic_masks_device(ctx: _PerStructure, masks: np.ndarray) -> np.ndarra
         return out
 
     def bits_of(words: np.ndarray) -> np.ndarray:
+        """(K, W) uint64 word rows -> (K, Mi) 0/1 f32."""
+        words = np.asarray(words, dtype=np.uint64)
+        if words.ndim == 1:
+            words = words[:, None]
+        b = np.arange(Mi, dtype=np.int64)
         return (
-            (words[:, None] >> np.arange(Mi, dtype=np.uint64)[None, :]) & 1
+            (words[:, b >> 6] >> (b & 63).astype(np.uint64)[None, :]) & 1
         ).astype(np.float32)
 
     I_f = bits_of(ctx.I_int)
     C_f = bits_of(ctx.C_int)
-    E_f = bits_of(np.asarray(masks, dtype=np.uint64))
+    E_f = bits_of(masks)
 
     # One module-level jitted function (jax.jit caches per function
     # OBJECT): re-creating the closure per call would re-trace -- and on
@@ -653,34 +694,65 @@ def solve_segment_enum_closure(
     t_end = time.monotonic() + deadline_s
 
     ctx = _PerStructure(inst)  # also supplies the packed I-masks
-    closure = np.zeros(1, dtype=np.uint64)  # the empty union
-    for m in np.unique(ctx.I_int):
-        # closure is OR-closed over the masks processed so far, so a
-        # mask already in it contributes nothing new (e|m stays inside).
-        pos = int(np.searchsorted(closure, m))
-        if pos < len(closure) and closure[pos] == m:
-            continue
-        closure = np.unique(np.concatenate([closure, closure | m]))
-        if len(closure) > CLOSURE_CAP:
+    if ctx.W == 1:
+        # Single-word build (the historical path, byte-identical).
+        closure = np.zeros(1, dtype=np.uint64)  # the empty union
+        for m in np.unique(ctx.I_int[:, 0]):
+            # closure is OR-closed over the masks processed so far, so a
+            # mask already in it contributes nothing new (e|m stays inside).
+            pos = int(np.searchsorted(closure, m))
+            if pos < len(closure) and closure[pos] == m:
+                continue
+            closure = np.unique(np.concatenate([closure, closure | m]))
+            if len(closure) > CLOSURE_CAP:
+                return None
+        mask_ints = closure.tolist()  # ascending
+        masks_w = closure[:, None]  # (K, 1)
+    else:
+        # Multi-word build on Python ints (numerically the same ascending
+        # order the u64/np.unique path and the native u128 sort produce).
+        cset = {0}
+        distinct = sorted({ctx._int_of_row(r) for r in ctx.I_int})
+        over = False
+        for m in distinct:
+            if m in cset:
+                continue
+            cset |= {e | m for e in cset}
+            if len(cset) > CLOSURE_CAP:
+                over = True
+                break
+        if over:
             return None
-    masks = closure  # np.unique output is already sorted
-    if N * len(masks) >= BOUNDS_DEVICE_MIN:
+        mask_ints = sorted(cset)
+        masks_w = np.array(
+            [[(m >> (64 * w)) & 0xFFFFFFFFFFFFFFFF for w in range(ctx.W)]
+             for m in mask_ints],
+            dtype=np.uint64,
+        ).reshape(len(mask_ints), ctx.W)
+    if N * len(mask_ints) >= BOUNDS_DEVICE_MIN:
         # Big enough that the batched matmul bounds win (content-only
         # gate; values bit-equal to the host loop on any backend).
-        optimistic = _optimistic_masks_device(ctx, masks)
+        optimistic = _optimistic_masks_device(ctx, masks_w)
     else:
-        optimistic = np.empty(len(masks), dtype=np.float64)
+        optimistic = np.empty(len(mask_ints), dtype=np.float64)
         block = 1 << 12
-        for lo in range(0, len(masks), block):
-            optimistic[lo : lo + block] = ctx.optimistic_block(masks[lo : lo + block])
+        for lo in range(0, len(mask_ints), block):
+            optimistic[lo : lo + block] = ctx.optimistic_block(
+                masks_w[lo : lo + block]
+            )
     seed_gain = None
     if incumbent_cost is not None:
         keep = optimistic <= incumbent_cost + 1e-9
-        masks = masks[keep]
+        mask_ints = [m for m, k in zip(mask_ints, keep) if k]
+        masks_w = masks_w[keep]
         optimistic = optimistic[keep]
         seed_gain = ctx.g_total - incumbent_cost - _granularity(inst)
-    perm = np.lexsort((masks, optimistic))
-    order = masks[perm]
+    # Canonical (ascending optimistic, mask) order. mask_ints is already
+    # mask-ascending, so a stable sort on optimistic alone is exactly the
+    # old np.lexsort((masks, optimistic)).
+    perm = np.argsort(optimistic, kind="stable")
+    order_ints = [mask_ints[p] for p in perm]
+    order_w = masks_w[perm]
     order_opt = optimistic[perm]
 
     # Engine choice (C++ replay preferred, Python fallback) only changes
@@ -689,10 +761,10 @@ def solve_segment_enum_closure(
     from .native import solve_segenum_list_native
 
     native = solve_segenum_list_native(
-        inst, order, order_opt, max(t_end - time.monotonic(), 0.001),
+        inst, order_w, order_opt, max(t_end - time.monotonic(), 0.001),
         seed_gain=seed_gain,
     )
     if native is not None:
         return native
-    opt_map = {int(E): float(o) for E, o in zip(masks, optimistic)}
-    return _replay(ctx, order, opt_map, t_end, seed_gain=seed_gain)
+    opt_map = {m: float(o) for m, o in zip(order_ints, order_opt)}
+    return _replay(ctx, order_ints, opt_map, t_end, seed_gain=seed_gain)

@@ -3,7 +3,8 @@
 Phase 1 runs the branch-and-bound with a deterministic node budget. If it
 finishes, done. Otherwise the escalation chain (all exact, all gated
 purely on instance content): union-closure structure enumeration at any
-Mi <= 64 -- filtered and DFS-floor-seeded by the phase-1 incumbent --
+Mi <= 128 (one- or two-word masks, chosen by Mi alone) -- filtered and
+DFS-floor-seeded by the phase-1 incumbent --
 then full 2^Mi enumeration (Mi <= 20) or the XLA bound-filtered wide
 path (Mi <= 26) when the closure is over its cap. If every enumeration
 declines, the LP relaxation (solver.lp_bound) can prove the phase-1

@@ -57,13 +57,220 @@ int freddie_run_enum(
     int32_t* out_assigned, int32_t* out_n_assigned,
     double* out_objective, uint64_t* out_E);
 
+int freddie_run_enum_w2(
+    int n_reads,
+    const uint64_t* I_masks2, const uint64_t* C_masks2, const double* garbage,
+    const int64_t* seg_len,
+    const int32_t* gap_counts, const uint64_t* gap_masks2,
+    const int64_t* gap_lens,
+    int n_incomp, const int32_t* incomp_pairs,
+    int64_t sc, int64_t eps, int64_t off,
+    const uint64_t* order2, const double* order_opt, int64_t n_order,
+    std::chrono::steady_clock::time_point t_end, double seed_gain,
+    int32_t* out_assigned, int32_t* out_n_assigned,
+    double* out_objective, uint64_t* out_E2);
+
 namespace {
+
+typedef unsigned __int128 u128;
 
 // Bits [lo, hi) of a multi-word mask (the gap windows from build_instance
 // are contiguous informative-column ranges).
 inline void range_mask(int lo, int hi, int words, uint64_t* out) {
   for (int w = 0; w < words; ++w) out[w] = 0;
   for (int b = lo; b < hi; ++b) out[b >> 6] |= 1ull << (b & 63);
+}
+
+inline int cl_popcnt(uint64_t x) { return __builtin_popcountll(x); }
+inline int cl_popcnt(u128 x) {
+  return __builtin_popcountll((uint64_t)x) +
+         __builtin_popcountll((uint64_t)(x >> 64));
+}
+
+// Per-read mask from W little-endian words (W = 1 or 2).
+inline uint64_t mask_from_words(const uint64_t* w, int W, uint64_t) {
+  (void)W;
+  return w[0];
+}
+inline u128 mask_from_words(const uint64_t* w, int W, u128) {
+  u128 m = w[0];
+  if (W > 1) m |= (u128)w[1] << 64;
+  return m;
+}
+
+// Enum dispatch: the u64 order list replays through freddie_run_enum, the
+// u128 list flattens to 2-word pairs for freddie_run_enum_w2. Both are
+// instantiations of the same templated canonical loop (segenum.cpp), so
+// the closure escalation's semantics do not depend on the word count.
+inline int call_enum(
+    int N, const std::vector<uint64_t>& I, const std::vector<uint64_t>& C,
+    const double* garbage, const int64_t* seg_len, const int32_t* gap_counts,
+    const std::vector<uint64_t>& gm, const int64_t* gap_lens, int n_incomp,
+    const int32_t* incomp_pairs, int64_t sc, int64_t eps, int64_t off,
+    const std::vector<uint64_t>& order, const std::vector<double>& order_opt,
+    std::chrono::steady_clock::time_point t_end, double seed_gain,
+    int32_t* out_assigned, int32_t* out_n, double* out_obj,
+    uint64_t* out_E, int out_words) {
+  uint64_t E = 0;
+  int st = freddie_run_enum(
+      N, I.data(), C.data(), garbage, seg_len, gap_counts, gm.data(),
+      gap_lens, n_incomp, incomp_pairs, sc, eps, off, order.data(),
+      order_opt.data(), (int64_t)order.size(), t_end, seed_gain,
+      out_assigned, out_n, out_obj, &E);
+  for (int w = 0; w < out_words; ++w) out_E[w] = 0;
+  out_E[0] = E;
+  return st;
+}
+
+inline int call_enum(
+    int N, const std::vector<u128>& I, const std::vector<u128>& C,
+    const double* garbage, const int64_t* seg_len, const int32_t* gap_counts,
+    const std::vector<u128>& gm, const int64_t* gap_lens, int n_incomp,
+    const int32_t* incomp_pairs, int64_t sc, int64_t eps, int64_t off,
+    const std::vector<u128>& order, const std::vector<double>& order_opt,
+    std::chrono::steady_clock::time_point t_end, double seed_gain,
+    int32_t* out_assigned, int32_t* out_n, double* out_obj,
+    uint64_t* out_E, int out_words) {
+  auto flatten = [](const std::vector<u128>& v) {
+    std::vector<uint64_t> f(2 * std::max<size_t>(v.size(), 1), 0);
+    for (size_t i = 0; i < v.size(); ++i) {
+      f[2 * i] = (uint64_t)v[i];
+      f[2 * i + 1] = (uint64_t)(v[i] >> 64);
+    }
+    return f;
+  };
+  std::vector<uint64_t> If = flatten(I), Cf = flatten(C), gmf = flatten(gm),
+                        of = flatten(order);
+  uint64_t E2[2] = {0, 0};
+  int st = freddie_run_enum_w2(
+      N, If.data(), Cf.data(), garbage, seg_len, gap_counts, gmf.data(),
+      gap_lens, n_incomp, incomp_pairs, sc, eps, off, of.data(),
+      order_opt.data(), (int64_t)order.size(), t_end, seed_gain,
+      out_assigned, out_n, out_obj, E2);
+  for (int w = 0; w < out_words; ++w) out_E[w] = 0;
+  out_E[0] = E2[0];
+  if (out_words > 1) out_E[1] = E2[1];
+  return st;
+}
+
+// The union-closure escalation, templated on the mask type (u64 for
+// Mi <= 64 -- byte-identical to the original single-word path -- and
+// u128 for Mi <= 128). Returns the solve_round status codes 2/3/4/5.
+template <typename MASK>
+int closure_escalate(
+    int N, int n_segs, int W,
+    const std::vector<uint64_t>& I_raw, const std::vector<uint64_t>& C_raw,
+    const double* garbage, const int64_t* seg_len,
+    const int32_t* gap_counts, const std::vector<uint64_t>& gmask_raw,
+    int total_gaps, const int64_t* gap_lens,
+    int n_incomp, const int32_t* incomp_pairs,
+    int64_t sc, int64_t eps, int64_t off,
+    double p1_obj, int64_t closure_cap, int64_t bounds_device_min,
+    std::chrono::steady_clock::time_point t0, double deadline_s,
+    int32_t* out_assigned, int32_t* out_n, double* out_obj,
+    uint64_t* out_E, int out_words) {
+  // Distinct raw I masks, ascending (np.unique); incremental OR-closure.
+  std::vector<MASK> distinct(N);
+  for (int i = 0; i < N; ++i)
+    distinct[i] = mask_from_words(I_raw.data() + (size_t)i * W, W, MASK(0));
+  std::sort(distinct.begin(), distinct.end());
+  distinct.erase(std::unique(distinct.begin(), distinct.end()),
+                 distinct.end());
+  std::vector<MASK> closure{0};
+  std::vector<MASK> merged;
+  for (MASK m : distinct) {
+    if (std::binary_search(closure.begin(), closure.end(), m)) continue;
+    merged.clear();
+    merged.reserve(closure.size() * 2);
+    for (MASK e : closure) {
+      merged.push_back(e);
+      merged.push_back(e | m);
+    }
+    std::sort(merged.begin(), merged.end());
+    merged.erase(std::unique(merged.begin(), merged.end()), merged.end());
+    closure.swap(merged);
+    if ((int64_t)closure.size() > closure_cap) return 2;
+  }
+  if (bounds_device_min > 0 &&
+      (int64_t)N * (int64_t)closure.size() >= bounds_device_min)
+    return 5;
+
+  // Optimistic bound per closure mask: all subset-compatible positive-
+  // profit reads assigned, ignoring gaps/conflicts/coverage. Exact
+  // doubles (multiples of 0.5), so summation order is irrelevant.
+  std::vector<MASK> I_m(N), C_m(N);
+  for (int i = 0; i < N; ++i) {
+    I_m[i] = mask_from_words(I_raw.data() + (size_t)i * W, W, MASK(0));
+    C_m[i] = mask_from_words(C_raw.data() + (size_t)i * W, W, MASK(0));
+  }
+  double g_total = 0.0;
+  for (int i = 0; i < N; ++i) g_total += garbage[i];
+  const size_t K = closure.size();
+  std::vector<double> optimistic(K);
+  for (size_t k = 0; k < K; ++k) {
+    const MASK E = closure[k];
+    double pos = 0.0;
+    for (int i = 0; i < N; ++i) {
+      if (I_m[i] & ~E) continue;
+      double d = garbage[i] - (double)cl_popcnt((MASK)(C_m[i] & E));
+      if (d > 0) pos += d;
+    }
+    optimistic[k] = g_total - pos;
+  }
+
+  // Incumbent filter + canonical (optimistic, mask) order + DFS floor.
+  bool integral = true;
+  for (int i = 0; i < N; ++i)
+    if (garbage[i] != std::floor(garbage[i])) { integral = false; break; }
+  const double gran = integral ? 1.0 : 0.5;
+  const double inc = p1_obj;
+  std::vector<size_t> keep;
+  keep.reserve(K);
+  for (size_t k = 0; k < K; ++k)
+    if (optimistic[k] <= inc + 1e-9) keep.push_back(k);
+  std::stable_sort(keep.begin(), keep.end(), [&](size_t a, size_t b) {
+    if (optimistic[a] != optimistic[b]) return optimistic[a] < optimistic[b];
+    return closure[a] < closure[b];
+  });
+  std::vector<MASK> enum_order(keep.size());
+  std::vector<double> enum_opt(keep.size());
+  for (size_t k = 0; k < keep.size(); ++k) {
+    enum_order[k] = closure[keep[k]];
+    enum_opt[k] = optimistic[keep[k]];
+  }
+  const double seed_gain = g_total - inc - gran;
+
+  // Remaining wall budget, like the Python chain's max(deadline-spent, 1).
+  double spent = std::chrono::duration<double>(
+                     std::chrono::steady_clock::now() - t0)
+                     .count();
+  double remaining = deadline_s - spent;
+  if (remaining < 1.0) remaining = 1.0;
+  auto t_end = std::chrono::steady_clock::now() +
+               std::chrono::microseconds((int64_t)(remaining * 1e6));
+
+  // Raw gap masks at the enum's word count.
+  std::vector<MASK> gm(std::max(total_gaps, 1), 0);
+  for (int g = 0; g < total_gaps; ++g)
+    gm[g] = mask_from_words(gmask_raw.data() + (size_t)g * W, W, MASK(0));
+
+  // Temporaries: on closure TIMEOUT the caller's phase-1 incumbent
+  // outputs must stand untouched.
+  std::vector<int32_t> cl_assigned(std::max(N, 1));
+  int32_t cl_n = 0;
+  double cl_obj = 0.0;
+  std::vector<uint64_t> cl_E(std::max(out_words, 1), 0);
+  int est = call_enum(N, I_m, C_m, garbage, seg_len, gap_counts, gm,
+                      gap_lens, n_incomp, incomp_pairs, sc, eps, off,
+                      enum_order, enum_opt, t_end, seed_gain,
+                      cl_assigned.data(), &cl_n, &cl_obj, cl_E.data(),
+                      out_words);
+  if (est == 1) return 4;  // closure TIMEOUT; phase-1 incumbent stands
+  *out_obj = cl_obj;
+  *out_n = cl_n;
+  for (int i = 0; i < cl_n; ++i) out_assigned[i] = cl_assigned[i];
+  for (int w = 0; w < out_words; ++w) out_E[w] = cl_E[w];
+  return 3;
 }
 
 }  // namespace
@@ -196,109 +403,21 @@ int solve_round(
   if (st == 0) return 0;                  // phase-1 OPTIMAL
 
   // ---- escalation: union-closure enumeration (bit-equal twin of
-  // solver/segenum.solve_segment_enum_closure). Content-only gates.
-  if (n_segs < 1 || n_segs > (int)closure_max_segs) return 2;
-
-  // Distinct raw I masks, ascending (np.unique); incremental OR-closure.
-  std::vector<uint64_t> distinct(N);
-  for (int i = 0; i < N; ++i) distinct[i] = I_raw[(size_t)i * W];
-  std::sort(distinct.begin(), distinct.end());
-  distinct.erase(std::unique(distinct.begin(), distinct.end()),
-                 distinct.end());
-  std::vector<uint64_t> closure{0};
-  std::vector<uint64_t> merged;
-  for (uint64_t m : distinct) {
-    if (std::binary_search(closure.begin(), closure.end(), m)) continue;
-    merged.clear();
-    merged.reserve(closure.size() * 2);
-    for (uint64_t e : closure) {
-      merged.push_back(e);
-      merged.push_back(e | m);
-    }
-    std::sort(merged.begin(), merged.end());
-    merged.erase(std::unique(merged.begin(), merged.end()), merged.end());
-    closure.swap(merged);
-    if ((int64_t)closure.size() > closure_cap) return 2;
-  }
-  if (bounds_device_min > 0 &&
-      (int64_t)N * (int64_t)closure.size() >= bounds_device_min)
-    return 5;
-
-  // Optimistic bound per closure mask: all subset-compatible positive-
-  // profit reads assigned, ignoring gaps/conflicts/coverage. Exact
-  // doubles (multiples of 0.5), so summation order is irrelevant.
-  double g_total = 0.0;
-  for (int i = 0; i < N; ++i) g_total += garbage[i];
-  const size_t K = closure.size();
-  std::vector<double> optimistic(K);
-  for (size_t k = 0; k < K; ++k) {
-    const uint64_t E = closure[k];
-    double pos = 0.0;
-    for (int i = 0; i < N; ++i) {
-      if (I_raw[(size_t)i * W] & ~E) continue;
-      double d = garbage[i] -
-                 (double)__builtin_popcountll(C_raw[(size_t)i * W] & E);
-      if (d > 0) pos += d;
-    }
-    optimistic[k] = g_total - pos;
-  }
-
-  // Incumbent filter + canonical (optimistic, mask) order + DFS floor.
-  bool integral = true;
-  for (int i = 0; i < N; ++i)
-    if (garbage[i] != std::floor(garbage[i])) { integral = false; break; }
-  const double gran = integral ? 1.0 : 0.5;
-  const double inc = p1_obj;
-  std::vector<size_t> keep;
-  keep.reserve(K);
-  for (size_t k = 0; k < K; ++k)
-    if (optimistic[k] <= inc + 1e-9) keep.push_back(k);
-  std::stable_sort(keep.begin(), keep.end(), [&](size_t a, size_t b) {
-    if (optimistic[a] != optimistic[b]) return optimistic[a] < optimistic[b];
-    return closure[a] < closure[b];
-  });
-  std::vector<uint64_t> enum_order(keep.size());
-  std::vector<double> enum_opt(keep.size());
-  for (size_t k = 0; k < keep.size(); ++k) {
-    enum_order[k] = closure[keep[k]];
-    enum_opt[k] = optimistic[keep[k]];
-  }
-  const double seed_gain = g_total - inc - gran;
-
-  // Remaining wall budget, like the Python chain's max(deadline-spent, 1).
-  double spent = std::chrono::duration<double>(
-                     std::chrono::steady_clock::now() - t0)
-                     .count();
-  double remaining = deadline_s - spent;
-  if (remaining < 1.0) remaining = 1.0;
-  auto t_end = std::chrono::steady_clock::now() +
-               std::chrono::microseconds((int64_t)(remaining * 1e6));
-
-  // Single-word raw gap masks for the (Mi <= 64) replay.
-  std::vector<uint64_t> gmask1(std::max(total_gaps, 1), 0);
-  for (int g = 0; g < total_gaps; ++g) gmask1[g] = gmask_raw[(size_t)g * W];
-  std::vector<uint64_t> I1(N), C1(N);
-  for (int i = 0; i < N; ++i) {
-    I1[i] = I_raw[(size_t)i * W];
-    C1[i] = C_raw[(size_t)i * W];
-  }
-
-  std::vector<int32_t> cl_assigned(std::max(N, 1));
-  int32_t cl_n = 0;
-  double cl_obj = 0.0;
-  uint64_t cl_E = 0;
-  int est = freddie_run_enum(
-      N, I1.data(), C1.data(), garbage, seg_len, gap_counts, gmask1.data(),
-      gap_lens, n_incomp, incomp_pairs, sc, eps, off, enum_order.data(),
-      enum_opt.data(), (int64_t)enum_order.size(), t_end, seed_gain,
-      cl_assigned.data(), &cl_n, &cl_obj, &cl_E);
-  if (est == 1) return 4;  // closure TIMEOUT; phase-1 incumbent stands
-  *out_obj = cl_obj;
-  *out_n = cl_n;
-  for (int i = 0; i < cl_n; ++i) out_assigned[i] = cl_assigned[i];
-  for (int w = 0; w < W; ++w) out_E[w] = 0;
-  out_E[0] = cl_E;
-  return 3;
+  // solver/segenum.solve_segment_enum_closure). Content-only gates; the
+  // word count (u64 vs u128) is chosen by Mi, never by environment, and
+  // both instantiate the same templated canonical loop.
+  if (n_segs < 1 || n_segs > (int)closure_max_segs || n_segs > 128) return 2;
+  if (n_segs <= 64)
+    return closure_escalate<uint64_t>(
+        N, n_segs, W, I_raw, C_raw, garbage, seg_len, gap_counts, gmask_raw,
+        total_gaps, gap_lens, n_incomp, incomp_pairs, sc, eps, off, p1_obj,
+        closure_cap, bounds_device_min, t0, deadline_s, out_assigned, out_n,
+        out_obj, out_E, W);
+  return closure_escalate<u128>(
+      N, n_segs, W, I_raw, C_raw, garbage, seg_len, gap_counts, gmask_raw,
+      total_gaps, gap_lens, n_incomp, incomp_pairs, sc, eps, off, p1_obj,
+      closure_cap, bounds_device_min, t0, deadline_s, out_assigned, out_n,
+      out_obj, out_E, W);
 }
 
 }  // extern "C"

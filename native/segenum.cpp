@@ -21,11 +21,36 @@
 
 namespace {
 
+// Mask helpers shared by the u64 and u128 instantiations. The u128 form
+// lifts the closure/replay escalations past 64 informative segments
+// (Mi <= 128) with IDENTICAL semantics: popcounts, set-bit length sums
+// and the numeric (ascending) mask order all generalize verbatim.
+inline int mask_popcnt(uint64_t x) { return __builtin_popcountll(x); }
+inline int mask_popcnt(unsigned __int128 x) {
+  return __builtin_popcountll((uint64_t)x) +
+         __builtin_popcountll((uint64_t)(x >> 64));
+}
+
+inline int64_t mask_seg_sum(uint64_t m, const int64_t* seg_len) {
+  int64_t s = 0;
+  while (m) {
+    int b = __builtin_ctzll(m);
+    s += seg_len[b];
+    m &= m - 1;
+  }
+  return s;
+}
+inline int64_t mask_seg_sum(unsigned __int128 m, const int64_t* seg_len) {
+  return mask_seg_sum((uint64_t)m, seg_len) +
+         mask_seg_sum((uint64_t)(m >> 64), seg_len + 64);
+}
+
+template <typename MASK>
 struct SubCtx {
   int n_sub;
-  uint64_t E;
+  MASK E;
   const double* delta;        // [n_sub]
-  const uint64_t* I;          // [n_sub]
+  const MASK* I;              // [n_sub]
   const uint64_t* conf;       // [n_sub][conf_words] bitset over sub positions
   int conf_words;
   double best_gain;
@@ -57,7 +82,8 @@ struct SubCtx {
   bool timed_out = false;
 };
 
-void rec(SubCtx& c, int p, double gain, uint64_t uni) {
+template <typename MASK>
+void rec(SubCtx<MASK>& c, int p, double gain, MASK uni) {
   if (c.timed_out) return;
   if ((++c.nodes & 0xFFFF) == 0 &&
       std::chrono::steady_clock::now() > c.t_end) {
@@ -70,7 +96,7 @@ void rec(SubCtx& c, int p, double gain, uint64_t uni) {
   // which would count excluded positions as available).
   double total_max = 0.0;
   const int64_t epoch = c.nodes;
-  uint64_t avail_uni = 0;
+  MASK avail_uni = 0;
   for (int q = p; q < c.n_sub; ++q) {
     if (c.excluded[q]) continue;
     avail_uni |= c.I[q];
@@ -119,35 +145,22 @@ void rec(SubCtx& c, int p, double gain, uint64_t uni) {
   rec(c, p + 1, gain, uni);
 }
 
-}  // namespace
-
-// The canonical incumbent loop over structures: visits `order` (already
-// sorted ascending by (optimistic, mask)), solving the per-E optimal
-// conflict-free covering assignment by DFS; identical semantics and
-// tie-breaks to solver/segenum.py's _replay + _PerStructure.best_for.
-// Shared by the full-enumeration entry (solve_segenum), the
-// bound-filtered wide entry (solve_segenum_list) and the consolidated
-// round solver (round_solver.cpp) -- hence external linkage.
-// seed_gain: an external DFS floor (-inf to disable). The caller derives
-// it from a FEASIBLE incumbent cost c as g_total - c - granularity, so
-// "gain > seed_gain" admits exactly the assignments with cost <= c
-// (objectives are multiples of the granularity); since the global
-// optimum c* satisfies c* <= c, the first structure attaining c* is
-// still found and the canonical result is unchanged -- intermediate
-// incumbent updates with cost > c are skipped, which only weakens the
-// (ascending-optimistic) early break, never the answer.
-int freddie_run_enum(
+// The canonical incumbent loop, templated on the mask word type (u64 for
+// Mi <= 64, u128 for Mi <= 128); body identical -- see freddie_run_enum's
+// contract comment below.
+template <typename MASK>
+int run_enum_t(
     int n_reads,
-    const uint64_t* I_masks, const uint64_t* C_masks, const double* garbage,
+    const MASK* I_masks, const MASK* C_masks, const double* garbage,
     const int64_t* seg_len,
-    const int32_t* gap_counts, const uint64_t* gap_masks,
+    const int32_t* gap_counts, const MASK* gap_masks,
     const int64_t* gap_lens,
     int n_incomp, const int32_t* incomp_pairs,
     int64_t sc, int64_t eps, int64_t off,
-    const uint64_t* order, const double* order_opt, int64_t n_order,
+    const MASK* order, const double* order_opt, int64_t n_order,
     std::chrono::steady_clock::time_point t_end, double seed_gain,
     int32_t* out_assigned, int32_t* out_n_assigned,
-    double* out_objective, uint64_t* out_E) {
+    double* out_objective, MASK* out_E) {
   double g_total = 0;
   for (int i = 0; i < n_reads; ++i) g_total += garbage[i];
 
@@ -168,7 +181,7 @@ int freddie_run_enum(
   }
 
   double best_cost = g_total;
-  uint64_t best_E = 0;
+  MASK best_E = 0;
   std::vector<int> best_S;
 
   // Global greedy first-fit clique cover of the conflict graph (read
@@ -214,7 +227,7 @@ int freddie_run_enum(
   bool timed_out = false;
 
   for (int64_t oi = 0; oi < n_order; ++oi) {
-    uint64_t E = order[oi];
+    MASK E = order[oi];
     if (order_opt[oi] >= best_cost) break;
     if (std::chrono::steady_clock::now() > t_end) {
       timed_out = true;
@@ -226,13 +239,7 @@ int freddie_run_enum(
       if (I_masks[i] & ~E) continue;
       bool ok = true;
       for (int gidx = gap_off[i]; gidx < gap_off[i + 1]; ++gidx) {
-        uint64_t gm = gap_masks[gidx] & E;
-        int64_t G = 0;
-        while (gm) {
-          int b = __builtin_ctzll(gm);
-          G += seg_len[b];
-          gm &= gm - 1;
-        }
+        int64_t G = mask_seg_sum((MASK)(gap_masks[gidx] & E), seg_len);
         int64_t l = gap_lens[gidx];
         if (!((sc - eps) * G <= sc * (l + off) &&
               sc * (l - off) <= (sc + eps) * G)) {
@@ -241,10 +248,10 @@ int freddie_run_enum(
         }
       }
       if (!ok) continue;
-      cand_delta[i] = garbage[i] - (double)__builtin_popcountll(C_masks[i] & E);
+      cand_delta[i] = garbage[i] - (double)mask_popcnt((MASK)(C_masks[i] & E));
       cand.push_back(i);
     }
-    if (E && cand.empty()) continue;
+    if (E != (MASK)0 && cand.empty()) continue;
 
     if (n_incomp > 0) {
       // Fused tight-bound early skip: the candidate deltas are already
@@ -284,7 +291,7 @@ int freddie_run_enum(
 
     // has_conf within the candidate set; free-assign unconflicted d>=0.
     double base_gain = 0.0;
-    uint64_t base_union = 0;
+    MASK base_union = 0;
     rest_idx.clear();
     std::vector<int> free_reads;
     for (int p = 0; p < n_all; ++p) {
@@ -306,7 +313,7 @@ int freddie_run_enum(
     }
     int n_sub = (int)rest_idx.size();
     std::vector<double> sub_delta(n_sub);
-    std::vector<uint64_t> sub_I(n_sub);
+    std::vector<MASK> sub_I(n_sub);
     int cw = (n_sub + 63) / 64;
     if (cw == 0) cw = 1;
     std::vector<uint64_t> sub_conf((size_t)n_sub * cw, 0);
@@ -345,7 +352,7 @@ int freddie_run_enum(
       cl_members[placed][p >> 6] |= 1ull << (p & 63);
     }
 
-    SubCtx sctx;
+    SubCtx<MASK> sctx;
     sctx.n_sub = n_sub;
     sctx.E = E;
     sctx.delta = sub_delta.data();
@@ -390,6 +397,82 @@ int freddie_run_enum(
   *out_n_assigned = (int32_t)best_S.size();
   for (size_t i = 0; i < best_S.size(); ++i) out_assigned[i] = best_S[i];
   return timed_out ? 1 : 0;
+}
+
+}  // namespace
+
+// The canonical incumbent loop over structures: visits `order` (already
+// sorted ascending by (optimistic, mask)), solving the per-E optimal
+// conflict-free covering assignment by DFS; identical semantics and
+// tie-breaks to solver/segenum.py's _replay + _PerStructure.best_for.
+// Shared by the full-enumeration entry (solve_segenum), the
+// bound-filtered wide entry (solve_segenum_list) and the consolidated
+// round solver (round_solver.cpp) -- hence external linkage.
+// seed_gain: an external DFS floor (-inf to disable). The caller derives
+// it from a FEASIBLE incumbent cost c as g_total - c - granularity, so
+// "gain > seed_gain" admits exactly the assignments with cost <= c
+// (objectives are multiples of the granularity); since the global
+// optimum c* satisfies c* <= c, the first structure attaining c* is
+// still found and the canonical result is unchanged -- intermediate
+// incumbent updates with cost > c are skipped, which only weakens the
+// (ascending-optimistic) early break, never the answer.
+int freddie_run_enum(
+    int n_reads,
+    const uint64_t* I_masks, const uint64_t* C_masks, const double* garbage,
+    const int64_t* seg_len,
+    const int32_t* gap_counts, const uint64_t* gap_masks,
+    const int64_t* gap_lens,
+    int n_incomp, const int32_t* incomp_pairs,
+    int64_t sc, int64_t eps, int64_t off,
+    const uint64_t* order, const double* order_opt, int64_t n_order,
+    std::chrono::steady_clock::time_point t_end, double seed_gain,
+    int32_t* out_assigned, int32_t* out_n_assigned,
+    double* out_objective, uint64_t* out_E) {
+  return run_enum_t<uint64_t>(
+      n_reads, I_masks, C_masks, garbage, seg_len, gap_counts, gap_masks,
+      gap_lens, n_incomp, incomp_pairs, sc, eps, off, order, order_opt,
+      n_order, t_end, seed_gain, out_assigned, out_n_assigned, out_objective,
+      out_E);
+}
+
+// Two-word (Mi <= 128) canonical replay. Word arrays are little-endian
+// [n][2] uint64 pairs (lo, hi); the enum runs on unsigned __int128 with
+// semantics identical to the u64 form (same visit order -- numeric mask
+// ascension -- same tie-breaks, same per-E scan).
+int freddie_run_enum_w2(
+    int n_reads,
+    const uint64_t* I_masks2, const uint64_t* C_masks2, const double* garbage,
+    const int64_t* seg_len,
+    const int32_t* gap_counts, const uint64_t* gap_masks2,
+    const int64_t* gap_lens,
+    int n_incomp, const int32_t* incomp_pairs,
+    int64_t sc, int64_t eps, int64_t off,
+    const uint64_t* order2, const double* order_opt, int64_t n_order,
+    std::chrono::steady_clock::time_point t_end, double seed_gain,
+    int32_t* out_assigned, int32_t* out_n_assigned,
+    double* out_objective, uint64_t* out_E2) {
+  typedef unsigned __int128 u128;
+  auto widen = [](const uint64_t* w2, int64_t n) {
+    std::vector<u128> v((size_t)std::max<int64_t>(n, 1), 0);
+    for (int64_t i = 0; i < n; ++i)
+      v[i] = (u128)w2[2 * i] | ((u128)w2[2 * i + 1] << 64);
+    return v;
+  };
+  int total_gaps = 0;
+  for (int i = 0; i < n_reads; ++i) total_gaps += gap_counts[i];
+  std::vector<u128> I = widen(I_masks2, n_reads);
+  std::vector<u128> C = widen(C_masks2, n_reads);
+  std::vector<u128> gm = widen(gap_masks2, total_gaps);
+  std::vector<u128> ord = widen(order2, n_order);
+  u128 E = 0;
+  int st = run_enum_t<u128>(
+      n_reads, I.data(), C.data(), garbage, seg_len, gap_counts, gm.data(),
+      gap_lens, n_incomp, incomp_pairs, sc, eps, off, ord.data(), order_opt,
+      n_order, t_end, seed_gain, out_assigned, out_n_assigned, out_objective,
+      &E);
+  out_E2[0] = (uint64_t)E;
+  out_E2[1] = (uint64_t)(E >> 64);
+  return st;
 }
 
 extern "C" {
@@ -473,7 +556,8 @@ int solve_segenum(
 // Serves two escalations (both computed by solver/segenum.py):
 //   - wide (20 < Mi <= 26): the XLA kernel bounds every mask, masks that
 //     could beat the incumbent survive;
-//   - union-closure (20 < Mi <= 64): the closure of the reads' I-masks
+//   - union-closure (20 < Mi <= 64 here; the two-word entry below takes
+//     over to Mi <= 128): the closure of the reads' I-masks
 //     under OR -- exactly the coverable structures -- with bounds from
 //     the same formula.
 // Per-E semantics are the established bit-equal twin of the Python
@@ -501,6 +585,34 @@ int solve_segenum_list(
                   gap_masks, gap_lens, n_incomp, incomp_pairs, sc, eps, off,
                   order, order_opt, n_order, t_end, seed_gain,
                   out_assigned, out_n_assigned, out_objective, out_E);
+}
+
+// Two-word form of solve_segenum_list (64 < Mi <= 128): all mask inputs
+// are little-endian [n][2] uint64 pairs; out_E is [2]. Semantics are the
+// u128 instantiation of the same canonical replay.
+int solve_segenum_list_w2(
+    int n_reads, int n_segs,
+    const uint64_t* I_masks2, const uint64_t* C_masks2, const double* garbage,
+    const int64_t* seg_len,
+    const int32_t* gap_counts, const uint64_t* gap_masks2,
+    const int64_t* gap_lens,
+    int n_incomp, const int32_t* incomp_pairs,
+    int64_t sc, int64_t eps, int64_t off,
+    const uint64_t* order2,     // [n_order][2] pre-sorted masks
+    const double* order_opt,    // [n_order] their optimistic bounds
+    int64_t n_order,
+    double deadline_s,
+    double seed_gain,           // external DFS floor; -inf disables
+    int32_t* out_assigned, int32_t* out_n_assigned,
+    double* out_objective, uint64_t* out_E2) {
+  if (n_segs > 128) return -1;
+  auto t_end = std::chrono::steady_clock::now() +
+               std::chrono::microseconds((int64_t)(deadline_s * 1e6));
+  return freddie_run_enum_w2(
+      n_reads, I_masks2, C_masks2, garbage, seg_len, gap_counts, gap_masks2,
+      gap_lens, n_incomp, incomp_pairs, sc, eps, off, order2, order_opt,
+      n_order, t_end, seed_gain, out_assigned, out_n_assigned, out_objective,
+      out_E2);
 }
 
 }  // extern "C"

@@ -188,13 +188,42 @@ def test_closure_equals_full_enumeration_canon(seed, monkeypatch):
 
 
 def test_closure_gates():
-    """Content-only decline: Mi > CLOSURE_MAX_SEGS is not the closure
-    path's job; small Mi now IS (it runs before full enumeration and
-    returns the identical canonical result -- test_small_mi_closure)."""
+    """Content-only decline: Mi > CLOSURE_MAX_SEGS (128 since the
+    two-word generalization) is not the closure path's job; small Mi now
+    IS (it runs before full enumeration and returns the identical
+    canonical result -- test_small_mi_closure)."""
     from freddie_tpu.solver.segenum import solve_segment_enum_closure
 
     rng = np.random.default_rng(5)
-    assert solve_segment_enum_closure(dense_instance(rng, 8, 70)) is None
+    assert solve_segment_enum_closure(dense_instance(rng, 8, 130)) is None
+    # 64 < Mi <= 128 is now in range (the two-word path).
+    assert solve_segment_enum_closure(dense_instance(rng, 8, 70)) is not None
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_wide_mi_closure_native_equals_python_replay(seed):
+    """64 < Mi <= 128: the native u128 replay and the Python word-array
+    fallback must return the identical canonical result on dense
+    near-duplicate instances (the shape the two-word rung exists for)."""
+    import unittest.mock as mock
+
+    import freddie_tpu.solver.native as native_mod
+    from freddie_tpu.solver.segenum import solve_segment_enum_closure
+
+    rng = np.random.default_rng(seed + 9100)
+    mi = int(rng.integers(65, 129))
+    n = int(rng.integers(10, 40))
+    inst = dense_instance(rng, n, mi)
+    a = solve_segment_enum_closure(inst)
+    with mock.patch.object(
+        native_mod, "solve_segenum_list_native", lambda *ar, **kw: None
+    ):
+        b = solve_segment_enum_closure(inst)
+    assert a is not None and b is not None
+    assert (a.status, a.objective, a.assigned) == (
+        b.status, b.objective, b.assigned
+    )
+    assert (np.asarray(a.isoform) == np.asarray(b.isoform)).all()
 
 
 def test_small_mi_closure_equals_full_enum():

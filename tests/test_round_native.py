@@ -113,6 +113,42 @@ def test_round_native_closure_declined(seed, monkeypatch):
     assert_same(got, want)
 
 
+@pytest.mark.parametrize("seed", range(10))
+def test_round_native_matches_chain_wide_mi(seed, monkeypatch):
+    """64 < Mi <= 128 (the two-word closure): the consolidated native
+    call (u128 closure + enum) and the pure-Python chain (word-array
+    _PerStructure + Python-int closure) must stay bit-identical across
+    whatever escalation the content picks (closure OPTIMAL, closure
+    declined -> LP/full, ...)."""
+    monkeypatch.setattr(tp, "NODE_BUDGET", 5)  # force past phase 1
+    rng = np.random.default_rng(seed + 5400)
+    N = int(rng.integers(6, 32))
+    M = int(rng.integers(65, 129))
+    inst = attach_flat(random_instance(rng, N, M))
+    got = tp.solve_two_phase(inst, 60.0)
+    want = solve_python_chain(inst, 60.0)
+    assert got.status == "OPTIMAL"
+    assert_same(got, want)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_wide_mi_closure_objective_is_optimal(seed, monkeypatch):
+    """The two-word closure's objective equals the unbudgeted exact
+    read-DFS optimum (engines may tie-break differently among equally
+    optimal solutions; the objective is the optimality witness)."""
+    from freddie_tpu.solver.exact import solve_exact
+
+    monkeypatch.setattr(tp, "NODE_BUDGET", 5)
+    rng = np.random.default_rng(seed + 5500)
+    N = int(rng.integers(4, 16))
+    M = int(rng.integers(65, 129))
+    inst = attach_flat(random_instance(rng, N, M))
+    got = tp.solve_two_phase(inst, 60.0)
+    full = solve_exact(inst, 120.0)
+    assert got.status == full.status == "OPTIMAL"
+    assert got.objective == full.objective
+
+
 def test_round_native_empty_instance():
     rng = np.random.default_rng(0)
     inst = attach_flat(random_instance(rng, 2, 3))
