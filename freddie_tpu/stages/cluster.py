@@ -573,6 +573,12 @@ def run_cluster(segment_dir: str, outdir: str, cfg: ClusterConfig | None = None,
         from concurrent.futures import ProcessPoolExecutor
         from concurrent.futures.process import BrokenProcessPool
 
+        # NOTE for script authors: spawn workers re-import __main__, so a
+        # driver script calling run_cluster MUST guard its top level with
+        # `if __name__ == "__main__":` (standard multiprocessing rule;
+        # same as the isoforms pool -- an unguarded rmtree at module
+        # scope would re-execute inside every worker).
+        #
         # Biggest inputs first: tint wall time tracks input size, and a
         # multi-second tint scheduled last would own the stage's tail.
         order = sorted(
