@@ -116,6 +116,46 @@ def test_cluster_per_tint_resume_recomputes_only_missing(pipe, tmp_path):
         assert os.path.getmtime(p) == m, f"{p} was rewritten"
 
 
+def test_cluster_pool_degrades_to_threads(pipe, tmp_path, monkeypatch):
+    """A broken spawn pool (workers dying at startup -- container limits,
+    signal storms) must degrade to the thread path mid-stage, with any
+    tints the pool completed before breaking resumed idempotently and
+    the final outputs byte-identical to a healthy run."""
+    from concurrent.futures.process import BrokenProcessPool
+
+    import freddie_tpu.stages.cluster as cl
+
+    _bam, _fq, out = pipe
+    seg_dir = os.path.join(out, "segment")
+    monkeypatch.setattr(cl, "POOL_MIN_BYTES", 0)  # force the pool branch
+
+    class _Broken:
+        def __init__(self, *a, **k):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def map(self, *a, **k):
+            raise BrokenProcessPool("simulated worker death")
+
+    import concurrent.futures
+
+    monkeypatch.setattr(concurrent.futures, "ProcessPoolExecutor", _Broken)
+    redo = str(tmp_path / "cluster_degraded")
+    n = run_cluster(seg_dir, redo, ClusterConfig(threads=2))
+    assert n > 0
+    for root, _dirs, fns in os.walk(os.path.join(out, "cluster")):
+        for fn in fns:
+            if fn.startswith("cluster_") and fn.endswith(".tsv"):
+                a = os.path.join(root, fn)
+                b = a.replace(os.path.join(out, "cluster"), redo, 1)
+                assert open(a).read() == open(b).read(), fn
+
+
 def test_solver_timeout_routes_reads_to_garbage(pipe, monkeypatch):
     """The reference's Gurobi TimeLimit -> non-OPTIMAL -> garbage semantics
     (py/freddie_cluster.py:750-751,767-773): a solver that cannot prove
