@@ -310,6 +310,16 @@ class _PerStructure:
         chosen: list[int] = []
         nodes = 0
         dplus = [max(d, 0.0) for d in sub_delta]
+        # Dominance obligations: rejected FREE positions with delta > 0
+        # must eventually conflict with a chosen position -- otherwise
+        # every completion below keeps them free and is strictly
+        # improvable by adding them (subset-compatible and gap-feasible
+        # by candidacy, conflict-free by excluded == 0, coverage only
+        # grows within E), so the subtree holds no optimum and pruning
+        # it cannot change the canonical first-found optimum. Twin of
+        # the identical rule in native/segenum.cpp's rec.
+        oblig: list[int] = []
+        excluded_bits = 0  # int bitmask of positions with excluded > 0
         # excluded[q] = how many chosen positions conflict with q. The
         # conflict-aware prune grants at most ONE positive profit per
         # conflict clique among the non-excluded remaining positions
@@ -343,7 +353,7 @@ class _PerStructure:
         clique_epoch = [-1] * n_cliques
 
         def rec(p: int, gain: float, union: int):
-            nonlocal best_gain, best_sub, nodes
+            nonlocal best_gain, best_sub, nodes, excluded_bits
             nodes += 1
             if t_end is not None and (nodes & 0xFFFF) == 0:
                 import time
@@ -371,6 +381,16 @@ class _PerStructure:
                 return
             if gain + total_max <= best_gain:
                 return
+            # Dominance prune: an unsatisfied obligation with no
+            # choosable remaining neighbor kills the subtree (within a
+            # subtree, excluded counts are monotone non-decreasing, so
+            # currently-barred neighbors stay barred below).
+            suffix = -1 << p
+            for q in oblig:
+                if excluded[q]:
+                    continue  # satisfied: a chosen neighbor exists
+                if not (conf_bits[q] & ~excluded_bits & suffix):
+                    return
             if p == n_sub:
                 if union == E and gain > best_gain:
                     best_gain = gain
@@ -381,10 +401,21 @@ class _PerStructure:
                 chosen.append(p)
                 for q in sub_conf[p]:
                     excluded[q] += 1
+                    if excluded[q] == 1:
+                        excluded_bits |= 1 << int(q)
                 rec(p + 1, gain + sub_delta[p], union | sub_I[p])
                 for q in sub_conf[p]:
                     excluded[q] -= 1
+                    if excluded[q] == 0:
+                        excluded_bits &= ~(1 << int(q))
                 chosen.pop()
+                if sub_delta[p] > 0:
+                    # Reject branch of a free positive-profit position:
+                    # record the obligation for the prune above.
+                    oblig.append(p)
+                    rec(p + 1, gain, union)
+                    oblig.pop()
+                    return
             rec(p + 1, gain, union)
 
         # E == 0 is NOT special: reads with no exons can profitably join

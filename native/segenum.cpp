@@ -69,6 +69,19 @@ struct SubCtx {
   // identical construction in solver/segenum.py (exact multiples of 0.5
   // in double keep the node paths bit-equal).
   std::vector<int32_t> excluded;
+  // excluded_bits[w]: positions with excluded[] > 0, kept in lockstep by
+  // the branch bookkeeping; oblig: rejected FREE positions with
+  // delta > 0. Dominance invariant: each obligation must eventually
+  // conflict with a chosen position -- otherwise every completion below
+  // keeps it free and is strictly improvable by adding it (it is
+  // subset-compatible and gap-feasible by candidacy, conflict-free by
+  // excluded[q] == 0, and coverage only grows within E), so no optimum
+  // lives in the subtree and pruning it cannot change the canonical
+  // first-found optimum. Within a subtree excluded[] counts are
+  // monotone non-decreasing (the chosen stack only grows before
+  // shrinking back), which is what makes the viability check sound.
+  std::vector<uint64_t> excluded_bits;
+  std::vector<int> oblig;
   const double* dplus;
   const int32_t* clique_of;   // [n_sub] greedy first-fit cover, DFS order
   int n_cliques;
@@ -110,6 +123,19 @@ void rec(SubCtx<MASK>& c, int p, double gain, MASK uni) {
   }
   if (((uni | avail_uni) & c.E) != c.E) return;
   if (gain + total_max <= c.best_gain) return;
+  // Dominance prune (see the oblig comment in SubCtx): an unsatisfied
+  // obligation with no choosable remaining neighbor kills the subtree.
+  for (int q : c.oblig) {
+    if (c.excluded[q]) continue;  // satisfied: a chosen neighbor exists
+    const uint64_t* row = c.conf + (size_t)q * c.conf_words;
+    bool viable = false;
+    for (int w = (p >> 6); w < c.conf_words && !viable; ++w) {
+      uint64_t bits = row[w] & ~c.excluded_bits[w];
+      if (w == (p >> 6)) bits &= ~((1ull << (p & 63)) - 1);
+      if (bits) viable = true;
+    }
+    if (!viable) return;
+  }
   if (p == c.n_sub) {
     if (uni == c.E && gain > c.best_gain) {
       c.best_gain = gain;
@@ -126,7 +152,8 @@ void rec(SubCtx<MASK>& c, int p, double gain, MASK uni) {
       uint64_t bits = crow[w];
       while (bits) {
         int b = __builtin_ctzll(bits);
-        ++c.excluded[(w << 6) + b];
+        if (++c.excluded[(w << 6) + b] == 1)
+          c.excluded_bits[w] |= 1ull << b;
         bits &= bits - 1;
       }
     }
@@ -135,12 +162,21 @@ void rec(SubCtx<MASK>& c, int p, double gain, MASK uni) {
       uint64_t bits = crow[w];
       while (bits) {
         int b = __builtin_ctzll(bits);
-        --c.excluded[(w << 6) + b];
+        if (--c.excluded[(w << 6) + b] == 0)
+          c.excluded_bits[w] &= ~(1ull << b);
         bits &= bits - 1;
       }
     }
     c.chosen_bits[p >> 6] &= ~(1ull << (p & 63));
     c.chosen.pop_back();
+    if (c.delta[p] > 0) {
+      // Reject branch of a free positive-profit position: record the
+      // obligation for the dominance prune above.
+      c.oblig.push_back(p);
+      rec(c, p + 1, gain, uni);
+      c.oblig.pop_back();
+      return;
+    }
   }
   rec(c, p + 1, gain, uni);
 }
@@ -373,6 +409,7 @@ int run_enum_t(
     sctx.best_gain = floor_gain;
     sctx.chosen_bits.assign(cw, 0);
     sctx.excluded.assign((size_t)cw * 64, 0);
+    sctx.excluded_bits.assign(cw, 0);
     sctx.dplus = dplus.data();
     sctx.t_end = t_end;
     rec(sctx, 0, base_gain, base_union);
