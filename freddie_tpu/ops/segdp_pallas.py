@@ -64,10 +64,10 @@ def _phase1_block(P: int, R: int, wide_weights: bool, p1v: int = 2) -> int:
 
 def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
             K_ref,
-            O_ref, OT_ref, IN_ref, IN2_ref, H_ref, SM_ref,
-            *, P, R, scale, read_support, wide_weights, blocked=True,
+            O_ref, OT_ref, IN_ref, IN2_ref, H_ref, SM_ref, *extra_scratch,
+            P, R, scale, read_support, wide_weights, blocked=True,
             unroll1=False, unroll2=False, phases=3, kb_override=0, un=4,
-            p1v=2):
+            p1v=4):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -102,6 +102,15 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
     # amortize instruction issue and let the contraction run as one
     # batched dot per block.
     KB = kb_override or _phase1_block(P, R, wide_weights, p1v)
+
+    if p1v == 4:
+        # Pre-padded "from"-indicator scratches: rows [0, P) receive the
+        # per-block selects, row P is the constant ones sublane (written
+        # once, reused by every block), so the two per-block (KB, P, R)
+        # concat copies of p1v=2 disappear -- the dots read the scratch.
+        NE_ref, YE_ref = extra_scratch
+        NE_ref[:, pl.ds(P, 1), :] = jnp.ones((KB, 1, R), jnp.float32)
+        YE_ref[:, pl.ds(P, 1), :] = jnp.ones((KB, 1, R), jnp.float32)
 
     def phase1_blocked(t, _):
         k0 = t * KB
@@ -195,6 +204,34 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
                 nw_hi = jnp.where(nay_to, W_hib[None], bzero)
                 ey_hi = bdot(yw_hi, nay_ext)
                 en_hi = bdot(nw_hi, yea_ext)
+                out_blk = out_blk + 128.0 * (ey_hi[:, :, :P] + en_hi[:, :, :P])
+                sums = sums + 128.0 * (ey_hi[:, :, P] + en_hi[:, :, P])
+            O_ref[pl.ds(k0, KB)] = jnp.where(out_blk < gate, neg, out_blk)
+            IN_ref[pl.ds(k0, KB), :] = -(w_sum - sums)
+            return 0
+
+        if p1v == 4:
+            # p1v=2 minus the concat copies: the "from" selects write
+            # straight into the pre-padded scratches (ones sublane at row
+            # P written once outside the loop), so two full (KB, P, R)
+            # copy passes disappear. Value-identical to p1v=2 by
+            # construction (the scratch contents equal the concat).
+            yea_fb, nay_fb = from_indicators(jnp.float32)
+            NE_ref[:, pl.ds(0, P), :] = nay_fb
+            YE_ref[:, pl.ds(0, P), :] = yea_fb
+            yea_to = T1 > thiT  # pair (p, k0+i)
+            nay_to = T1 < tloT
+            yw_lo = jnp.where(yea_to, W_lo[None], zero)  # (KB, P, R)
+            nw_lo = jnp.where(nay_to, W_lo[None], zero)
+            ey = bdot(yw_lo, NE_ref[...])  # (KB, P, P+1)
+            en = bdot(nw_lo, YE_ref[...])
+            out_blk = ey[:, :, :P] + en[:, :, :P]
+            sums = ey[:, :, P] + en[:, :, P]  # (KB, P)
+            if wide_weights:
+                yw_hi = jnp.where(yea_to, W_hi[None], zero)
+                nw_hi = jnp.where(nay_to, W_hi[None], zero)
+                ey_hi = bdot(yw_hi, NE_ref[...])
+                en_hi = bdot(nw_hi, YE_ref[...])
                 out_blk = out_blk + 128.0 * (ey_hi[:, :, :P] + en_hi[:, :, :P])
                 sums = sums + 128.0 * (ey_hi[:, :, P] + en_hi[:, :, P])
             O_ref[pl.ds(k0, KB)] = jnp.where(out_blk < gate, neg, out_blk)
@@ -408,7 +445,7 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
 def solve_batch_pallas(C, y, W, n_cand, read_support, lookup, scale,
                        interpret=False, wide_weights=True, blocked=True,
                        unroll1=False, unroll2=False, phases=3,
-                       kb_override=0, un=4, p1v=2):
+                       kb_override=0, un=4, p1v=4):
     """Same contract as ops.segdp._solve_batch_jax: returns (K, best_j,
     best_k). C:(B,P,R) i32, y:(B,P) i32, W:(B,R) f32, n_cand:(B,) i32.
 
@@ -462,7 +499,14 @@ def solve_batch_pallas(C, y, W, n_cand, read_support, lookup, scale,
             pltpu.VMEM((P, P), jnp.float32),  # IN2 = transpose(IN)
             pltpu.VMEM((P, P), jnp.float32),  # H
             pltpu.VMEM((P, P), jnp.float32),  # small
-        ],
+        ] + ([
+            # p1v=4: pre-padded "from"-indicator planes (ones sublane at
+            # row P written once; rows [0, P) refilled per block).
+            pltpu.VMEM((kb_override or _phase1_block(P, R, wide_weights, 4),
+                        P + 1, R), jnp.float32),
+            pltpu.VMEM((kb_override or _phase1_block(P, R, wide_weights, 4),
+                        P + 1, R), jnp.float32),
+        ] if p1v == 4 else []),
     )
     (K,) = pl.pallas_call(
         kernel,

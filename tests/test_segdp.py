@@ -205,11 +205,14 @@ def test_pallas_interpret_matches_xla(wide):
 
 
 @pytest.mark.parametrize("wide", [False, True])
-def test_pallas_p1v3_bit_identical(wide):
-    """The bf16-operand phase-1 variant (p1v=3) must match p1v=2 bit for
-    bit: every pair-tensor value is an integer 0..127 (exact in bf16) and
-    the f32 MXU path rounds operands to bf16 anyway, so the products and
-    their f32 accumulation (<= R*127 < 2^24 terms) are identical."""
+@pytest.mark.parametrize("variant", [3, 4])
+def test_pallas_p1v_variants_bit_identical(wide, variant):
+    """Phase-1 variants must match p1v=2 bit for bit. p1v=3 (bf16
+    operands): every pair-tensor value is an integer 0..127 (exact in
+    bf16) and the f32 MXU path rounds operands to bf16 anyway, so the
+    products and their f32 accumulation (<= R*127 < 2^24 terms) are
+    identical. p1v=4 (pre-padded scratch instead of concat): the scratch
+    contents equal the concatenated tensors by construction."""
     import jax.numpy as jnp
 
     from freddie_tpu.ops.segdp_pallas import solve_batch_pallas
@@ -232,7 +235,7 @@ def test_pallas_p1v3_bit_identical(wide):
         n_cand[b] = p
     lookup = jnp.asarray(thr.lookup)
     outs = []
-    for v in (2, 3):
+    for v in (2, variant):
         outs.append(solve_batch_pallas(
             jnp.asarray(C), jnp.asarray(y), jnp.asarray(W),
             jnp.asarray(n_cand), 3, lookup, thr.scale, interpret=True,

@@ -6,8 +6,10 @@ Usage: python tools/sweep_kernel.py [kb1:un1[:p1v1] kb2:un2[:p1v2] ...]
 
 kb = phase-1 K-block override (0 = the built-in heuristic);
 un = phase-2 wavefront steps per loop iteration;
-p1v = phase-1 variant (0 = bool-materializing, 1 = fused selects +
-      MXU ones-dot row sums; default 1 = the production path).
+p1v = phase-1 variant (0 = bool-materializing; 1 = fused selects +
+      MXU ones-dot row sums, Mosaic-blocked here; 2 = ones sublane
+      appended by concat; 3 = bf16 operands, Mosaic-blocked here;
+      4 = pre-padded scratch planes, the production default).
 
 Each config is a distinct Mosaic compile. Through the axon tunnel a
 process wedges after ~2 fresh remote compiles (see tools/warm_kernels.py),
@@ -85,7 +87,7 @@ def main():
     for arg in sys.argv[1:] or ["16:4", "8:4", "16:2", "16:7", "16:9"]:
         parts = [int(x) for x in arg.split(":")]
         kb, un = parts[0], parts[1]
-        p1v = parts[2] if len(parts) > 2 else 1
+        p1v = parts[2] if len(parts) > 2 else 4
         configs.append((kb, un, p1v))
     timeout_s = float(os.environ.get("FREDDIE_WARM_TIMEOUT_S", "700"))
     useful_flops = 4 * P**3 * R * B
