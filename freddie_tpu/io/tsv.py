@@ -205,9 +205,16 @@ def load_read_sequences(tint: SplitTint, reads_tsv: str) -> None:
 # -------------------------------------------------------------------- segment
 
 
+# 0/1/2 genotype values -> their ASCII digits in one C-speed pass.
+_DATA_DIGITS = bytes.maketrans(bytes(range(3)), b"012")
+
+
 def format_segment_tsv(tint: SplitTint, final_positions: list[int]) -> str:
     lines = ["\t".join([f"#{tint.chrom}", str(tint.id), ",".join(map(str, final_positions))])]
     for read in tint.reads:
+        # bytes(data).translate == "".join(map(str, data)) for values in
+        # 0..2 (the only genotypes), at C speed; the gap join reproduces
+        # "".join(f"{g}," ...) including the trailing comma.
         lines.append(
             "\t".join(
                 [
@@ -216,8 +223,8 @@ def format_segment_tsv(tint: SplitTint, final_positions: list[int]) -> str:
                     read.chrom,
                     read.strand,
                     str(read.tint),
-                    "".join(map(str, read.data)),
-                    "".join(f"{g}," for g in read.gaps),
+                    bytes(read.data).translate(_DATA_DIGITS).decode("ascii"),
+                    ",".join(read.gaps) + "," if read.gaps else "",
                 ]
             )
         )
