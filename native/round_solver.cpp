@@ -30,6 +30,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <unordered_set>
 #include <vector>
 
 extern "C" int solve_bnb(
@@ -73,6 +74,19 @@ int freddie_run_enum_w2(
 namespace {
 
 typedef unsigned __int128 u128;
+
+// Hash for the closure-build set (u64 and u128 masks). Only membership
+// depends on it -- every downstream consumer re-sorts canonically -- so
+// the hash function cannot affect results.
+struct MaskHash {
+  size_t operator()(uint64_t x) const {
+    return std::hash<uint64_t>()(x);
+  }
+  size_t operator()(u128 x) const {
+    return std::hash<uint64_t>()(
+        (uint64_t)x ^ ((uint64_t)(x >> 64) * 0x9e3779b97f4a7c15ull));
+  }
+};
 
 // Bits [lo, hi) of a multi-word mask (the gap windows from build_instance
 // are contiguous informative-column ranges).
@@ -170,6 +184,14 @@ int closure_escalate(
     int32_t* out_assigned, int32_t* out_n, double* out_obj,
     uint64_t* out_E, int out_words) {
   // Distinct raw I masks, ascending (np.unique); incremental OR-closure.
+  // Built with a hash set instead of per-merge sort/unique passes: the
+  // SET is identical (all unions of subsets of the distinct masks; a
+  // new mask m only spawns unions e|m of elements e already present --
+  // (e|m)|m = e|m, so unions-with-m of the new elements add nothing),
+  // and nothing downstream depends on the build order: the cap check
+  // sees the same sizes, the optimistic bounds are per-mask, and the
+  // enum order is re-sorted canonically by (optimistic, mask). The old
+  // build's per-merge sorts were ~85% of a closure solve at K ~ 15k.
   std::vector<MASK> distinct(N);
   for (int i = 0; i < N; ++i)
     distinct[i] = mask_from_words(I_raw.data() + (size_t)i * W, W, MASK(0));
@@ -177,18 +199,17 @@ int closure_escalate(
   distinct.erase(std::unique(distinct.begin(), distinct.end()),
                  distinct.end());
   std::vector<MASK> closure{0};
-  std::vector<MASK> merged;
+  std::unordered_set<MASK, MaskHash> seen;
+  seen.reserve(1024);
+  seen.insert(MASK(0));
   for (MASK m : distinct) {
-    if (std::binary_search(closure.begin(), closure.end(), m)) continue;
-    merged.clear();
-    merged.reserve(closure.size() * 2);
-    for (MASK e : closure) {
-      merged.push_back(e);
-      merged.push_back(e | m);
+    if (seen.count(m)) continue;
+    const size_t cur = closure.size();  // snapshot: unions with m of the
+    for (size_t i = 0; i < cur; ++i) {  // appended tail are idempotent
+      MASK u = closure[i] | m;
+      if (u == closure[i]) continue;  // m subset: union already present
+      if (seen.insert(u).second) closure.push_back(u);
     }
-    std::sort(merged.begin(), merged.end());
-    merged.erase(std::unique(merged.begin(), merged.end()), merged.end());
-    closure.swap(merged);
     if ((int64_t)closure.size() > closure_cap) return 2;
   }
   if (bounds_device_min > 0 &&
