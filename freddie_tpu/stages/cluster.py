@@ -490,10 +490,21 @@ def _worker_init() -> None:
     remote TPU claim is exclusive (and acquisition can hang); a worker
     that reaches the solver's device-assisted wide path must use CPU-XLA,
     which is value-identical (the device path asserts bit-equality) and
-    fast at the sizes that survive the reference's partitioning caps."""
-    import jax
+    fast at the sizes that survive the reference's partitioning caps.
 
-    jax.config.update("jax_platforms", "cpu")
+    Under cpu_worker_env jax is usually NOT imported yet (the scrubbed
+    sitecustomize no-ops) -- then the env var alone pins any lazy import
+    and the worker skips jax's multi-second import entirely. If something
+    pre-imported jax anyway (other deployments' sitecustomize, a driver
+    script importing jax at module scope), fall back to config.update,
+    which works after import where the env var would be too late."""
+    import sys
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    if "jax" in sys.modules:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
 
 def _cluster_one(job: tuple[str, str, str, "ClusterConfig"]) -> int:
@@ -584,9 +595,14 @@ def run_cluster(segment_dir: str, outdir: str, cfg: ClusterConfig | None = None,
         order = sorted(
             range(len(jobs)), key=lambda k: -os.path.getsize(jobs[k][0])
         )
+        from ..utils.procenv import cpu_worker_env
+
         try:
-            # spawn, not fork: the parent may hold JAX's threads.
-            with ProcessPoolExecutor(
+            # spawn, not fork: the parent may hold JAX's threads. The
+            # scrubbed env keeps workers off the axon sitecustomize
+            # (~2.7 s of per-worker jax pre-import for a backend they
+            # must never touch -- utils/procenv.py).
+            with cpu_worker_env(), ProcessPoolExecutor(
                 max_workers=cfg.threads,
                 mp_context=multiprocessing.get_context("spawn"),
                 initializer=_worker_init,

@@ -172,9 +172,11 @@ def run_isoforms(
             jobs.append((os.path.join(cdir, fn), split_tsv, cfg))
     records: list[tuple[tuple, str]] = []
     pooled = False
-    # Spawned workers each pay a multi-second interpreter+jax import
-    # (sitecustomize); the consensus math itself runs ~30 MB of input
-    # per second per core, so the pool only wins on large datasets.
+    # Spawned workers pay an interpreter + package-import startup (tens
+    # of ms with cpu_worker_env scrubbing the sitecustomize jax
+    # pre-import; multi-second without); the consensus math itself runs
+    # ~30 MB of input per second per core, so the pool only wins on
+    # large datasets.
     total_bytes = sum(
         os.path.getsize(p) for cl, sp, _cfg in jobs for p in (cl, sp)
     )
@@ -183,10 +185,14 @@ def run_isoforms(
         from concurrent.futures import ProcessPoolExecutor
         from concurrent.futures.process import BrokenProcessPool
 
+        from ..utils.procenv import cpu_worker_env
+
         # spawn, not fork: the parent may hold JAX's threads, and forking
-        # a multithreaded process can deadlock the children.
+        # a multithreaded process can deadlock the children. The scrubbed
+        # env keeps workers off the axon sitecustomize's jax pre-import
+        # (utils/procenv.py) -- the consensus math never touches jax.
         try:
-            with ProcessPoolExecutor(
+            with cpu_worker_env(), ProcessPoolExecutor(
                 max_workers=cfg.threads,
                 mp_context=multiprocessing.get_context("spawn"),
             ) as ex:
