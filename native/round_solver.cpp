@@ -217,8 +217,13 @@ int closure_escalate(
     return 5;
 
   // Optimistic bound per closure mask: all subset-compatible positive-
-  // profit reads assigned, ignoring gaps/conflicts/coverage. Exact
-  // doubles (multiples of 0.5), so summation order is irrelevant.
+  // profit reads assigned, ignoring gaps/conflicts/coverage. Reads are
+  // grouped by their (distinct, sorted) I mask so the subset test runs
+  // once per group instead of once per read -- most groups fail it, and
+  // the failing side is the bulk of the K*N scan. Regrouping only
+  // reorders the pos summation, and every term is an exact double
+  // (multiples of 0.5 well inside the mantissa), so addition here is
+  // associative and the bounds are bit-equal to the read-order scan.
   std::vector<MASK> I_m(N), C_m(N);
   for (int i = 0; i < N; ++i) {
     I_m[i] = mask_from_words(I_raw.data() + (size_t)i * W, W, MASK(0));
@@ -226,15 +231,23 @@ int closure_escalate(
   }
   double g_total = 0.0;
   for (int i = 0; i < N; ++i) g_total += garbage[i];
+  const size_t D = distinct.size();
+  std::vector<std::vector<int>> groups(D);
+  for (int i = 0; i < N; ++i)
+    groups[std::lower_bound(distinct.begin(), distinct.end(), I_m[i]) -
+           distinct.begin()]
+        .push_back(i);
   const size_t K = closure.size();
   std::vector<double> optimistic(K);
   for (size_t k = 0; k < K; ++k) {
     const MASK E = closure[k];
     double pos = 0.0;
-    for (int i = 0; i < N; ++i) {
-      if (I_m[i] & ~E) continue;
-      double d = garbage[i] - (double)cl_popcnt((MASK)(C_m[i] & E));
-      if (d > 0) pos += d;
+    for (size_t g = 0; g < D; ++g) {
+      if (distinct[g] & ~E) continue;
+      for (int i : groups[g]) {
+        double d = garbage[i] - (double)cl_popcnt((MASK)(C_m[i] & E));
+        if (d > 0) pos += d;
+      }
     }
     optimistic[k] = g_total - pos;
   }
