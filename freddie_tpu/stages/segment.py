@@ -62,9 +62,9 @@ class _IntervalWork:
     candidates: list[int]
     C: np.ndarray  # (P+1, R) cumulative coverage at candidates
     fixed: list[int]
-    starts: np.ndarray  # read-rep interval starts (y-space)
-    ends: np.ndarray
-    reps: np.ndarray
+    starts: np.ndarray | None  # read-rep interval starts (y-space)
+    ends: np.ndarray | None
+    reps: np.ndarray | None
     problems: list[int] = field(default_factory=list)  # global problem ids
     problem_bounds: list[tuple[int, int]] = field(default_factory=list)
 
@@ -73,6 +73,21 @@ class _IntervalWork:
 class TintWork:
     tint: SplitTint
     weights: np.ndarray  # (R,) rep multiplicities
+    intervals: list[_IntervalWork] = field(default_factory=list)
+
+
+@dataclass
+class NativeTintWork:
+    """Phase A/C state for a tint held by the native engine
+    (native/segcore.cpp): the capsule owns the parsed reads, rep
+    structure and per-interval rows; Python keeps only what the float
+    surface (scipy smoothing/peaks/refinement) and the device DP need."""
+
+    handle: object  # segcore capsule
+    chrom: str
+    tint_id: int
+    n_reads: int
+    weights: np.ndarray
     intervals: list[_IntervalWork] = field(default_factory=list)
 
 
@@ -140,30 +155,32 @@ def build_splice_signal(tint: SplitTint, consider_ends: bool):
     return y_raws, per_iv
 
 
-def prepare_tint(tint: SplitTint, cfg: SegmentConfig, thr: ScaledThresholds) -> tuple[TintWork, list[DPProblem]]:
-    weights = np.array([len(r) for _, r in tint.read_reps], dtype=np.int64)
-    y_raws, per_iv = build_splice_signal(tint, cfg.consider_ends)
+def _float_surface(
+    work, y_raws: list[np.ndarray], cfg: SegmentConfig, get_coverage,
+    rows_of=None,
+) -> list[DPProblem]:
+    """Shared phase-A float surface: smoothing -> peaks -> fixed breakpoints
+    -> DP problem slicing. ``get_coverage(iv_idx, cands) -> (P+1, R) int64``
+    abstracts over the Python scatter/prefix-sum and the native engine.
+
+    Appends per-interval work to ``work.intervals`` and returns the tint's
+    DP problems (py/freddie_segment.py:679-720)."""
     smoothed = [sig.smooth_signal(y, cfg.sigma) for y in y_raws]
     var_thr = sig.variance_threshold(smoothed, cfg.variance_factor)
-
-    work = TintWork(tint=tint, weights=weights)
+    weights = work.weights
     problems: list[DPProblem] = []
     for iv_idx, (y_raw, y) in enumerate(zip(y_raws, smoothed)):
         cands = sig.candidates_from_peaks(y)
-        rows = per_iv[iv_idx]
-        if rows is not None:
-            starts, ends, reps = rows
-        else:
-            starts = ends = reps = np.zeros(0, dtype=np.int64)
-        C = cumulative_coverage(
-            starts, ends, reps, len(weights), np.array(cands), validate=cfg.validate
-        )
+        C = get_coverage(iv_idx, cands)
         fixed = {0, len(cands) - 1}
         for c_idx, y_idx in enumerate(cands):
             if y[y_idx] > var_thr:
                 fixed.add(c_idx)
         fixed = sig.break_large_problems(cands, fixed, y, cfg.max_problem_size)
         fixed = sorted(fixed)
+        starts = ends = reps = None
+        if rows_of is not None:
+            starts, ends, reps = rows_of(iv_idx)
         iw = _IntervalWork(
             y_raw=y_raw,
             y_smooth=y,
@@ -187,6 +204,92 @@ def prepare_tint(tint: SplitTint, cfg: SegmentConfig, thr: ScaledThresholds) -> 
                 )
             )
         work.intervals.append(iw)
+    return problems
+
+
+def prepare_tint_native(
+    split_tsv: str, reads_tsv: str, cfg: SegmentConfig, thr: ScaledThresholds, eng
+) -> tuple[NativeTintWork, list[DPProblem]]:
+    """Phase A with the native engine: parse + splice signal + coverage run
+    in C (native/segcore.cpp); only the float surface (scipy smoothing,
+    peak finding) and the DP slicing stay in Python. Bit-identical to
+    prepare_tint on the parsed equivalent (tests/test_segcore.py)."""
+    caps, chrom, tint_id, _intervals, n_reads, n_reps, w_bytes, y_bytes = eng.load(
+        split_tsv, reads_tsv, int(cfg.consider_ends)
+    )
+    weights = np.frombuffer(w_bytes, dtype=np.int64)
+    assert len(weights) == n_reps
+    y_raws = [np.frombuffer(b, dtype=np.float64) for b in y_bytes]
+    work = NativeTintWork(
+        handle=caps,
+        chrom=chrom,
+        tint_id=tint_id,
+        n_reads=n_reads,
+        weights=weights,
+    )
+
+    def get_coverage(iv_idx: int, cands: list[int]) -> np.ndarray:
+        buf = eng.coverage(caps, iv_idx, [int(c) for c in cands])
+        return np.frombuffer(buf, dtype=np.int64).reshape(len(cands) + 1, n_reps)
+
+    problems = _float_surface(work, y_raws, cfg, get_coverage)
+    return work, problems
+
+
+def final_positions_per_interval(
+    work, solutions: list[list[int]], cfg: SegmentConfig
+) -> list[list[int]]:
+    """Assemble each interval's final breakpoint positions (y-space):
+    fixed + DP-chosen candidates + the float refinement pass
+    (py/freddie_segment.py:721-738). Shared by the Python and native
+    finalization paths."""
+    final_ys: list[list[int]] = []
+    for iw in work.intervals:
+        final_c = set(iw.fixed)
+        for pid, (s_c, _e_c) in zip(iw.problems, iw.problem_bounds):
+            final_c.update(s_c + local for local in solutions[pid])
+        final_y = [iw.candidates[c] for c in sorted(final_c)]
+        refine = sig.refine_segmentation(iw.y_raw, final_y, cfg.sigma)
+        final_y.extend(refine)
+        final_y.sort()
+        final_ys.append([int(v) for v in final_y])
+    return final_ys
+
+
+def finalize_tint_native(
+    work: NativeTintWork,
+    solutions: list[list[int]],
+    cfg: SegmentConfig,
+    thr: ScaledThresholds,
+    eng,
+) -> bytes:
+    """Phase C with the native engine: genotyping, polyA/gap annotation and
+    TSV formatting in one C call; returns the segment TSV bytes
+    (byte-identical to the Python finalize + format path)."""
+    final_ys = final_positions_per_interval(work, solutions, cfg)
+    lookup = np.ascontiguousarray(thr.lookup, dtype=np.int32)
+    return eng.finalize(work.handle, final_ys, lookup.tobytes(), thr.scale)
+
+
+def prepare_tint(tint: SplitTint, cfg: SegmentConfig, thr: ScaledThresholds) -> tuple[TintWork, list[DPProblem]]:
+    weights = np.array([len(r) for _, r in tint.read_reps], dtype=np.int64)
+    y_raws, per_iv = build_splice_signal(tint, cfg.consider_ends)
+    work = TintWork(tint=tint, weights=weights)
+
+    def rows_of(iv_idx: int):
+        rows = per_iv[iv_idx]
+        if rows is None:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z
+        return rows
+
+    def get_coverage(iv_idx: int, cands: list[int]) -> np.ndarray:
+        starts, ends, reps = rows_of(iv_idx)
+        return cumulative_coverage(
+            starts, ends, reps, len(weights), np.array(cands), validate=cfg.validate
+        )
+
+    problems = _float_surface(work, y_raws, cfg, get_coverage, rows_of=rows_of)
     return work, problems
 
 
@@ -250,14 +353,8 @@ def genotype_tint(
     final_positions: list[int] = []
     blocks: list[np.ndarray] = []  # per interval: (S, R) genotypes + 0-row
     scale = thr.scale
-    for iv_idx, iw in enumerate(work.intervals):
-        final_c = set(iw.fixed)
-        for pid, (s_c, _e_c) in zip(iw.problems, iw.problem_bounds):
-            final_c.update(s_c + local for local in solutions[pid])
-        final_y = [iw.candidates[c] for c in sorted(final_c)]
-        refine = sig.refine_segmentation(iw.y_raw, final_y, cfg.sigma)
-        final_y.extend(refine)
-        final_y.sort()
+    final_ys = final_positions_per_interval(work, solutions, cfg)
+    for iv_idx, (iw, final_y) in enumerate(zip(work.intervals, final_ys)):
         # Genotype every segment of the interval at once: coverage ratio
         # vs length threshold, in the exact scaled-integer comparisons.
         C2 = cumulative_coverage(
@@ -362,8 +459,19 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
     # moment its last problem is read back, overlapping phase C1 with the
     # still-in-flight launches. Identical solutions to the all-at-once path
     # (same bucketing, same kernels); only the schedule changes.
+    from ..ops.segcore import load_segcore
+
+    # Checked per call (not just in the loader) so tests/benches can flip
+    # the env var after the extension is already cached in-process.
+    eng = None if os.environ.get("FREDDIE_SEGCORE") == "0" else load_segcore()
+
     def prepare_one(job):
         _contig, _tint_id, split_tsv, reads_tsv = job
+        if eng is not None:
+            try:
+                return prepare_tint_native(split_tsv, reads_tsv, cfg, thr, eng)
+            except Exception:
+                pass  # transparent fallback to the Python oracle path
         tint = parse_split_tsv(split_tsv)
         load_read_sequences(tint, reads_tsv)
         return prepare_tint(tint, cfg, thr)
@@ -451,7 +559,9 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
         # soft-clip scanning is byte-twiddling, not MXU work). Outputs
         # are byte-identical on every route; FREDDIE_POLYA_DEVICE=1
         # forces the device path (its tests/benches).
-        total_reads = sum(len(w.tint.reads) for w in works)
+        total_reads = sum(
+            len(w.tint.reads) for w in works if isinstance(w, TintWork)
+        )
         batch_polya = cfg.use_device and total_reads >= POLYA_DEVICE_MIN_READS
         if batch_polya and not os.environ.get("FREDDIE_POLYA_DEVICE"):
             from ..ops.polya import _load_ctok
@@ -465,13 +575,29 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
                 batch_polya = jax.default_backend() != "cpu"
 
         def genotype_one(args):
-            (_contig, _tint_id, _, _), work, off = args
+            job, work, off = args
             n = sum(len(iw.problems) for iw in work.intervals)
             sols = solutions[off : off + n]
             k = 0
             for iw in work.intervals:  # re-map local problem ids
                 iw.problems = list(range(k, k + len(iw.problems)))
                 k += len(iw.problems)
+            if isinstance(work, NativeTintWork):
+                try:
+                    out = finalize_tint_native(work, sols, cfg, thr, eng)
+                    work.handle = None  # free the C-side tint eagerly
+                    work.intervals = []
+                    return "tsv", out
+                except Exception:
+                    # C-side invariant trip: redo this tint end to end on
+                    # the Python oracle path (phase A is deterministic, so
+                    # the shared solutions line up 1:1).
+                    _c, _t, split_tsv, reads_tsv = job
+                    tint = parse_split_tsv(split_tsv)
+                    load_read_sequences(tint, reads_tsv)
+                    pwork, _probs = prepare_tint(tint, cfg, thr)
+                    final_positions = finalize_tint(pwork, sols, cfg, thr)
+                    return "tsv", format_segment_tsv(tint, final_positions).encode()
             final_positions, segs = genotype_tint(work, sols, cfg, thr)
             if not batch_polya:
                 for read in work.tint.reads:
@@ -518,17 +644,23 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
         items = []
         owners = []
         for (_, work, _), (_fp, segs) in zip(triples, finals):
+            if not isinstance(work, TintWork):
+                continue  # native tints annotate inside the C finalizer
             for read in work.tint.reads:
                 items.append((read.data, segs, read.intervals, read.seq, read.strand))
                 owners.append(read)
         for read, toks in zip(owners, annotate_gaps_and_polya_batch(items)):
             read.gaps = toks
 
-    # Phase C3: write TSVs.
-    for ((contig, tint_id, _, _), work, _off), (final_positions, _segs) in zip(
+    # Phase C3: write TSVs (native tints arrive pre-formatted as bytes).
+    for ((contig, tint_id, _, _), work, _off), (head, tail) in zip(
         triples, finals
     ):
         out_path = os.path.join(outdir, contig, f"segment_{contig}_{tint_id}.tsv")
-        with atomic_write(out_path) as f:
-            f.write(format_segment_tsv(work.tint, final_positions))
+        if head == "tsv":
+            with atomic_write(out_path, "wb") as f:
+                f.write(tail)
+        else:
+            with atomic_write(out_path) as f:
+                f.write(format_segment_tsv(work.tint, head))
     return len(jobs)

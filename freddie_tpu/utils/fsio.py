@@ -23,11 +23,11 @@ MARKER = ".freddie_complete"
 
 
 @contextlib.contextmanager
-def atomic_write(path: str):
+def atomic_write(path: str, mode: str = "w"):
     """Open `<path>.tmp` for writing and atomically rename into place on
     clean exit; the temp file is removed on error."""
     tmp = path + ".tmp"
-    f = open(tmp, "w")
+    f = open(tmp, mode)
     try:
         yield f
     except BaseException:
