@@ -106,6 +106,7 @@ def build_parser() -> argparse.ArgumentParser:
     plt.add_argument("-c", "--cluster-tsv", required=True)
     plt.add_argument("--tints", type=int, nargs="+", default=[])
     plt.add_argument("-od", "--out-dir", default="freddie_plot")
+    plt.add_argument("-t", "--threads", type=int, default=1)
 
     sv = sub.add_parser("segment-vis", help="segmentation-QC pickle")
     sv.add_argument("-s", "--split-tsv", nargs="+", required=True)
@@ -196,6 +197,7 @@ def main(argv=None) -> int:
         n = run_plot(
             args.annotation_gtf, args.segment_tsv, args.cluster_tsv,
             args.out_dir.rstrip("/"), tint_ids=frozenset(args.tints),
+            threads=args.threads,
         )
         print(f"[plot] {n} PDFs")
     elif args.command == "segment-vis":

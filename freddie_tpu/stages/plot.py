@@ -396,6 +396,12 @@ def plot_tint(tint: dict, transcripts: dict, out_dir: str, name_filter=None) -> 
     return written
 
 
+def _plot_one(args) -> int:
+    """Pool worker: render one tint's PDFs (top-level for spawn pickling)."""
+    tint, transcripts, tint_dir, name_filter = args
+    return len(plot_tint(tint, transcripts, tint_dir, name_filter))
+
+
 def run_plot(
     annotation_gtf: str,
     segment_tsv: str,
@@ -403,15 +409,39 @@ def run_plot(
     out_dir: str,
     tint_ids=frozenset(),
     name_filter=None,
+    threads: int = 1,
 ) -> int:
+    """Render every tint's per-isoform PDFs; returns the PDF count.
+
+    With threads > 1, tints fan out over a spawn process pool (the
+    reference parallelizes per tint the same way,
+    py/freddie_plot.py:60-64,472-487): matplotlib rendering is CPU-bound
+    Python, so threads would serialize on the GIL. Each tint writes into
+    its own directory, so the schedules are output-identical; a broken
+    pool degrades to the serial path (idempotent per-tint outputs)."""
     transcripts = parse_annotation_gtf(annotation_gtf)
     tints = load_tints(cluster_tsv, segment_tsv, tint_ids=set(tint_ids))
     os.makedirs(out_dir, exist_ok=True)
-    n = 0
-    for tint in tints.values():
-        n += len(
-            plot_tint(
-                tint, transcripts, os.path.join(out_dir, str(tint["id"])), name_filter
-            )
-        )
-    return n
+    jobs = [
+        (tint, transcripts, os.path.join(out_dir, str(tint["id"])), name_filter)
+        for tint in tints.values()
+    ]
+    if threads > 1 and len(jobs) > 1:
+        import multiprocessing
+        from concurrent.futures import ProcessPoolExecutor
+        from concurrent.futures.process import BrokenProcessPool
+
+        from ..utils.procenv import cpu_worker_env
+
+        # Biggest tints first: render wall time tracks read count, and a
+        # large tint scheduled last would own the stage's tail.
+        jobs.sort(key=lambda j: -len(j[0]["reads"]))
+        try:
+            with cpu_worker_env(), ProcessPoolExecutor(
+                max_workers=threads,
+                mp_context=multiprocessing.get_context("spawn"),
+            ) as ex:
+                return sum(ex.map(_plot_one, jobs))
+        except BrokenProcessPool:
+            pass
+    return sum(_plot_one(job) for job in jobs)

@@ -135,3 +135,57 @@ def test_plot_truth_tids_and_tails(full_run):
                         n_tails += 1
     assert len(seen_tids) >= 2  # both isoforms' truth ids distinguished
     assert n_tails > 0  # simulated polyA tails made it into the panels
+
+
+@pytest.fixture(scope="module")
+def two_gene_run(tmp_path_factory):
+    d = tmp_path_factory.mktemp("vispool")
+    sim = simulate(seed=13, n_genes=3, isoforms_per_gene=2, reads_per_isoform=6)
+    bam, fq = str(d / "r.bam"), str(d / "r.fastq")
+    gtf = str(d / "annot.gtf")
+    sim.write_bam(bam)
+    sim.write_fastq(fq)
+    sim.write_annotation_gtf(gtf)
+    out = str(d / "out")
+    run_pipeline(bam, [fq], out, PipelineConfig(), log=lambda *a: None)
+    return sim, out, gtf
+
+
+def test_plot_pool_matches_serial(two_gene_run, tmp_path, monkeypatch):
+    """threads>1 fans tints over a process pool (the reference's -t,
+    py/freddie_plot.py:60-64); with SOURCE_DATE_EPOCH pinned, every PDF
+    is byte-identical to the serial render."""
+    import filecmp
+    import glob
+
+    sim, out, gtf = two_gene_run
+    from freddie_tpu.stages.plot import run_plot
+
+    seg_tsvs = sorted(glob.glob(os.path.join(out, "segment", "*", "segment_*.tsv")))
+    clu_tsvs = sorted(glob.glob(os.path.join(out, "cluster", "*", "cluster_*.tsv")))
+    assert len(seg_tsvs) >= 2, "need multiple tints to exercise the pool"
+    monkeypatch.setenv("SOURCE_DATE_EPOCH", "946684800")
+    counts = {}
+    for label, threads in (("serial", 1), ("pool", 3)):
+        total = 0
+        for seg, clu in zip(seg_tsvs, clu_tsvs):
+            total += run_plot(
+                annotation_gtf=gtf, segment_tsv=seg, cluster_tsv=clu,
+                out_dir=str(tmp_path / label), threads=threads,
+            )
+        counts[label] = total
+    assert counts["serial"] == counts["pool"] >= 2
+    serial = sorted(
+        os.path.relpath(os.path.join(r, f), tmp_path / "serial")
+        for r, _, fs in os.walk(tmp_path / "serial") for f in fs
+    )
+    pool = sorted(
+        os.path.relpath(os.path.join(r, f), tmp_path / "pool")
+        for r, _, fs in os.walk(tmp_path / "pool") for f in fs
+    )
+    assert serial == pool and serial
+    for rel in serial:
+        assert filecmp.cmp(
+            str(tmp_path / "serial" / rel), str(tmp_path / "pool" / rel),
+            shallow=False,
+        ), rel
