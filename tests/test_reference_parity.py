@@ -76,6 +76,24 @@ CONFIGS = {
         truncate_prob=0.3, tail_prob=0.7, end_jitter=30, indel_rate=0.15,
         alt_splice=True, junction_jitter=8, big_del_rate=0.1,
     ),
+    # --consider-ends flips the splice-signal surface: every read's start
+    # and end positions join the signal (py/freddie_segment.py:656-668),
+    # changing candidate peaks, the DP inputs and refinement everywhere
+    "ends": dict(
+        seed=5120 + _SEED_SHIFT, n_genes=2, isoforms_per_gene=3,
+        reads_per_isoform=20, minus_strand_genes=True, truncate_prob=0.3,
+        tail_prob=0.8, end_jitter=20, indel_rate=0.08, alt_splice=True,
+        junction_jitter=5, _consider_ends=True,
+    ),
+    # --consider-nonspliced admits single-exon reads into tints
+    # (py/freddie_split.py:240-247); segmentation then runs on intronless
+    # signal where only read ends carve segments
+    "nonspliced": dict(
+        seed=6144 + _SEED_SHIFT, n_genes=3, isoforms_per_gene=2,
+        reads_per_isoform=12, exons_per_gene=1, minus_strand_genes=True,
+        truncate_prob=0.2, tail_prob=0.8, end_jitter=15, indel_rate=0.05,
+        _consider_nonspliced=True,
+    ),
 }
 
 
@@ -84,25 +102,34 @@ def fixture(request, tmp_path_factory):
     from freddie_tpu.utils.sim import simulate
 
     d = tmp_path_factory.mktemp(f"refparity_{request.param}")
-    sim = simulate(**CONFIGS[request.param])
+    kwargs = dict(CONFIGS[request.param])
+    opts = {
+        "consider_ends": kwargs.pop("_consider_ends", False),
+        "consider_nonspliced": kwargs.pop("_consider_nonspliced", False),
+    }
+    sim = simulate(**kwargs)
     bam, fq = str(d / "r.bam"), str(d / "r.fastq")
     sim.write_bam(bam)
     sim.write_fastq(fq)
-    return d, bam, fq
+    return d, bam, fq, opts
 
 
 @pytest.fixture(scope="module")
 def both_splits(fixture):
-    d, bam, fq = fixture
+    d, bam, fq, opts = fixture
     ref_split = str(d / "ref_split")
-    run_reference("freddie_split.py", ["-b", bam, "-r", fq, "-o", ref_split])
+    ref_args = ["-b", bam, "-r", fq, "-o", ref_split]
+    if opts["consider_nonspliced"]:
+        ref_args.insert(0, "--consider-nonspliced")
+    run_reference("freddie_split.py", ref_args)
 
     from freddie_tpu.config import SplitConfig
     from freddie_tpu.stages.split import run_split
 
     our_split = str(d / "our_split")
-    run_split(bam, [fq], our_split, SplitConfig())
-    return d, ref_split, our_split
+    run_split(bam, [fq], our_split,
+              SplitConfig(consider_nonspliced=opts["consider_nonspliced"]))
+    return d, ref_split, our_split, opts
 
 
 def _files(root, pattern):
@@ -113,7 +140,7 @@ def _files(root, pattern):
 
 
 def test_split_outputs_identical(both_splits):
-    d, ref_split, our_split = both_splits
+    d, ref_split, our_split, _opts = both_splits
     ref_files = _files(ref_split, "split_*.tsv")
     our_files = _files(our_split, "split_*.tsv")
     assert ref_files == our_files and ref_files
@@ -133,16 +160,20 @@ def test_split_outputs_identical(both_splits):
 
 @pytest.fixture(scope="module")
 def both_segments(both_splits):
-    d, ref_split, our_split = both_splits
+    d, ref_split, our_split, opts = both_splits
     ref_seg = str(d / "ref_segment")
     os.makedirs(ref_seg, exist_ok=True)
-    run_reference("freddie_segment.py", ["-s", ref_split, "-o", ref_seg])
+    ref_args = ["-s", ref_split, "-o", ref_seg]
+    if opts["consider_ends"]:
+        ref_args += ["--consider-ends", "True"]
+    run_reference("freddie_segment.py", ref_args)
 
     from freddie_tpu.config import SegmentConfig
     from freddie_tpu.stages.segment import run_segment
 
     our_seg = str(d / "our_segment")
-    run_segment(our_split, our_seg, SegmentConfig())
+    run_segment(our_split, our_seg,
+                SegmentConfig(consider_ends=opts["consider_ends"]))
     return d, ref_split, our_split, ref_seg, our_seg
 
 
