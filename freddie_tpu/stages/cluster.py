@@ -520,6 +520,24 @@ def _cluster_one(job: tuple[str, str, str, "ClusterConfig"]) -> int:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, logs_dir=os.path.join(cfg.logs_dir, contig))
+    else:
+        # Consolidated native engine: the whole tint (parse through TSV)
+        # in one C call against the in-process solver twins. Returns None
+        # when any round needs a Python escalation rung; raises on any
+        # invariant trip -- both fall through to the Python oracle path
+        # below with byte-identical output (tests/test_clucore.py).
+        # logs_dir forces the Python path (per-instance observability).
+        from ..solver.clucore import cluster_tint_native
+        from ..utils.fsio import atomic_write
+
+        try:
+            out = cluster_tint_native(in_path, cfg)
+        except Exception:
+            out = None
+        if out is not None:
+            with atomic_write(out_path, "wb") as f:
+                f.write(out)
+            return 1
     tint = parse_segment_tsv(in_path)
     isoforms, garbage = cluster_tint(tint, cfg)
     # Atomic: the per-tint resume above trusts an existing file, so a
