@@ -479,6 +479,24 @@ def main():
     except Exception:
         pass
 
+    # Pipeline-level scaling (bench_scaling_pipeline.py): the locus-sharded
+    # stages on 1 vs 2 REAL jax.distributed processes, each pinned to its
+    # own cores (no time-sharing) -- the production multi-host program,
+    # steady-state, strong scaling.
+    pipe_scaling = None
+    try:
+        ps_child = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench_scaling_pipeline.py")],
+            capture_output=True, text=True, timeout=1200,
+            env=dict(os.environ, JAX_PLATFORMS="cpu"),
+        )
+        for line in ps_child.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                pipe_scaling = json.loads(line)
+    except Exception:
+        pass
+
     n_cluster, cluster_dt, cluster_t_min, cluster_dev_s = run_cluster_stage(workdir)
     recovery = run_isoforms_stage(workdir, truth, reachable)
     # Mild-config recovery in a CPU-pinned child: the parent must never
@@ -531,6 +549,12 @@ def main():
         scaling_efficiency=scaling["value"] if scaling else None,
         scaling_at_mesh=scaling.get("at_mesh") if scaling else None,
         scaling_per_mesh=scaling["per_mesh"] if scaling else None,
+        pipeline_scaling_efficiency=(
+            pipe_scaling["value"] if pipe_scaling else None
+        ),
+        pipeline_scaling_hosts=(
+            pipe_scaling.get("hosts") if pipe_scaling else None
+        ),
         **recovery,
     )
     if stats.get("backend") == "cpu":

@@ -568,11 +568,20 @@ def run_cluster(segment_dir: str, outdir: str, cfg: ClusterConfig | None = None,
             continue
         os.makedirs(os.path.join(outdir, contig), exist_ok=True)
         # Sweep stray .tmp files from a crashed previous run (atomic
-        # writes never publish them; they are just disk litter).
+        # writes never publish them; they are just disk litter). Only
+        # THIS process's shard: on a shared filesystem another host may
+        # be mid-write on its own tints, and deleting its live .tmp
+        # makes its os.replace fail (race found by the 2-process
+        # pipeline scaling bench).
         out_cdir = os.path.join(outdir, contig)
         for fn in os.listdir(out_cdir):
-            if fn.endswith(".tmp"):
-                os.remove(os.path.join(out_cdir, fn))
+            if fn.endswith(".tsv.tmp"):
+                try:
+                    tid = int(fn[: -len(".tsv.tmp")].split("_")[-1])
+                except ValueError:
+                    continue
+                if owns is None or owns(contig, tid):
+                    os.remove(os.path.join(out_cdir, fn))
         for fn in sorted(os.listdir(cdir)):
             if not (fn.startswith("segment_") and fn.endswith(".tsv")):
                 continue
