@@ -25,9 +25,12 @@
 // (py/freddie_cluster.py:347-636).
 
 #include <algorithm>
+#include <atomic>
 #include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <limits>
 #include <unordered_set>
@@ -75,16 +78,92 @@ namespace {
 
 typedef unsigned __int128 u128;
 
+/* Optional profiling (FREDDIE_BOUND_PROF=1): accumulated wall spent in
+ * the closure build + optimistic-bound evaluation across all solves in
+ * this process, dumped at exit. Used by the device-bounds crossover
+ * analysis (tools/bound_device_experiment.py; VERDICT r3 item 3) to
+ * bound what a batched device launch could possibly save. */
+std::atomic<long long> g_bound_ns{0}, g_bound_calls{0}, g_bound_nk{0},
+    g_build_ns{0}, g_sum_k{0};
+bool bound_prof_enabled() {
+  static int on = [] {
+    const char* e = getenv("FREDDIE_BOUND_PROF");
+    if (e && e[0] == '1') {
+      atexit([] {
+        fprintf(stderr,
+                "[bound-prof] closure build %.3f s + bounds %.3f s over "
+                "%lld escalations, sum K = %lld, sum N*K = %lld\n",
+                g_build_ns.load() / 1e9,
+                (g_bound_ns.load() - g_build_ns.load()) / 1e9,
+                g_bound_calls.load(), g_sum_k.load(), g_bound_nk.load());
+      });
+      return 1;
+    }
+    return 0;
+  }();
+  return on != 0;
+}
+
 // Hash for the closure-build set (u64 and u128 masks). Only membership
 // depends on it -- every downstream consumer re-sorts canonically -- so
 // the hash function cannot affect results.
-struct MaskHash {
-  size_t operator()(uint64_t x) const {
-    return std::hash<uint64_t>()(x);
+inline uint64_t mask_hash(uint64_t x) {
+  x *= 0x9e3779b97f4a7c15ull;
+  return x ^ (x >> 32);
+}
+inline uint64_t mask_hash(u128 x) {
+  uint64_t folded = (uint64_t)x ^ ((uint64_t)(x >> 64) * 0x9e3779b97f4a7c15ull);
+  return mask_hash(folded);
+}
+
+// Open-addressing flat set for the closure build: std::unordered_set
+// pays a node allocation per insert, which dominated the closure phase
+// (avg closure ~500 masks but ~10k escalations per 300k corpus). Same
+// membership semantics; linear probing, pow-2 capacity, 0.5 load cap.
+template <typename MASK>
+struct FlatMaskSet {
+  std::vector<MASK> keys;
+  std::vector<uint8_t> used;
+  size_t mask = 0, count = 0;
+
+  explicit FlatMaskSet(size_t expect) {
+    size_t cap = 64;
+    while (cap < expect * 2) cap <<= 1;
+    keys.assign(cap, MASK(0));
+    used.assign(cap, 0);
+    mask = cap - 1;
   }
-  size_t operator()(u128 x) const {
-    return std::hash<uint64_t>()(
-        (uint64_t)x ^ ((uint64_t)(x >> 64) * 0x9e3779b97f4a7c15ull));
+  bool insert(MASK k) {
+    if ((count + 1) * 2 > keys.size()) grow();
+    size_t i = (size_t)mask_hash(k) & mask;
+    while (used[i]) {
+      if (keys[i] == k) return false;
+      i = (i + 1) & mask;
+    }
+    used[i] = 1;
+    keys[i] = k;
+    ++count;
+    return true;
+  }
+  bool contains(MASK k) const {
+    size_t i = (size_t)mask_hash(k) & mask;
+    while (used[i]) {
+      if (keys[i] == k) return true;
+      i = (i + 1) & mask;
+    }
+    return false;
+  }
+  void grow() {
+    std::vector<MASK> ok;
+    ok.reserve(count);
+    for (size_t i = 0; i < keys.size(); ++i)
+      if (used[i]) ok.push_back(keys[i]);
+    size_t cap = keys.size() * 2;
+    keys.assign(cap, MASK(0));
+    used.assign(cap, 0);
+    mask = cap - 1;
+    count = 0;
+    for (MASK k : ok) insert(k);
   }
 };
 
@@ -183,6 +262,23 @@ int closure_escalate(
     std::chrono::steady_clock::time_point t0, double deadline_s,
     int32_t* out_assigned, int32_t* out_n, double* out_obj,
     uint64_t* out_E, int out_words) {
+  const bool prof = bound_prof_enabled();
+  const auto prof_t0 = std::chrono::steady_clock::now();
+  auto prof_record = [&](long long K) {
+    if (!prof) return;
+    g_bound_ns += std::chrono::duration_cast<std::chrono::nanoseconds>(
+                      std::chrono::steady_clock::now() - prof_t0)
+                      .count();
+    ++g_bound_calls;
+    g_sum_k += K;
+    g_bound_nk += (long long)N * K;
+  };
+  auto prof_build_done = [&]() {
+    if (!prof) return;
+    g_build_ns += std::chrono::duration_cast<std::chrono::nanoseconds>(
+                      std::chrono::steady_clock::now() - prof_t0)
+                      .count();
+  };
   // Distinct raw I masks, ascending (np.unique); incremental OR-closure.
   // Built with a hash set instead of per-merge sort/unique passes: the
   // SET is identical (all unions of subsets of the distinct masks; a
@@ -199,22 +295,27 @@ int closure_escalate(
   distinct.erase(std::unique(distinct.begin(), distinct.end()),
                  distinct.end());
   std::vector<MASK> closure{0};
-  std::unordered_set<MASK, MaskHash> seen;
-  seen.reserve(1024);
+  FlatMaskSet<MASK> seen(1024);
   seen.insert(MASK(0));
   for (MASK m : distinct) {
-    if (seen.count(m)) continue;
+    if (seen.contains(m)) continue;
     const size_t cur = closure.size();  // snapshot: unions with m of the
     for (size_t i = 0; i < cur; ++i) {  // appended tail are idempotent
       MASK u = closure[i] | m;
       if (u == closure[i]) continue;  // m subset: union already present
-      if (seen.insert(u).second) closure.push_back(u);
+      if (seen.insert(u)) closure.push_back(u);
     }
-    if ((int64_t)closure.size() > closure_cap) return 2;
+    if ((int64_t)closure.size() > closure_cap) {
+      prof_record((long long)closure.size());
+      return 2;
+    }
   }
   if (bounds_device_min > 0 &&
-      (int64_t)N * (int64_t)closure.size() >= bounds_device_min)
+      (int64_t)N * (int64_t)closure.size() >= bounds_device_min) {
+    prof_record((long long)closure.size());
     return 5;
+  }
+  prof_build_done();
 
   // Optimistic bound per closure mask: all subset-compatible positive-
   // profit reads assigned, ignoring gaps/conflicts/coverage. Reads are
@@ -251,6 +352,8 @@ int closure_escalate(
     }
     optimistic[k] = g_total - pos;
   }
+
+  prof_record((long long)K);
 
   // Incumbent filter + canonical (optimistic, mask) order + DFS floor.
   bool integral = true;
