@@ -135,6 +135,17 @@ def gtf_records(isoforms: dict) -> list[tuple[tuple, str]]:
 def tint_isoforms(
     cluster_tsv: str, split_tsv: str, cfg: IsoformsConfig
 ) -> list[tuple[tuple, str]]:
+    # Native engine (native/isocore.cpp): the whole tint in one C call;
+    # any parse/invariant trip falls through to the Python oracle path
+    # below with identical records (tests/test_isocore.py).
+    from ..ops.isocore import tint_gtf_native
+
+    try:
+        recs = tint_gtf_native(cluster_tsv, split_tsv, cfg)
+    except Exception:
+        recs = None
+    if recs is not None:
+        return recs
     segments, reads, isoforms = parse_cluster_tsv(cluster_tsv)
     consensus(isoforms, segments, reads)
     parse_split_alignment_boundaries(split_tsv, reads)
