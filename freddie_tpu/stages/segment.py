@@ -54,6 +54,17 @@ DEVICE_MIN_WORK = 5_000_000
 # the rest of phase A instead of queueing behind it.
 STREAM_CHUNK_MAX = 512
 
+# In-flight launch cap: a chunk's device-resident footprint is dominated
+# by its (B, P, R) int32 C input (up to ~70 MB); dispatching a large
+# corpus's hundreds of chunks before the first readback overruns the
+# chip's HBM and the runtime degenerates to spill-thrash (measured at
+# 1M reads: ~260 chunks in flight -> 5.6 s/chunk vs the 300k run's
+# ~70 ms/chunk). Collecting the OLDEST chunk inline once this many are
+# pending bounds device memory (~1 GB) while keeping the tunnel's
+# launch/readback pipeline full; results are position-for-position the
+# same solutions, so outputs are unchanged.
+MAX_INFLIGHT_CHUNKS = 16
+
 
 @dataclass
 class _IntervalWork:
@@ -498,6 +509,18 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
             p2 *= 2
         return p2
 
+    n_collected = 0  # prefix of `pending` already read back inline
+
+    def collect_oldest():
+        nonlocal n_collected
+        chunk, handles, wk, res = pending[n_collected]
+        for gid, sol in zip(chunk, collect_batch_device(handles, wk, res)):
+            solutions[gid] = sol
+        # Drop the device handles (frees the chip-side buffers); the
+        # final collection loop skips entries already read back.
+        pending[n_collected] = (chunk, None, None, None)
+        n_collected += 1
+
     def dispatch_chunks(key, force=False):
         nonlocal pending
         idxs = buckets.get(key, [])
@@ -517,6 +540,8 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
                 pad_r_to=R, pad_b_to=pad_b,
             )
             pending.append((chunk, handles, wk, res))
+            while len(pending) - n_collected > MAX_INFLIGHT_CHUNKS:
+                collect_oldest()
 
     with profile_trace(os.environ.get("FREDDIE_TRACE_DIR")):
         for job in jobs:
@@ -629,6 +654,9 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
 
         drain_ready()
         for chunk, handles, wk, res in pending:
+            if handles is None:
+                continue  # read back inline under MAX_INFLIGHT_CHUNKS
+                # (its solutions were set before `unsolved` was computed)
             for gid, sol in zip(chunk, collect_batch_device(handles, wk, res)):
                 solutions[gid] = sol
                 unsolved[tint_of[gid]] -= 1

@@ -148,3 +148,24 @@ def test_streaming_chunks_and_flush_padding(tmp_path, monkeypatch):
     ]
     for a, b in zip(ref_files, got_files):
         assert filecmp.cmp(a, b, shallow=False), os.path.relpath(a, ref_out)
+
+
+def test_inflight_cap_byte_identical(split_dir, tmp_path, monkeypatch):
+    """MAX_INFLIGHT_CHUNKS=1 (every chunk read back inline before the
+    next dispatch) produces TSVs byte-identical to the default deep
+    pipeline -- the cap only bounds device-resident memory."""
+    from freddie_tpu.stages import segment as seg
+
+    deep = str(tmp_path / "deep")
+    seg.run_segment(split_dir, deep, SegmentConfig())
+    monkeypatch.setattr(seg, "MAX_INFLIGHT_CHUNKS", 1)
+    capped = str(tmp_path / "capped")
+    seg.run_segment(split_dir, capped, SegmentConfig())
+    deep_files = _tsv_set(deep)
+    capped_files = _tsv_set(capped)
+    assert [os.path.relpath(f, deep) for f in deep_files] == [
+        os.path.relpath(f, capped) for f in capped_files
+    ]
+    assert deep_files
+    for a, b in zip(deep_files, capped_files):
+        assert filecmp.cmp(a, b, shallow=False), os.path.relpath(a, deep)
