@@ -145,3 +145,50 @@ def test_parse_error_falls_back(tmp_path, monkeypatch):
     run_cluster(str(tmp_path / "seg"), out, ClusterConfig())
     files = _tsv_set(out)
     assert len(files) == 1
+
+
+def test_adversarial_synthetic_tints(tmp_path, monkeypatch):
+    """Random synthetic segment TSVs (M up to 100 -> two-word masks,
+    random polyA categories/gap tokens/recycle models, max_ilp splits)
+    through native vs Python cluster, byte-compared."""
+    import random
+
+    def make_tint(rng, M, n_reads, tid):
+        pos = sorted(rng.sample(range(1000, 1000000), M + 1))
+        lines = [f"#chrX\t{tid}\t{','.join(map(str, pos))}"]
+        for rid in range(n_reads):
+            data = "".join(rng.choice("0012") for _ in range(M))
+            toks = []
+            if rng.random() < 0.6:
+                a = rng.randrange(0, M - 1)
+                b = rng.randrange(a + 1, M)
+                toks.append(f"{a}-{b}:{rng.randrange(0, 40)}")
+            toks.append(f"SSC:{rng.randrange(0, 30)}")
+            toks.append(f"ESC:{rng.randrange(0, 30)}")
+            if rng.random() < 0.5:
+                side = rng.choice(["SA", "ST", "EA", "ET"])
+                toks.append(f"{side}_{rng.randrange(0, 40)}:{rng.randrange(0, 30)}")
+            gaps = ",".join(sorted(toks)) + ","
+            lines.append(f"{rid}\tr{rid}\tchrX\t+\t{tid}\t{data}\t{gaps}")
+        return "\n".join(lines) + "\n"
+
+    for trial in range(8):
+        rng = random.Random(1000 + trial)
+        d = tmp_path / f"t{trial}"
+        os.makedirs(d / "seg" / "chrX")
+        M = rng.choice([2, 3, 9, 40, 70, 100])
+        n = rng.randrange(3, 40)
+        (d / "seg" / "chrX" / "segment_chrX_0.tsv").write_text(
+            make_tint(rng, M, n, 0)
+        )
+        cfg = ClusterConfig(
+            recycle_model=rng.choice(["constant", "exons", "introns"]),
+            max_ilp=rng.choice([4, 1000]),
+        )
+        monkeypatch.setenv("FREDDIE_CLUCORE", "0")
+        run_cluster(str(d / "seg"), str(d / "py"), cfg)
+        monkeypatch.delenv("FREDDIE_CLUCORE")
+        run_cluster(str(d / "seg"), str(d / "nat"), cfg)
+        a = (d / "py" / "chrX" / "cluster_chrX_0.tsv").read_text()
+        b = (d / "nat" / "chrX" / "cluster_chrX_0.tsv").read_text()
+        assert a == b, f"trial {trial}: M={M} n={n} {cfg.recycle_model}"
