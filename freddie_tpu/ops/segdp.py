@@ -385,7 +385,16 @@ def bucket_shape(n_cand: int, n_reps: int) -> tuple[int, int]:
                 return e
         return ((x + step - 1) // step) * step
 
-    return edge(n_cand, (16, 32, 64), 32), edge(n_reps, (128, 512, 1536), 512)
+    # R edges are 128-multiples (the Pallas lane tiling) spaced so the
+    # rep-padding waste stays under ~50%: both the kernel's VPU passes
+    # and the host->device transfer scale with R, so a tint with 270
+    # reps in a 384 bucket costs 25% less than in 512 (round-4 change;
+    # a corpus only ever compiles the shapes it actually hits, and the
+    # persistent cache makes each a one-time cost).
+    return (
+        edge(n_cand, (16, 32, 64), 32),
+        edge(n_reps, (128, 256, 384, 512, 768, 1024, 1536), 512),
+    )
 
 
 def suggested_batch_size(P: int, R: int, budget_bytes: int = 4 << 30) -> int:

@@ -35,15 +35,21 @@ DEFAULT_SHAPES = [
 # warming goes through ops.segdp.dispatch_batch_device so the exact
 # production executable lands in the cache.
 DEFAULT_PROD_SHAPES = [
+    # R=384: the bucket the bench dataset's ~270-rep tints land in
+    # after the round-4 finer R edges (128/256/384/512/768/1024/1536).
+    (512, 16, 384, 0),
+    (64, 32, 384, 0),
+    (64, 64, 384, 0),
+    (512, 16, 128, 0),
+    # legacy/large-tint buckets still reachable on other corpora
     (512, 16, 512, 0),
     (64, 32, 512, 0),
     (64, 64, 512, 0),
-    (512, 16, 128, 0),
     # int32-coverage variants (coverage > 32,767 bases ships as int32;
     # a distinct executable that must be warmed too).
-    (512, 16, 512, 1),
-    (64, 32, 512, 1),
-    (64, 64, 512, 1),
+    (512, 16, 384, 1),
+    (64, 32, 384, 1),
+    (64, 64, 384, 1),
 ]
 
 # (padded_rows, window_len) buckets of the polyA scan: the full shape
