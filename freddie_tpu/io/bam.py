@@ -158,7 +158,15 @@ class BamReader:
 
 
 def _reg2bin(beg: int, end: int) -> int:
-    """Compute the BAM bin for [beg, end) (SAM spec 5.3)."""
+    """Compute the BAM bin for [beg, end) (SAM spec 5.3).
+
+    The BAI binning scheme only covers coordinates below 2^29; beyond
+    that the bin field (uint16) cannot represent the index (the spec's
+    answer is CSI indexing). Emit bin 0 there instead of overflowing --
+    no consumer in this codebase reads the field, and htslib recomputes
+    bins when it indexes."""
+    if end > 1 << 29:
+        return 0
     end -= 1
     if beg >> 14 == end >> 14:
         return ((1 << 15) - 1) // 7 + (beg >> 14)

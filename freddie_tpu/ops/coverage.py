@@ -79,3 +79,61 @@ def cumulative_coverage(
         assert C.sum() == total, (C.sum(), total)
     np.cumsum(C, axis=0, out=C)
     return C
+
+
+# ------------------------------------------------- device-side builder
+#
+# The segmentation kernels consume C only through DIFFERENCES
+# C[k]-C[p] (the pair statistics), and C has the closed form
+#
+#     C[c, r] = sum over intervals i of rep r of
+#               max(0, min(ye_i, cands[c] - 1) - ys_i + 1)
+#
+# (each row-scatter + prefix-sum case of cumulative_coverage reduces to
+# this clamp; intervals entirely below the candidate range add the same
+# constant to every row and intervals entirely above add zero, so a
+# problem's C can be built from just the intervals OVERLAPPING its
+# candidate range, with all differences exactly equal to the host's).
+# Building C on device therefore replaces the dense (B, P, R) host
+# transfer with the (B, I, 3) interval lists -- the tunnel/PCIe bytes of
+# the segment stage's device path. Integer scatter-adds keep it exact.
+
+_build_cache: dict = {}
+
+
+def build_coverage_device(iv, y, n_reps: int):
+    """C (B, P, R) int32 ON DEVICE from interval lists.
+
+    iv: (B, I, 3) int32 [ys, ye, rep] with padding rows rep == n_reps;
+    y: (B, P) int32 candidate positions. Exact integer arithmetic
+    (scatter-add); value-compatible with cumulative_coverage up to a
+    per-(problem, rep) additive constant that cancels in every kernel.
+    """
+    import jax
+
+    key = (iv.shape, y.shape, n_reps)
+    fn = _build_cache.get(key)
+    if fn is None:
+
+        def build(iv, y):
+            import jax.numpy as jnp
+
+            ys = iv[..., 0]  # (B, I)
+            ye = iv[..., 1]
+            rep = iv[..., 2]
+            ov = jnp.maximum(
+                0,
+                jnp.minimum(ye[:, :, None], y[:, None, :] - 1)
+                - ys[:, :, None]
+                + 1,
+            )  # (B, I, P) int32
+            seg = jax.vmap(
+                lambda o, r: jax.ops.segment_sum(
+                    o, r, num_segments=n_reps + 1
+                )
+            )(ov, rep)  # (B, n_reps+1, P); padding rows land in row n_reps
+            return jnp.swapaxes(seg[:, :n_reps, :], 1, 2)  # (B, P, R)
+
+        fn = jax.jit(build)
+        _build_cache[key] = fn
+    return fn(iv, y)

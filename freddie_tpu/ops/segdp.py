@@ -41,6 +41,7 @@ small integers carried in f32 (exact below 2^24).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -64,6 +65,13 @@ class DPProblem:
     y: np.ndarray
     W: np.ndarray
     read_support: int
+    # Optional (K, 3) int32 [ys, ye, rep]: the read-rep intervals
+    # overlapping this problem's candidate range. When every problem in
+    # a dispatch chunk carries them (and the exactness gates pass), the
+    # device builds C itself from these lists (ops.coverage.
+    # build_coverage_device) instead of receiving the dense (B, P, R)
+    # matrix -- identical kernel results, ~10x fewer host->device bytes.
+    iv: "np.ndarray | None" = None
 
 
 def _pair_tensors(C, y, W, thr: ScaledThresholds):
@@ -461,7 +469,6 @@ def dispatch_batch_device(
     # executable instead of minting a fresh (minutes-long on remote-
     # compile backends) shape.
     B_pad = max(B_pad, pad_b_to)
-    C = np.zeros((B_pad, P, R), dtype=np.int32)
     y = np.zeros((B_pad, P), dtype=np.int32)
     W = np.zeros((B_pad, R), dtype=np.float32)
     n_cand = np.zeros((B_pad,), dtype=np.int32)
@@ -469,35 +476,79 @@ def dispatch_batch_device(
     assert len(rs) == 1, "mixed read_support in one batch"
     for b, i in enumerate(work):
         pr = problems[i]
-        p, r = pr.C.shape
-        C[b, :p, :r] = pr.C
-        C[b, p:, :r] = pr.C[-1]  # replicate last row; padded y too
+        p = len(pr.y)
         y[b, :p] = pr.y
         y[b, p:] = pr.y[-1]
-        W[b, :r] = pr.W
+        W[b, : len(pr.W)] = pr.W
         n_cand[b] = p
     if B_pad > B:
-        C[B:] = C[0]
         y[B:] = y[0]
         W[B:] = W[0]
         n_cand[B:] = n_cand[0]
 
-    # Device kernels compare thresholds in int32 (the Pallas path also
-    # pre-multiplies C by scale); the host oracle uses int64. With the
-    # default threshold_rate the scale is small (10), but a rate needing
-    # scale >= 1000 combined with ~1e6+ coverages/positions could silently
-    # overflow int32 -- in that regime solve each problem on the host
-    # (results are bit-identical either way).
-    max_operand = max(int(C.max(initial=0)), int(y.max(initial=0)) + 1)
-    if thr.scale * max_operand >= 2**31:
-        for i in work:
-            results[i] = solve_host(problems[i], thr)
-        return None, [], results
-    # C dominates the host->device bytes; ship it as int16 whenever every
-    # coverage fits (the common case) and widen on device -- halves the
-    # transfer, identical values.
-    if int(C.max(initial=0)) < 2**15:
-        C = C.astype(np.int16)
+    # Device-side coverage build: when every problem carries its interval
+    # list, ship the (B, I, 3) lists and let the device build C itself
+    # (ops.coverage.build_coverage_device) -- identical kernel results
+    # (C enters only through differences; docstring there), ~10x fewer
+    # host->device bytes. Content gates only: interval-count cap (shape
+    # sanity) and the same int32 threshold-product bound (device-built C
+    # values are bounded by the candidate range, i.e. by max(y)).
+    use_dev_cov = (
+        os.environ.get("FREDDIE_DEVICE_COVERAGE", "1") != "0"
+        # the sharded branch pads B by np.concatenate for non-power-of-2
+        # device counts; B_pad (a power of two) already covers the
+        # power-of-2 meshes, so only the unusual counts fall back
+        and (-B_pad) % jax.local_device_count() == 0
+        and all(problems[i].iv is not None for i in work)
+        and thr.scale * (int(y.max(initial=0)) + 1) < 2**31
+    )
+    if use_dev_cov:
+        I_max = max(len(problems[i].iv) for i in work)
+        if I_max > 4096:
+            use_dev_cov = False
+    if use_dev_cov:
+        # Coarse I buckets: every distinct (B, I, P) mints a build
+        # executable (minutes each on remote-compile backends), and
+        # padding rows cost only cheap device compute + a few KB of
+        # transfer -- so three buckets cover everything.
+        I_pad = 512 if I_max <= 512 else (2048 if I_max <= 2048 else 4096)
+        iv = np.zeros((B_pad, I_pad, 3), dtype=np.int32)
+        iv[:, :, 1] = -1  # padding: empty interval
+        iv[:, :, 2] = R  # padding rep -> dropped row of the segment sum
+        for b, i in enumerate(work):
+            pv = problems[i].iv
+            iv[b, : len(pv)] = pv
+        if B_pad > B:
+            iv[B:] = iv[0]
+        from .coverage import build_coverage_device
+
+        C = build_coverage_device(iv, y, R)  # (B, P, R) int32 ON DEVICE
+    else:
+        C = np.zeros((B_pad, P, R), dtype=np.int32)
+        for b, i in enumerate(work):
+            pr = problems[i]
+            p, r = pr.C.shape
+            C[b, :p, :r] = pr.C
+            C[b, p:, :r] = pr.C[-1]  # replicate last row; padded y too
+        if B_pad > B:
+            C[B:] = C[0]
+
+        # Device kernels compare thresholds in int32 (the Pallas path also
+        # pre-multiplies C by scale); the host oracle uses int64. With the
+        # default threshold_rate the scale is small (10), but a rate
+        # needing scale >= 1000 combined with ~1e6+ coverages/positions
+        # could silently overflow int32 -- in that regime solve each
+        # problem on the host (results are bit-identical either way).
+        max_operand = max(int(C.max(initial=0)), int(y.max(initial=0)) + 1)
+        if thr.scale * max_operand >= 2**31:
+            for i in work:
+                results[i] = solve_host(problems[i], thr)
+            return None, [], results
+        # C dominates the host->device bytes; ship it as int16 whenever
+        # every coverage fits (the common case) and widen on device --
+        # halves the transfer, identical values.
+        if int(C.max(initial=0)) < 2**15:
+            C = C.astype(np.int16)
 
     n_local = jax.local_device_count()
     if n_local > 1:

@@ -206,12 +206,24 @@ def _float_surface(
         for s_c, e_c in zip(fixed[:-1], fixed[1:]):
             iw.problems.append(len(problems))
             iw.problem_bounds.append((s_c, e_c))
+            # Intervals overlapping the problem's candidate range: the
+            # device-side coverage builder's input (intervals entirely
+            # below the range contribute the same constant to every C
+            # row and cancel in the kernels' differences; above: zero).
+            iv_arr = None
+            if starts is not None:
+                y_first, y_last = cand_arr[s_c], cand_arr[e_c]
+                m = (ends >= y_first) & (starts <= y_last - 1)
+                iv_arr = np.stack(
+                    [starts[m], ends[m], reps[m]], axis=1
+                ).astype(np.int32)
             problems.append(
                 DPProblem(
                     C=C[s_c : e_c + 1].copy(),
                     y=cand_arr[s_c : e_c + 1].copy(),
                     W=weights,
                     read_support=cfg.min_read_support_outside,
+                    iv=iv_arr,
                 )
             )
         work.intervals.append(iw)
@@ -243,7 +255,15 @@ def prepare_tint_native(
         buf = eng.coverage(caps, iv_idx, [int(c) for c in cands])
         return np.frombuffer(buf, dtype=np.int64).reshape(len(cands) + 1, n_reps)
 
-    problems = _float_surface(work, y_raws, cfg, get_coverage)
+    def rows_of(iv_idx: int):
+        ys_b, ye_b, rep_b = eng.rows(caps, iv_idx)
+        return (
+            np.frombuffer(ys_b, dtype=np.int64),
+            np.frombuffer(ye_b, dtype=np.int64),
+            np.frombuffer(rep_b, dtype=np.int64),
+        )
+
+    problems = _float_surface(work, y_raws, cfg, get_coverage, rows_of=rows_of)
     return work, problems
 
 

@@ -854,6 +854,38 @@ PyObject* segcore_coverage(PyObject* self, PyObject* args) {
                                    (Py_ssize_t)(C.size() * sizeof(long long)));
 }
 
+/* rows(capsule, iv_idx) -> (ys bytes, ye bytes, rep bytes): the tint
+ * interval's read-rep intervals in y-space (int64 each), the same rows
+ * build_splice_signal's per_iv carries on the Python path. Used by the
+ * device-side coverage builder (ops/coverage.py) to ship interval lists
+ * instead of dense C matrices. */
+PyObject* segcore_rows(PyObject* self, PyObject* args) {
+  PyObject* caps;
+  long long iv_idx;
+  if (!PyArg_ParseTuple(args, "OL", &caps, &iv_idx)) return NULL;
+  Tint* t = tint_from_capsule(caps);
+  if (!t) return NULL;
+  if (iv_idx < 0 || (size_t)iv_idx >= t->per_iv.size()) {
+    PyErr_SetString(PyExc_IndexError, "rows: interval index out of range");
+    return NULL;
+  }
+  const IvRows& r = t->per_iv[(size_t)iv_idx];
+  std::vector<long long> rep64(r.rep.begin(), r.rep.end());
+  PyObject* ys = PyBytes_FromStringAndSize(
+      (const char*)r.ys.data(), (Py_ssize_t)(r.ys.size() * sizeof(long long)));
+  PyObject* ye = PyBytes_FromStringAndSize(
+      (const char*)r.ye.data(), (Py_ssize_t)(r.ye.size() * sizeof(long long)));
+  PyObject* rp = PyBytes_FromStringAndSize(
+      (const char*)rep64.data(), (Py_ssize_t)(rep64.size() * sizeof(long long)));
+  if (!ys || !ye || !rp) {
+    Py_XDECREF(ys);
+    Py_XDECREF(ye);
+    Py_XDECREF(rp);
+    return NULL;
+  }
+  return Py_BuildValue("(NNN)", ys, ye, rp);
+}
+
 PyObject* segcore_finalize(PyObject* self, PyObject* args) {
   PyObject* caps;
   PyObject* final_ys_obj;
@@ -911,6 +943,8 @@ PyMethodDef Methods[] = {
      "Parse split+reads TSVs and build the splice signal for one tint."},
     {"coverage", segcore_coverage, METH_VARARGS,
      "Cumulative coverage matrix at candidate breakpoints."},
+    {"rows", segcore_rows, METH_VARARGS,
+     "One tint interval's (ys, ye, rep) read-rep interval arrays."},
     {"finalize", segcore_finalize, METH_VARARGS,
      "Genotype, annotate polyA/gaps, and format the segment TSV."},
     {NULL, NULL, 0, NULL}};
