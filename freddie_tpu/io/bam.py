@@ -13,6 +13,8 @@ import struct
 from dataclasses import dataclass
 from typing import Iterator
 
+import numpy as np
+
 from .bgzf import BgzfReader, BgzfWriter
 
 # CIGAR op codes (SAM spec order).
@@ -22,6 +24,12 @@ CIGAR_OP_CODE = {c: i for i, c in enumerate(CIGAR_OPS)}
 
 _SEQ_NIBBLE = "=ACMGRSVTWYHKDBN"
 _NIBBLE_OF = {c: i for i, c in enumerate(_SEQ_NIBBLE)}
+# byte value -> nibble code, unknown/lowercase folded like the dict path
+# (uppercase first, then .get(..., 15)); used by the writer's packer.
+_NIBBLE_TABLE = np.full(256, 15, dtype=np.uint8)
+for _c, _i in _NIBBLE_OF.items():
+    _NIBBLE_TABLE[ord(_c)] = _i
+    _NIBBLE_TABLE[ord(_c.lower())] = _i
 
 # Byte -> two-character expansion table for fast 4-bit seq decoding.
 _SEQ_PAIRS = [
@@ -206,13 +214,14 @@ class BamWriter:
             struct.pack("<I", (length << 4) | op) for op, length in rec.cigartuples
         )
         l_seq = len(rec.query_sequence)
-        seq_bytes = bytearray((l_seq + 1) // 2)
-        for i, c in enumerate(rec.query_sequence):
-            nib = _NIBBLE_OF.get(c.upper(), 15)
-            if i % 2 == 0:
-                seq_bytes[i // 2] |= nib << 4
-            else:
-                seq_bytes[i // 2] |= nib
+        # Vectorized 4-bit packing (the per-char Python loop dominated
+        # large corpus generation): map bytes -> nibbles via a 256-entry
+        # table, pad to even length, fold pairs.
+        codes = np.frombuffer(rec.query_sequence.encode(), dtype=np.uint8)
+        nibs = _NIBBLE_TABLE[codes]
+        if l_seq % 2:
+            nibs = np.concatenate([nibs, np.zeros(1, dtype=np.uint8)])
+        seq_bytes = ((nibs[0::2] << 4) | nibs[1::2]).tobytes()
         qual = b"\xff" * l_seq
         ref_len = sum(l for op, l in rec.cigartuples if op in (CMATCH, CDEL, CREF_SKIP, CEQUAL, CDIFF))
         body = (
