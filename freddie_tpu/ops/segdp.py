@@ -418,6 +418,7 @@ def dispatch_batch_device(
     pad_r_to: int = 128,
     use_pallas: bool | None = None,
     pad_b_to: int = 0,
+    dev_cov: bool | None = None,
 ):
     """Launch a padded batch on the device WITHOUT waiting for it.
 
@@ -493,8 +494,18 @@ def dispatch_batch_device(
     # host->device bytes. Content gates only: interval-count cap (shape
     # sanity) and the same int32 threshold-product bound (device-built C
     # values are bounded by the candidate range, i.e. by max(y)).
+    # dev_cov=None (direct callers) defaults on; the stage driver passes
+    # False for small corpora where the extra build launch costs more
+    # than the saved bytes (the route is value-neutral either way).
+    # FREDDIE_DEVICE_COVERAGE=0/1 overrides both.
+    env_cov = os.environ.get("FREDDIE_DEVICE_COVERAGE")
+    want_cov = (
+        env_cov != "0"
+        if env_cov is not None
+        else (True if dev_cov is None else dev_cov)
+    )
     use_dev_cov = (
-        os.environ.get("FREDDIE_DEVICE_COVERAGE", "1") != "0"
+        want_cov
         # the sharded branch pads B by np.concatenate for non-power-of-2
         # device counts; B_pad (a power of two) already covers the
         # power-of-2 meshes, so only the unusual counts fall back

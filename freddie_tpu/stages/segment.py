@@ -54,6 +54,13 @@ DEVICE_MIN_WORK = 5_000_000
 # the rest of phase A instead of queueing behind it.
 STREAM_CHUNK_MAX = 512
 
+# Device-side coverage build engages from this many tints: below it the
+# dense C transfer is a handful of chunks and the extra build launch
+# costs more than the saved bytes; above, the interval lists win (300k
+# on-chip A/B in BENCH_NOTES). The route is value-neutral either way;
+# FREDDIE_DEVICE_COVERAGE=0/1 overrides.
+DEVICE_COVERAGE_MIN_TINTS = 256
+
 # In-flight launch cap: a chunk's device-resident footprint is dominated
 # by its (B, P, R) int32 C input (up to ~70 MB); dispatching a large
 # corpus's hundreds of chunks before the first readback overruns the
@@ -558,6 +565,7 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
             handles, wk, res = dispatch_batch_device(
                 [all_problems[i] for i in chunk], thr, pad_p_to=P,
                 pad_r_to=R, pad_b_to=pad_b,
+                dev_cov=len(jobs) >= DEVICE_COVERAGE_MIN_TINTS,
             )
             pending.append((chunk, handles, wk, res))
             while len(pending) - n_collected > MAX_INFLIGHT_CHUNKS:

@@ -99,6 +99,7 @@ def test_stage_byte_identical(split_dir, tmp_path, monkeypatch):
     from freddie_tpu.stages import segment as seg
 
     monkeypatch.setattr(seg, "DEVICE_MIN_WORK", 0)
+    monkeypatch.setattr(seg, "DEVICE_COVERAGE_MIN_TINTS", 0)
     calls = {"n": 0}
     orig = cov.build_coverage_device
 

@@ -123,9 +123,10 @@ def test_streaming_chunks_and_flush_padding(tmp_path, monkeypatch):
     orig = segdp.dispatch_batch_device
 
     def spy(problems, thr, pad_p_to=8, pad_r_to=128, use_pallas=None,
-            pad_b_to=0):
+            pad_b_to=0, **kw):
         dispatched.append((len(problems), pad_b_to))
-        return orig(problems, thr, pad_p_to, pad_r_to, use_pallas, pad_b_to)
+        return orig(problems, thr, pad_p_to, pad_r_to, use_pallas, pad_b_to,
+                    **kw)
 
     monkeypatch.setattr(seg, "STREAM_CHUNK_MAX", 8)
     monkeypatch.setattr(seg, "DEVICE_MIN_WORK", 0)
