@@ -517,13 +517,26 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
     from ..utils.metrics import profile_trace
 
     works: list[TintWork] = []
-    all_problems: list[DPProblem] = []
+    all_problems: list[DPProblem | None] = []
     offsets: list[int] = []
     solutions: list[list[int] | None] = []
     buckets: dict[tuple[int, int], list[int]] = {}
     pending: list = []  # (chunk_ids, handles, work, res) in dispatch order
     total_work = 0  # cumulative DP cost seen so far (device-worth gate)
     device_on = False
+
+    # Incremental per-tint bookkeeping so finished tints finalize, WRITE
+    # and free while later tints are still being prepared: memory stays
+    # bounded by the in-flight window instead of the whole corpus (at
+    # 10M reads the hold-everything schedule peaked at 44.6 GB RSS).
+    unsolved: list[int] = []  # per tint: problems awaiting solutions
+    tint_of: list[int] = []  # per problem
+    finals: list = []  # per tint: ("done", None) once written, else result
+    next_ready = 0  # tints are drained in order (deterministic, cheap)
+    # The batched-polyA decision needs corpus totals; it only affects
+    # Python-fallback tints, which therefore drain after phase A. The
+    # cell is filled once totals are known (None = not yet decided).
+    polya_cell = {"batch": None}
 
     full_chunks: set = set()  # buckets that dispatched a full chunk
 
@@ -536,19 +549,76 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
             p2 *= 2
         return p2
 
+    def genotype_one(t):
+        job, work, off = jobs[t], works[t], offsets[t]
+        n = sum(len(iw.problems) for iw in work.intervals)
+        sols = solutions[off : off + n]
+        k = 0
+        for iw in work.intervals:  # re-map local problem ids
+            iw.problems = list(range(k, k + len(iw.problems)))
+            k += len(iw.problems)
+        if isinstance(work, NativeTintWork):
+            try:
+                out = finalize_tint_native(work, sols, cfg, thr, eng)
+                work.handle = None  # free the C-side tint eagerly
+                work.intervals = []
+                return "tsv", out
+            except Exception:
+                # C-side invariant trip: redo this tint end to end on
+                # the Python oracle path (phase A is deterministic, so
+                # the shared solutions line up 1:1).
+                _c, _t, split_tsv, reads_tsv = job
+                tint = parse_split_tsv(split_tsv)
+                load_read_sequences(tint, reads_tsv)
+                pwork, _probs = prepare_tint(tint, cfg, thr)
+                final_positions = finalize_tint(pwork, sols, cfg, thr)
+                return "tsv", format_segment_tsv(tint, final_positions).encode()
+        final_positions, segs = genotype_tint(work, sols, cfg, thr)
+        if not polya_cell["batch"]:
+            for read in work.tint.reads:
+                read.gaps = annotate_gaps_and_polya(
+                    read.data, segs, read.intervals, read.seq, read.strand
+                )
+        return final_positions, segs
+
+    def write_tint(t, tsv_bytes):
+        contig, tint_id = jobs[t][0], jobs[t][1]
+        out_path = os.path.join(outdir, contig, f"segment_{contig}_{tint_id}.tsv")
+        with atomic_write(out_path, "wb") as f:
+            f.write(tsv_bytes)
+
+    def drain_ready(allow_python: bool):
+        # Finalize-and-write every leading tint whose problems are all
+        # solved. Python-fallback tints stall the pointer until phase A
+        # totals fix the polyA route (rare; native is the default), so
+        # the common all-native corpus streams writes throughout.
+        nonlocal next_ready
+        while next_ready < len(finals) and unsolved[next_ready] == 0:
+            if not (allow_python or isinstance(works[next_ready], NativeTintWork)):
+                break
+            result = genotype_one(next_ready)
+            if result[0] == "tsv":
+                write_tint(next_ready, result[1])
+                finals[next_ready] = ("done", None)
+            else:
+                finals[next_ready] = result
+            next_ready += 1
+
     n_collected = 0  # prefix of `pending` already read back inline
 
-    def collect_oldest():
+    def collect_oldest(allow_python: bool):
         nonlocal n_collected
         chunk, handles, wk, res = pending[n_collected]
         for gid, sol in zip(chunk, collect_batch_device(handles, wk, res)):
             solutions[gid] = sol
+            unsolved[tint_of[gid]] -= 1
         # Drop the device handles (frees the chip-side buffers); the
         # final collection loop skips entries already read back.
         pending[n_collected] = (chunk, None, None, None)
         n_collected += 1
+        drain_ready(allow_python)
 
-    def dispatch_chunks(key, force=False):
+    def dispatch_chunks(key, force=False, allow_python=False):
         nonlocal pending
         idxs = buckets.get(key, [])
         P, R = key
@@ -567,9 +637,11 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
                 pad_r_to=R, pad_b_to=pad_b,
                 dev_cov=len(jobs) >= DEVICE_COVERAGE_MIN_TINTS,
             )
+            for i in chunk:  # dispatched exactly once: free the C/iv copies
+                all_problems[i] = None
             pending.append((chunk, handles, wk, res))
             while len(pending) - n_collected > MAX_INFLIGHT_CHUNKS:
-                collect_oldest()
+                collect_oldest(allow_python)
 
     with profile_trace(os.environ.get("FREDDIE_TRACE_DIR")):
         for job in jobs:
@@ -577,41 +649,35 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
             off = len(all_problems)
             offsets.append(off)
             works.append(work)
+            finals.append(None)
             all_problems.extend(problems)
             solutions.extend([None] * len(problems))
+            tint_of.extend([len(works) - 1] * len(problems))
+            n_unsolved = 0
             for gid in range(off, off + len(problems)):
                 p = all_problems[gid]
                 if len(p.y) <= 2:
                     solutions[gid] = []
                     continue
+                n_unsolved += 1
                 total_work += len(p.y) ** 3 * p.C.shape[1]
                 key = bucket_shape(len(p.y), p.C.shape[1])
                 buckets.setdefault(key, []).append(gid)
+            unsolved.append(n_unsolved)
             if not device_on and cfg.use_device and total_work >= DEVICE_MIN_WORK:
                 device_on = True
             if device_on:
                 for key in list(buckets):
                     dispatch_chunks(key)
 
-        if device_on:
-            for key in sorted(buckets):
-                dispatch_chunks(key, force=True)
-        else:
-            # Tiny total workload (or use_device=False): the host oracle
-            # beats the device round-trips; same results either way.
-            for gid, sol in enumerate(solutions):
-                if sol is None:
-                    solutions[gid] = solve_host(all_problems[gid], thr)
-
-        # Collection + phase C1, interleaved: genotype every tint whose
-        # problems are all solved, while later chunks are still in flight.
-        # The batched device polyA pass only pays off when the C Kadane
-        # scorer is NOT built: with it, per-read host scoring beats the
-        # device batch even on a real chip (measured on the 26k bench
-        # dataset: 1.38 s of device launches/transfers vs ~0.4 s of C --
-        # soft-clip scanning is byte-twiddling, not MXU work). Outputs
-        # are byte-identical on every route; FREDDIE_POLYA_DEVICE=1
-        # forces the device path (its tests/benches).
+        # Phase A totals known: fix the batched-polyA route. The batched
+        # device polyA pass only pays off when the C Kadane scorer is NOT
+        # built: with it, per-read host scoring beats the device batch
+        # even on a real chip (measured on the 26k bench dataset: 1.38 s
+        # of device launches/transfers vs ~0.4 s of C -- soft-clip
+        # scanning is byte-twiddling, not MXU work). Outputs are
+        # byte-identical on every route; FREDDIE_POLYA_DEVICE=1 forces
+        # the device path (its tests/benches).
         total_reads = sum(
             len(w.tint.reads) for w in works if isinstance(w, TintWork)
         )
@@ -626,70 +692,32 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
                 import jax
 
                 batch_polya = jax.default_backend() != "cpu"
+        polya_cell["batch"] = batch_polya
 
-        def genotype_one(args):
-            job, work, off = args
-            n = sum(len(iw.problems) for iw in work.intervals)
-            sols = solutions[off : off + n]
-            k = 0
-            for iw in work.intervals:  # re-map local problem ids
-                iw.problems = list(range(k, k + len(iw.problems)))
-                k += len(iw.problems)
-            if isinstance(work, NativeTintWork):
-                try:
-                    out = finalize_tint_native(work, sols, cfg, thr, eng)
-                    work.handle = None  # free the C-side tint eagerly
-                    work.intervals = []
-                    return "tsv", out
-                except Exception:
-                    # C-side invariant trip: redo this tint end to end on
-                    # the Python oracle path (phase A is deterministic, so
-                    # the shared solutions line up 1:1).
-                    _c, _t, split_tsv, reads_tsv = job
-                    tint = parse_split_tsv(split_tsv)
-                    load_read_sequences(tint, reads_tsv)
-                    pwork, _probs = prepare_tint(tint, cfg, thr)
-                    final_positions = finalize_tint(pwork, sols, cfg, thr)
-                    return "tsv", format_segment_tsv(tint, final_positions).encode()
-            final_positions, segs = genotype_tint(work, sols, cfg, thr)
-            if not batch_polya:
-                for read in work.tint.reads:
-                    read.gaps = annotate_gaps_and_polya(
-                        read.data, segs, read.intervals, read.seq, read.strand
-                    )
-            return final_positions, segs
+        if device_on:
+            for key in sorted(buckets):
+                dispatch_chunks(key, force=True, allow_python=True)
+        else:
+            # Tiny total workload (or use_device=False): the host oracle
+            # beats the device round-trips; same results either way.
+            for gid, sol in enumerate(solutions):
+                if sol is None:
+                    solutions[gid] = solve_host(all_problems[gid], thr)
+                    unsolved[tint_of[gid]] -= 1
 
-        triples = list(zip(jobs, works, offsets))
-        n_probs = [
-            sum(len(iw.problems) for iw in w.intervals) for w in works
-        ]
-        unsolved = [
-            sum(1 for gid in range(off, off + n) if solutions[gid] is None)
-            for off, n in zip(offsets, n_probs)
-        ]
-        # Map each problem to its tint for completion countdown.
-        tint_of = np.zeros(len(all_problems), dtype=np.int64)
-        for t, (off, n) in enumerate(zip(offsets, n_probs)):
-            tint_of[off : off + n] = t
-        finals: list = [None] * len(triples)
-        next_ready = 0  # genotype in tint order (deterministic, cheap)
-
-        def drain_ready():
-            nonlocal next_ready
-            while next_ready < len(triples) and unsolved[next_ready] == 0:
-                finals[next_ready] = genotype_one(triples[next_ready])
-                next_ready += 1
-
-        drain_ready()
+        # Collection + phase C1, interleaved: genotype (and write) every
+        # tint whose problems are all solved, while later chunks are
+        # still in flight.
+        drain_ready(True)
         for chunk, handles, wk, res in pending:
             if handles is None:
                 continue  # read back inline under MAX_INFLIGHT_CHUNKS
-                # (its solutions were set before `unsolved` was computed)
             for gid, sol in zip(chunk, collect_batch_device(handles, wk, res)):
                 solutions[gid] = sol
                 unsolved[tint_of[gid]] -= 1
-            drain_ready()
-        assert next_ready == len(triples)
+            drain_ready(True)
+        assert next_ready == len(finals)
+        triples = list(zip(jobs, works, offsets))
 
     # Phase C2 (device, batched): every read's polyA soft-clip scans across
     # ALL tints in one bucketed launch set (ops.polya_batch); byte-identical
@@ -708,10 +736,13 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
         for read, toks in zip(owners, annotate_gaps_and_polya_batch(items)):
             read.gaps = toks
 
-    # Phase C3: write TSVs (native tints arrive pre-formatted as bytes).
+    # Phase C3: write the remaining TSVs (native tints were written the
+    # moment they finalized; "done" marks them).
     for ((contig, tint_id, _, _), work, _off), (head, tail) in zip(
         triples, finals
     ):
+        if head == "done":
+            continue
         out_path = os.path.join(outdir, contig, f"segment_{contig}_{tint_id}.tsv")
         if head == "tsv":
             with atomic_write(out_path, "wb") as f:
