@@ -32,11 +32,15 @@ def _load():
     try:
         src_mtime = max(os.path.getmtime(p) for p in _SRCS + _HDRS)
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < src_mtime:
+            # Per-pid temp + atomic os.replace: concurrent processes must
+            # never dlopen a half-written .so.
+            tmp = f"{_LIB}.{os.getpid()}.tmp"
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, *_SRCS, "-lz"],
+                ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, *_SRCS, "-lz"],
                 check=True,
                 capture_output=True,
             )
+            os.replace(tmp, _LIB)
         lib = ctypes.CDLL(_LIB)
         lib.bamdec_open.restype = ctypes.c_void_p
         lib.bamdec_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]

@@ -79,10 +79,14 @@ def _load_tsvparse():
         lib = os.path.join(root, "native", "tsvparse.so")
         if not os.path.exists(lib) or os.path.getmtime(lib) < os.path.getmtime(src):
             inc = sysconfig.get_paths()["include"]
+            # Per-pid temp + atomic os.replace: concurrent processes must
+            # never dlopen a half-written .so.
+            tmp = f"{lib}.{os.getpid()}.tmp"
             subprocess.run(
-                ["gcc", "-O2", "-shared", "-fPIC", f"-I{inc}", "-o", lib, src],
+                ["gcc", "-O2", "-shared", "-fPIC", f"-I{inc}", "-o", tmp, src],
                 check=True, capture_output=True,
             )
+            os.replace(tmp, lib)
         spec = importlib.util.spec_from_file_location("tsvparse", lib)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)

@@ -35,11 +35,16 @@ def load_segcore():
         lib = os.path.join(root, "native", "segcore.so")
         if not os.path.exists(lib) or os.path.getmtime(lib) < os.path.getmtime(src):
             inc = sysconfig.get_paths()["include"]
+            # Compile to a per-pid temp and os.replace (atomic on POSIX):
+            # concurrent processes (multi-host pipelines, the scaling
+            # bench) must never dlopen a half-written .so.
+            tmp = f"{lib}.{os.getpid()}.tmp"
             subprocess.run(
                 ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", f"-I{inc}",
-                 "-o", lib, src],
+                 "-o", tmp, src],
                 check=True, capture_output=True,
             )
+            os.replace(tmp, lib)
         spec = importlib.util.spec_from_file_location("segcore", lib)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)

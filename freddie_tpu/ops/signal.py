@@ -11,6 +11,8 @@ the float surface byte-identical without a device round trip.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from scipy.ndimage import gaussian_filter1d
 from scipy.signal import find_peaks
@@ -30,13 +32,45 @@ def candidates_from_peaks(y: np.ndarray) -> list[int]:
     return sorted(set(c))
 
 
+def smooth_and_candidates(
+    y_raws: list[np.ndarray], sigma: float
+) -> tuple[list[np.ndarray], list[list[int]]]:
+    """smooth_signal + candidates_from_peaks for every interval of a tint
+    in one native call (native/floatsig.c, bit-exact twin of the scipy
+    path -- tests/test_floatsig.py fuzzes both against each other).
+    Transparent scipy fallback; FREDDIE_FLOATSIG=0 forces it."""
+    from .floatsig import gaussian_kernel, load_floatsig
+
+    eng = None if os.environ.get("FREDDIE_FLOATSIG") == "0" else load_floatsig()
+    if eng is not None and all(len(y) > 0 for y in y_raws):
+        try:
+            sm_bytes, cand_lists = eng.surface(
+                [np.ascontiguousarray(y, dtype=np.float64) for y in y_raws],
+                gaussian_kernel(sigma, 4.0),
+            )
+            smoothed = [np.frombuffer(b, dtype=np.float64) for b in sm_bytes]
+            return smoothed, cand_lists
+        except Exception:
+            pass
+    smoothed = [smooth_signal(y, sigma) for y in y_raws]
+    return smoothed, [candidates_from_peaks(y) for y in smoothed]
+
+
 def variance_threshold(smoothed: list[np.ndarray], variance_factor: float) -> float:
     """mean + k*std over the nonzero smoothed signal across all intervals
     (py/freddie_segment.py:757-759). An all-zero signal (nonspliced-only
     tints with ignore_ends) yields NaN, like the reference; every
     `signal > NaN` comparison is then False, so no candidate is fixed --
-    the errstate only silences the cosmetic warning."""
-    vals = np.array([v for y in smoothed for v in y if v > 0])
+    the errstate only silences the cosmetic warning.
+
+    The masked concatenate produces the same values in the same order as
+    the reference's per-element list comprehension, so mean/std (numpy
+    pairwise sums over an identical array) are bit-identical -- at numpy
+    speed instead of a Python loop over every signal position."""
+    if smoothed:
+        vals = np.concatenate([y[y > 0] for y in smoothed])
+    else:
+        vals = np.array([], dtype=np.float64)
     import warnings
 
     with np.errstate(invalid="ignore"), warnings.catch_warnings():
@@ -88,10 +122,83 @@ def refine_segmentation(
     min_internal_splice: int = 20,
 ) -> list[int]:
     """Recover intra-segment splice sites the DP smoothed over
-    (py/freddie_segment.py:249-266): inside every final segment longer than
-    2*skip, zero the skip-margins, re-smooth with a tight kernel
-    (truncate=1.0, constant padding) and keep peaks (min distance=skip)
-    whose +-sigma local mass reaches min_internal_splice."""
+    (py/freddie_segment.py:249-266). Dispatches to the native twin
+    (native/floatsig.c), which handles every segment whose peak
+    priorities are all distinct and DEFERS exact-tie segments (common on
+    integer-valued signals: identical isolated patterns smooth to equal
+    peaks) back here with its smoothed signal -- the distance selection
+    then runs with numpy's own argsort, whose tie order is the only
+    unreproducible operation. The result is bit-exact vs the scipy body
+    below in every case; the consumer sorts the merged list, so the
+    deferred segments' append order is immaterial."""
+    from .floatsig import gaussian_kernel, load_floatsig
+
+    eng = None if os.environ.get("FREDDIE_FLOATSIG") == "0" else load_floatsig()
+    if eng is not None:
+        try:
+            refine, ties = eng.refine(
+                np.ascontiguousarray(y_raw, dtype=np.float64),
+                [int(v) for v in y_idxs],
+                gaussian_kernel(sigma, 1.0),
+                float(sigma), int(skip), float(min_internal_splice),
+            )
+        except Exception:
+            return refine_segmentation_scipy(y_raw, y_idxs, sigma, skip,
+                                             min_internal_splice)
+        for s, g_b, peaks in ties:
+            g = np.frombuffer(g_b, dtype=np.float64)
+            pk = np.asarray(peaks, dtype=np.intp)
+            keep = _select_by_peak_distance(pk, g[pk], float(skip))
+            for i in pk[keep]:
+                lo = int(round(i - sigma))
+                hi = int(round(i + sigma + 1))
+                if sum(g[lo:hi].tolist()) < min_internal_splice:
+                    continue
+                refine.append(int(i) + s)
+        return refine
+    return refine_segmentation_scipy(y_raw, y_idxs, sigma, skip,
+                                     min_internal_splice)
+
+
+def _select_by_peak_distance(
+    peaks: np.ndarray, priority: np.ndarray, distance: float
+) -> np.ndarray:
+    """scipy.signal._peak_finding_utils._select_by_peak_distance, mirrored
+    statement for statement -- including `np.argsort(priority)` itself, so
+    exact-priority ties resolve in the identical (numpy introsort/SIMD)
+    order scipy would use."""
+    import math
+
+    n = len(peaks)
+    distance_ = math.ceil(distance)
+    keep = np.ones(n, dtype=bool)
+    priority_to_position = np.argsort(priority)
+    for i in range(n - 1, -1, -1):
+        j = priority_to_position[i]
+        if not keep[j]:
+            continue
+        k = j - 1
+        while 0 <= k and peaks[j] - peaks[k] < distance_:
+            keep[k] = False
+            k -= 1
+        k = j + 1
+        while k < n and peaks[k] - peaks[j] < distance_:
+            keep[k] = False
+            k += 1
+    return keep
+
+
+def refine_segmentation_scipy(
+    y_raw: np.ndarray,
+    y_idxs: list[int],
+    sigma: float,
+    skip: int = 20,
+    min_internal_splice: int = 20,
+) -> list[int]:
+    """Scipy oracle for refine_segmentation: inside every final segment
+    longer than 2*skip, zero the skip-margins, re-smooth with a tight
+    kernel (truncate=1.0, constant padding) and keep peaks (min
+    distance=skip) whose +-sigma local mass reaches min_internal_splice."""
     refine: list[int] = []
     for s, e in zip(y_idxs[:-1], y_idxs[1:]):
         if e - s <= 2 * skip:

@@ -37,11 +37,15 @@ def _load():
         ]
         newest = max(os.path.getmtime(s) for s in srcs)
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < newest:
+            # Per-pid temp + atomic os.replace: concurrent processes must
+            # never dlopen a half-written .so.
+            tmp = f"{_LIB}.{os.getpid()}.tmp"
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB] + srcs,
+                ["g++", "-O2", "-shared", "-fPIC", "-o", tmp] + srcs,
                 check=True,
                 capture_output=True,
             )
+            os.replace(tmp, _LIB)
         lib = ctypes.CDLL(_LIB)
         lib.solve_bnb.restype = ctypes.c_int
         lib.solve_segenum.restype = ctypes.c_int

@@ -183,17 +183,19 @@ def _float_surface(
 
     Appends per-interval work to ``work.intervals`` and returns the tint's
     DP problems (py/freddie_segment.py:679-720)."""
-    smoothed = [sig.smooth_signal(y, cfg.sigma) for y in y_raws]
+    smoothed, cand_lists = sig.smooth_and_candidates(y_raws, cfg.sigma)
     var_thr = sig.variance_threshold(smoothed, cfg.variance_factor)
     weights = work.weights
     problems: list[DPProblem] = []
     for iv_idx, (y_raw, y) in enumerate(zip(y_raws, smoothed)):
-        cands = sig.candidates_from_peaks(y)
+        cands = cand_lists[iv_idx]
         C = get_coverage(iv_idx, cands)
         fixed = {0, len(cands) - 1}
-        for c_idx, y_idx in enumerate(cands):
-            if y[y_idx] > var_thr:
-                fixed.add(c_idx)
+        # Vectorized threshold pass: identical comparisons to the
+        # reference's per-candidate loop (NaN var_thr -> all False).
+        fixed.update(
+            int(c) for c in np.flatnonzero(y[np.asarray(cands, dtype=np.int64)] > var_thr)
+        )
         fixed = sig.break_large_problems(cands, fixed, y, cfg.max_problem_size)
         fixed = sorted(fixed)
         starts = ends = reps = None
@@ -612,9 +614,12 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
         for gid, sol in zip(chunk, collect_batch_device(handles, wk, res)):
             solutions[gid] = sol
             unsolved[tint_of[gid]] -= 1
-        # Drop the device handles (frees the chip-side buffers); the
-        # final collection loop skips entries already read back.
-        pending[n_collected] = (chunk, None, None, None)
+        # Drop the whole entry (frees the chip-side buffers); the final
+        # collection loop skips None entries. A distinct sentinel, NOT
+        # handles=None: dispatch_batch_device also returns handles=None
+        # on its int32 scale-overflow host fallback, and those entries
+        # must still flow through collect_batch_device below.
+        pending[n_collected] = None
         n_collected += 1
         drain_ready(allow_python)
 
@@ -709,9 +714,10 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
         # tint whose problems are all solved, while later chunks are
         # still in flight.
         drain_ready(True)
-        for chunk, handles, wk, res in pending:
-            if handles is None:
+        for entry in pending:
+            if entry is None:
                 continue  # read back inline under MAX_INFLIGHT_CHUNKS
+            chunk, handles, wk, res = entry
             for gid, sol in zip(chunk, collect_batch_device(handles, wk, res)):
                 solutions[gid] = sol
                 unsolved[tint_of[gid]] -= 1

@@ -151,6 +151,54 @@ def test_streaming_chunks_and_flush_padding(tmp_path, monkeypatch):
         assert filecmp.cmp(a, b, shallow=False), os.path.relpath(a, ref_out)
 
 
+def test_scale_overflow_host_fallback_collected(tmp_path, monkeypatch):
+    """dispatch_batch_device returns (None, [], results) when thr.scale *
+    max_operand would overflow int32 and it solved the chunk on the host
+    inline. The streaming driver's final collection loop must still
+    collect those entries (they are NOT the 'already read back inline'
+    sentinel) -- regression test for an assert-death where handles=None
+    was overloaded for both meanings."""
+    from freddie_tpu.ops.segdp import solve_host
+    from freddie_tpu.stages import segment as seg
+
+    sim = simulate(
+        seed=78, n_genes=6, isoforms_per_gene=3, reads_per_isoform=12,
+        end_jitter=25, indel_rate=0.1, junction_jitter=6, alt_splice=True,
+        big_del_rate=0.06,
+    )
+    bam, fq = str(tmp_path / "r.bam"), str(tmp_path / "r.fastq")
+    sim.write_bam(bam)
+    sim.write_fastq(fq)
+    split_dir = str(tmp_path / "split")
+    run_split(bam, [fq], split_dir, SplitConfig())
+
+    ref_out = str(tmp_path / "ref")
+    seg.run_segment(split_dir, ref_out, SegmentConfig(use_device=False))
+
+    calls = []
+
+    def overflow_fallback(problems, thr, *a, **kw):
+        # Mimic segdp.dispatch_batch_device's int32 scale-overflow branch
+        # exactly: everything solved on the host, handles=None.
+        calls.append(len(problems))
+        return None, [], [solve_host(p, thr) for p in problems]
+
+    monkeypatch.setattr(seg, "DEVICE_MIN_WORK", 0)
+    monkeypatch.setattr(seg, "dispatch_batch_device", overflow_fallback)
+    got_out = str(tmp_path / "got")
+    seg.run_segment(split_dir, got_out, SegmentConfig())
+
+    assert calls, "device dispatch (and thus the fallback) never engaged"
+    ref_files = _tsv_set(ref_out)
+    got_files = _tsv_set(got_out)
+    assert [os.path.relpath(f, ref_out) for f in ref_files] == [
+        os.path.relpath(f, got_out) for f in got_files
+    ]
+    assert ref_files
+    for a, b in zip(ref_files, got_files):
+        assert filecmp.cmp(a, b, shallow=False), os.path.relpath(a, ref_out)
+
+
 def test_inflight_cap_byte_identical(split_dir, tmp_path, monkeypatch):
     """MAX_INFLIGHT_CHUNKS=1 (every chunk read back inline before the
     next dispatch) produces TSVs byte-identical to the default deep
