@@ -61,6 +61,19 @@ STREAM_CHUNK_MAX = 512
 # FREDDIE_DEVICE_COVERAGE=0/1 overrides.
 DEVICE_COVERAGE_MIN_TINTS = 256
 
+# A single background thread turns each dispatched chunk's device handle
+# into a host numpy array as soon as the device finishes it, so the
+# tunnel readback wait overlaps the rest of phase A (segcore loads, float
+# surface) instead of serializing after it. Readback-ONLY: the thread
+# spends its life blocked in jax's copy-to-host (GIL released); the
+# round-3 experiment that moved prepare/finalize work to a thread
+# measured slower from GIL churn and was reverted -- this design moves
+# no Python work. Results are identical (np.asarray on the handle is the
+# same synchronization collect_batch_device performs); exceptions
+# re-raise in the main thread at collect time. FREDDIE_READBACK_THREAD=0
+# disables.
+READBACK_THREAD = True
+
 # In-flight launch cap: a chunk's device-resident footprint is dominated
 # by its (B, P, R) int32 C input (up to ~70 MB); dispatching a large
 # corpus's hundreds of chunks before the first readback overruns the
@@ -523,7 +536,12 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
     offsets: list[int] = []
     solutions: list[list[int] | None] = []
     buckets: dict[tuple[int, int], list[int]] = {}
-    pending: list = []  # (chunk_ids, handles, work, res) in dispatch order
+    pending: list = []  # (chunk_ids, handles, work, res, fut) in dispatch order
+    readback = None
+    if READBACK_THREAD and os.environ.get("FREDDIE_READBACK_THREAD") != "0":
+        from concurrent.futures import ThreadPoolExecutor
+
+        readback = ThreadPoolExecutor(1, thread_name_prefix="freddie-readback")
     total_work = 0  # cumulative DP cost seen so far (device-worth gate)
     device_on = False
 
@@ -610,7 +628,9 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
 
     def collect_oldest(allow_python: bool):
         nonlocal n_collected
-        chunk, handles, wk, res = pending[n_collected]
+        chunk, handles, wk, res, fut = pending[n_collected]
+        if fut is not None:
+            handles = fut.result()
         for gid, sol in zip(chunk, collect_batch_device(handles, wk, res)):
             solutions[gid] = sol
             unsolved[tint_of[gid]] -= 1
@@ -644,7 +664,10 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
             )
             for i in chunk:  # dispatched exactly once: free the C/iv copies
                 all_problems[i] = None
-            pending.append((chunk, handles, wk, res))
+            fut = None
+            if readback is not None and handles is not None:
+                fut = readback.submit(np.asarray, handles)
+            pending.append((chunk, handles, wk, res, fut))
             while len(pending) - n_collected > MAX_INFLIGHT_CHUNKS:
                 collect_oldest(allow_python)
 
@@ -717,12 +740,16 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
         for entry in pending:
             if entry is None:
                 continue  # read back inline under MAX_INFLIGHT_CHUNKS
-            chunk, handles, wk, res = entry
+            chunk, handles, wk, res, fut = entry
+            if fut is not None:
+                handles = fut.result()
             for gid, sol in zip(chunk, collect_batch_device(handles, wk, res)):
                 solutions[gid] = sol
                 unsolved[tint_of[gid]] -= 1
             drain_ready(True)
         assert next_ready == len(finals)
+        if readback is not None:
+            readback.shutdown(wait=False)
         triples = list(zip(jobs, works, offsets))
 
     # Phase C2 (device, batched): every read's polyA soft-clip scans across
