@@ -52,6 +52,9 @@ def _load():
         lib.solve_segenum_list.restype = ctypes.c_int
         lib.solve_segenum_list_w2.restype = ctypes.c_int
         lib.solve_round.restype = ctypes.c_int
+        lib.solve_round_cached.restype = ctypes.c_int
+        lib.closure_cache_new.restype = ctypes.c_void_p
+        lib.closure_cache_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception:
         _build_failed = True

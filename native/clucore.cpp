@@ -43,15 +43,18 @@
 #include <unordered_map>
 #include <vector>
 
-extern "C" int solve_round(
+extern "C" int solve_round_cached(
     int n_reads, int n_segs, const uint8_t* I_bytes, const uint8_t* C_bytes,
     const double* garbage, const int64_t* seg_len, const int32_t* gap_counts,
     const int32_t* gap_lo, const int32_t* gap_hi, const int64_t* gap_lens,
     int n_incomp, const int32_t* incomp_pairs, int64_t sc, int64_t eps,
     int64_t off, double deadline_s, int64_t node_budget,
     int64_t closure_max_segs, int64_t closure_cap, int64_t bounds_device_min,
+    void* cache, const int32_t* read_ids, const int32_t* col_ids,
     int32_t* out_assigned, int32_t* out_n, double* out_obj, uint64_t* out_E,
     int64_t* out_nodes);
+extern "C" void* closure_cache_new();
+extern "C" void closure_cache_free(void*);
 
 namespace {
 
@@ -572,6 +575,15 @@ int run_rounds(TintC& t, const Prep& pp, std::vector<Partition>& parts,
         t.reads[(size_t)ridx].partition = (int)p_idx;
     std::vector<int> remaining = part.rids;
 
+    // Per-partition closure cache: rounds shrink monotonically, so the
+    // first escalated round's closure is filtered (never rebuilt) by
+    // later escalations in this partition (see round_solver.cpp).
+    struct CacheGuard {
+      void* p;
+      CacheGuard() : p(closure_cache_new()) {}
+      ~CacheGuard() { closure_cache_free(p); }
+    } ccache;
+
     for (long long round = 0; round < max_rounds; ++round) {
       long long mult_left = 0;
       for (int r : remaining) mult_left += (long long)t.reps[(size_t)r].size();
@@ -660,13 +672,15 @@ int run_rounds(TintC& t, const Prep& pp, std::vector<Partition>& parts,
         status = 0;  /* mirrors solve_round_native's N==0 OPTIMAL-empty */
       } else {
         if (gap_lo.empty()) { gap_lo.push_back(0); gap_hi.push_back(0); gap_len.push_back(0); }
-        status = solve_round(
+        status = solve_round_cached(
             n, Mi, sub_I.data(), sub_C.data(), garbage.data(), seg_len.data(),
             gap_counts.data(), gap_lo.data(), gap_hi.data(), gap_len.data(),
             (int)(incomp.size() / 2),
             incomp.empty() ? (const int32_t*)gap_counts.data() : incomp.data(),
             eps_scale, eps_scaled, offset, deadline_s, node_budget,
             closure_max_segs, closure_cap, bounds_device_min,
+            ccache.p, (const int32_t*)remaining.data(),
+            (const int32_t*)inf_idx.data(),
             out_assigned.data(), &out_n, &out_obj, out_E.data(), &out_nodes);
       }
       if (status == 2 || status == 4 || status == 5) return 1;  /* Python */

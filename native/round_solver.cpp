@@ -84,7 +84,8 @@ typedef unsigned __int128 u128;
  * analysis (tools/bound_device_experiment.py; VERDICT r3 item 3) to
  * bound what a batched device launch could possibly save. */
 std::atomic<long long> g_bound_ns{0}, g_bound_calls{0}, g_bound_nk{0},
-    g_build_ns{0}, g_sum_k{0};
+    g_build_ns{0}, g_sum_k{0}, g_cache_hits{0}, g_filter_ns{0},
+    g_fresh_ns{0}, g_gens_same{0}, g_binc{0};
 bool bound_prof_enabled() {
   static int on = [] {
     const char* e = getenv("FREDDIE_BOUND_PROF");
@@ -92,10 +93,17 @@ bool bound_prof_enabled() {
       atexit([] {
         fprintf(stderr,
                 "[bound-prof] closure build %.3f s + bounds %.3f s over "
-                "%lld escalations, sum K = %lld, sum N*K = %lld\n",
+                "%lld escalations (%lld cache hits), sum K = %lld, "
+                "sum N*K = %lld\n",
                 g_build_ns.load() / 1e9,
                 (g_bound_ns.load() - g_build_ns.load()) / 1e9,
-                g_bound_calls.load(), g_sum_k.load(), g_bound_nk.load());
+                g_bound_calls.load(), g_cache_hits.load(), g_sum_k.load(),
+                g_bound_nk.load());
+        fprintf(stderr,
+                "[bound-prof] filter %.3f s, fresh build %.3f s, "
+                "gens-same shortcuts %lld, incremental bounds %lld\n",
+                g_filter_ns.load() / 1e9, g_fresh_ns.load() / 1e9,
+                g_gens_same.load(), g_binc.load());
       });
       return 1;
     }
@@ -166,6 +174,187 @@ struct FlatMaskSet {
     for (MASK k : ok) insert(k);
   }
 };
+
+// ---- per-partition closure cache -------------------------------------
+//
+// Rounds within a partition shrink monotonically: the remaining reads of
+// round r+1 are a subset of round r's, and the informative columns shrink
+// with them (constancy over a superset implies constancy over the subset,
+// and the neighbour-value condition is read-set-independent on constant
+// columns -- see clucore.cpp's informative_segs). So the union-closure of
+// a later round's generators is a SUBSET of the first escalated round's
+// closure, computable by a filter instead of a fresh hash build:
+//
+//   u is in closure(G') iff u == OR{ g in G' : g subset of u }
+//
+// (<=: any such u is a union of G'-elements; >=: u = OR(T), T subset G',
+// implies the filter OR covers u and never exceeds it.) Projecting onto
+// the later round's columns commutes with OR, so the projected+deduped
+// survivors equal the fresh build's set exactly -- the cap decision, the
+// bounds and the canonical enum order see identical inputs, and results
+// stay bit-identical (tests/test_round_native.py fuzzes cached vs fresh).
+//
+// The cache stores the closure and per-read generator masks in the BUILD
+// round's column space (u128: Mi <= 128); a later round whose columns or
+// reads are not covered simply rebuilds and replaces the cache.
+struct ClosureCacheImpl {
+  bool valid = false;
+  std::vector<int32_t> col_ids;   // build-round global column ids, ascending
+  std::vector<int32_t> read_ids;  // build-round read ids, ascending
+  std::vector<u128> gens;         // per read_ids[i]: its I mask (build space)
+  std::vector<u128> closure;      // the full closure (build space), incl. 0
+  std::vector<u128> last_gens;    // distinct gens of the last filter call
+
+  // Incremental optimistic-bound cache. Every pos term is
+  // max(0, garbage_i - popcount(C_i & E)) -- a multiple of 0.5 far
+  // inside the double mantissa, so sums are EXACT and subtracting the
+  // reads removed since the last escalation reproduces a fresh scan's
+  // value bit for bit. Valid only while the informative columns still
+  // equal the build set (a dropped column changes C&E popcounts and can
+  // merge closure elements under projection); any non-identity
+  // projection clears it for the rest of the partition.
+  bool pos_valid = false;
+  std::vector<int32_t> pos_read_ids;  // read set at last bounds pass, asc
+  std::vector<u128> pos_closure;      // sorted masks aligned with pos_vals
+  std::vector<double> pos_vals;       // per mask: its pos sum
+  std::vector<double> read_garbage;   // aligned with read_ids
+  std::vector<u128> read_C;           // aligned with read_ids (build space)
+};
+
+// Filter the cached closure down to the current round's generator set and
+// project it onto the current columns. Returns false when the cache does
+// not cover this round (caller rebuilds).
+template <typename MASK>
+bool filter_cached_closure(ClosureCacheImpl* cc, int N,
+                           const int32_t* read_ids, const int32_t* col_ids,
+                           int n_segs, std::vector<MASK>& out,
+                           bool* identity_out) {
+  *identity_out = false;
+  if (!cc || !cc->valid || !read_ids || !col_ids) return false;
+  // Current columns must be a subset of the cached columns; record each
+  // one's bit position in the cached space.
+  std::vector<int> ppos(n_segs);
+  {
+    size_t j = 0;
+    for (int c = 0; c < n_segs; ++c) {
+      while (j < cc->col_ids.size() && cc->col_ids[j] < col_ids[c]) ++j;
+      if (j >= cc->col_ids.size() || cc->col_ids[j] != col_ids[c])
+        return false;
+      ppos[c] = (int)j;
+    }
+  }
+  // Current reads must all be cached; gather their build-space masks.
+  std::vector<u128> gens;
+  gens.reserve(N);
+  for (int i = 0; i < N; ++i) {
+    auto it = std::lower_bound(cc->read_ids.begin(), cc->read_ids.end(),
+                               read_ids[i]);
+    if (it == cc->read_ids.end() || *it != read_ids[i]) return false;
+    gens.push_back(cc->gens[it - cc->read_ids.begin()]);
+  }
+  std::sort(gens.begin(), gens.end());
+  gens.erase(std::unique(gens.begin(), gens.end()), gens.end());
+  const auto f_t0 = std::chrono::steady_clock::now();
+  if (gens == cc->last_gens) ++g_gens_same;
+  if (gens != cc->last_gens) {
+    // Survivors: u == OR of the subset generators (early exit once
+    // covered). gens ascend, and subset implies numerically <=, so the
+    // scan stops at the first g > u.
+    std::vector<u128> kept;
+    kept.reserve(cc->closure.size());
+    for (u128 u : cc->closure) {
+      u128 v = 0;
+      for (u128 g : gens) {
+        if (g > u) break;
+        if (g & ~u) continue;
+        v |= g;
+        if (v == u) break;
+      }
+      if (v == u) kept.push_back(u);
+    }
+    // Shrink the cache to the filtered set: closures are monotone under
+    // the shrinking read sets, so closure(G'') of any LATER round is a
+    // subset of closure(G') = kept -- the next filter scans kept, not
+    // the first round's full closure. When the distinct generator set is
+    // UNCHANGED from the previous filter (reads removed had duplicate
+    // masks), the closure is unchanged and the scan is skipped entirely.
+    cc->closure = std::move(kept);
+    cc->last_gens = std::move(gens);
+  }
+  g_filter_ns += std::chrono::duration_cast<std::chrono::nanoseconds>(
+                     std::chrono::steady_clock::now() - f_t0)
+                     .count();
+  // Project onto the current columns and dedup: iterate each mask's SET
+  // bits (popcount work, not Mi work) through a cached-pos -> current-col
+  // reverse map (-1 = dropped column).
+  out.clear();
+  out.reserve(cc->closure.size());
+  if (n_segs == (int)cc->col_ids.size()) {
+    // No column dropped since the build: projection is the identity.
+    *identity_out = true;
+    for (u128 u : cc->closure) out.push_back((MASK)u);
+    std::sort(out.begin(), out.end());
+    out.erase(std::unique(out.begin(), out.end()), out.end());
+    return true;
+  }
+  cc->pos_valid = false;  // non-identity projection: bounds cache dies
+  std::vector<int> rpos(cc->col_ids.size(), -1);
+  for (int c = 0; c < n_segs; ++c) rpos[ppos[c]] = c;
+  for (u128 u : cc->closure) {
+    MASK m = 0;
+    uint64_t lo = (uint64_t)u, hi = (uint64_t)(u >> 64);
+    while (lo) {
+      int b = __builtin_ctzll(lo);
+      lo &= lo - 1;
+      int c = rpos[b];
+      if (c >= 0) m |= (MASK)1 << c;
+    }
+    while (hi) {
+      int b = __builtin_ctzll(hi);
+      hi &= hi - 1;
+      int c = rpos[64 + b];
+      if (c >= 0) m |= (MASK)1 << c;
+    }
+    out.push_back(m);
+  }
+  std::sort(out.begin(), out.end());
+  out.erase(std::unique(out.begin(), out.end()), out.end());
+  return true;
+}
+
+// Store a freshly built closure (build space = the current round).
+template <typename MASK>
+void store_closure_cache(ClosureCacheImpl* cc, int N, const int32_t* read_ids,
+                         const int32_t* col_ids, int n_segs,
+                         const std::vector<MASK>& I_masks_per_read,
+                         const std::vector<MASK>& C_masks_per_read,
+                         const double* garbage,
+                         const std::vector<MASK>& closure) {
+  if (!cc || !read_ids || !col_ids) return;
+  cc->col_ids.assign(col_ids, col_ids + n_segs);
+  std::vector<int> idx(N);
+  for (int i = 0; i < N; ++i) idx[i] = i;
+  std::sort(idx.begin(), idx.end(),
+            [&](int a, int b) { return read_ids[a] < read_ids[b]; });
+  cc->read_ids.resize(N);
+  cc->gens.resize(N);
+  cc->read_garbage.resize(N);
+  cc->read_C.resize(N);
+  for (int p = 0; p < N; ++p) {
+    cc->read_ids[p] = read_ids[idx[p]];
+    cc->gens[p] = (u128)I_masks_per_read[idx[p]];
+    cc->read_garbage[p] = garbage[idx[p]];
+    cc->read_C[p] = (u128)C_masks_per_read[idx[p]];
+  }
+  cc->closure.assign(closure.begin(), closure.end());
+  cc->pos_valid = false;
+  cc->last_gens.assign(cc->gens.begin(), cc->gens.end());
+  std::sort(cc->last_gens.begin(), cc->last_gens.end());
+  cc->last_gens.erase(
+      std::unique(cc->last_gens.begin(), cc->last_gens.end()),
+      cc->last_gens.end());
+  cc->valid = true;
+}
 
 // Bits [lo, hi) of a multi-word mask (the gap windows from build_instance
 // are contiguous informative-column ranges).
@@ -260,6 +449,7 @@ int closure_escalate(
     int64_t sc, int64_t eps, int64_t off,
     double p1_obj, int64_t closure_cap, int64_t bounds_device_min,
     std::chrono::steady_clock::time_point t0, double deadline_s,
+    ClosureCacheImpl* cc, const int32_t* read_ids, const int32_t* col_ids,
     int32_t* out_assigned, int32_t* out_n, double* out_obj,
     uint64_t* out_E, int out_words) {
   const bool prof = bound_prof_enabled();
@@ -279,6 +469,11 @@ int closure_escalate(
                       std::chrono::steady_clock::now() - prof_t0)
                       .count();
   };
+  std::vector<MASK> I_m(N), C_m(N);
+  for (int i = 0; i < N; ++i) {
+    I_m[i] = mask_from_words(I_raw.data() + (size_t)i * W, W, MASK(0));
+    C_m[i] = mask_from_words(C_raw.data() + (size_t)i * W, W, MASK(0));
+  }
   // Distinct raw I masks, ascending (np.unique); incremental OR-closure.
   // Built with a hash set instead of per-merge sort/unique passes: the
   // SET is identical (all unions of subsets of the distinct masks; a
@@ -288,27 +483,45 @@ int closure_escalate(
   // sees the same sizes, the optimistic bounds are per-mask, and the
   // enum order is re-sorted canonically by (optimistic, mask). The old
   // build's per-merge sorts were ~85% of a closure solve at K ~ 15k.
+  // Escalated rounds after the first in a partition skip the build
+  // entirely: the cached-closure filter yields the identical set (proof
+  // at ClosureCacheImpl).
   std::vector<MASK> distinct(N);
-  for (int i = 0; i < N; ++i)
-    distinct[i] = mask_from_words(I_raw.data() + (size_t)i * W, W, MASK(0));
+  for (int i = 0; i < N; ++i) distinct[i] = I_m[i];
   std::sort(distinct.begin(), distinct.end());
   distinct.erase(std::unique(distinct.begin(), distinct.end()),
                  distinct.end());
-  std::vector<MASK> closure{0};
-  FlatMaskSet<MASK> seen(1024);
-  seen.insert(MASK(0));
-  for (MASK m : distinct) {
-    if (seen.contains(m)) continue;
-    const size_t cur = closure.size();  // snapshot: unions with m of the
-    for (size_t i = 0; i < cur; ++i) {  // appended tail are idempotent
-      MASK u = closure[i] | m;
-      if (u == closure[i]) continue;  // m subset: union already present
-      if (seen.insert(u)) closure.push_back(u);
+  std::vector<MASK> closure;
+  bool identity = false;   // current space == cache build space
+  bool fresh = false;      // built (not filtered) this round
+  if (!filter_cached_closure<MASK>(cc, N, read_ids, col_ids, n_segs,
+                                   closure, &identity)) {
+    const auto fb_t0 = std::chrono::steady_clock::now();
+    closure.assign(1, MASK(0));
+    FlatMaskSet<MASK> seen(1024);
+    seen.insert(MASK(0));
+    for (MASK m : distinct) {
+      if (seen.contains(m)) continue;
+      const size_t cur = closure.size();  // snapshot: unions with m of the
+      for (size_t i = 0; i < cur; ++i) {  // appended tail are idempotent
+        MASK u = closure[i] | m;
+        if (u == closure[i]) continue;  // m subset: union already present
+        if (seen.insert(u)) closure.push_back(u);
+      }
+      if ((int64_t)closure.size() > closure_cap) {
+        prof_record((long long)closure.size());
+        return 2;
+      }
     }
-    if ((int64_t)closure.size() > closure_cap) {
-      prof_record((long long)closure.size());
-      return 2;
-    }
+    store_closure_cache<MASK>(cc, N, read_ids, col_ids, n_segs, I_m, C_m,
+                              garbage, closure);
+    fresh = true;
+    identity = true;  // the build round defines the cache space
+    g_fresh_ns += std::chrono::duration_cast<std::chrono::nanoseconds>(
+                      std::chrono::steady_clock::now() - fb_t0)
+                      .count();
+  } else {
+    ++g_cache_hits;
   }
   if (bounds_device_min > 0 &&
       (int64_t)N * (int64_t)closure.size() >= bounds_device_min) {
@@ -325,11 +538,6 @@ int closure_escalate(
   // reorders the pos summation, and every term is an exact double
   // (multiples of 0.5 well inside the mantissa), so addition here is
   // associative and the bounds are bit-equal to the read-order scan.
-  std::vector<MASK> I_m(N), C_m(N);
-  for (int i = 0; i < N; ++i) {
-    I_m[i] = mask_from_words(I_raw.data() + (size_t)i * W, W, MASK(0));
-    C_m[i] = mask_from_words(C_raw.data() + (size_t)i * W, W, MASK(0));
-  }
   double g_total = 0.0;
   for (int i = 0; i < N; ++i) g_total += garbage[i];
   const size_t D = distinct.size();
@@ -339,19 +547,114 @@ int closure_escalate(
            distinct.begin()]
         .push_back(i);
   const size_t K = closure.size();
-  std::vector<double> optimistic(K);
-  for (size_t k = 0; k < K; ++k) {
-    const MASK E = closure[k];
-    double pos = 0.0;
-    for (size_t g = 0; g < D; ++g) {
-      if (distinct[g] & ~E) continue;
-      for (int i : groups[g]) {
-        double d = garbage[i] - (double)cl_popcnt((MASK)(C_m[i] & E));
-        if (d > 0) pos += d;
+  std::vector<double> pos_arr(K);
+  bool incremental = false;
+  const bool cacheable = cc && read_ids && col_ids && identity;
+  if (cacheable && !fresh && cc->pos_valid) {
+    // Incremental pos: previous escalation's values minus the removed
+    // reads' terms -- exact (every term a multiple of 0.5, all sums
+    // exact), so bit-equal to the full scan. Requires the current reads
+    // to be a subset of the last bounds pass's reads, the current
+    // closure a subset of its closure, and an unchanged column space
+    // (checked via `identity` + pos_valid).
+    std::vector<int32_t> cur_ids(read_ids, read_ids + N);
+    std::sort(cur_ids.begin(), cur_ids.end());
+    std::vector<int32_t> removed;
+    removed.reserve(cc->pos_read_ids.size());
+    {
+      size_t a = 0, b = 0;
+      bool ok = true;
+      while (a < cc->pos_read_ids.size() || b < cur_ids.size()) {
+        if (b >= cur_ids.size() ||
+            (a < cc->pos_read_ids.size() &&
+             cc->pos_read_ids[a] < cur_ids[b])) {
+          removed.push_back(cc->pos_read_ids[a]);
+          ++a;
+        } else if (a < cc->pos_read_ids.size() &&
+                   cc->pos_read_ids[a] == cur_ids[b]) {
+          ++a;
+          ++b;
+        } else {
+          ok = false;  // a current read the last pass never saw
+          break;
+        }
+      }
+      if (ok) {
+        // removed reads' garbage + I/C masks from the cache
+        std::vector<double> rg;
+        std::vector<u128> rC, rI;
+        rg.reserve(removed.size());
+        rC.reserve(removed.size());
+        rI.reserve(removed.size());
+        for (int32_t rid : removed) {
+          auto it = std::lower_bound(cc->read_ids.begin(),
+                                     cc->read_ids.end(), rid);
+          if (it == cc->read_ids.end() || *it != rid) { ok = false; break; }
+          size_t p = it - cc->read_ids.begin();
+          rg.push_back(cc->read_garbage[p]);
+          rC.push_back(cc->read_C[p]);
+          rI.push_back(cc->gens[p]);
+        }
+        if (ok) {
+          // closure (sorted) -> pos_closure (sorted) index map
+          size_t j = 0;
+          for (size_t k = 0; k < K && ok; ++k) {
+            const u128 key = (u128)closure[k];
+            while (j < cc->pos_closure.size() && cc->pos_closure[j] < key)
+              ++j;
+            if (j >= cc->pos_closure.size() || cc->pos_closure[j] != key) {
+              ok = false;
+              break;
+            }
+            double pos = cc->pos_vals[j];
+            const u128 E = key;
+            for (size_t r = 0; r < removed.size(); ++r) {
+              if (rI[r] & ~E) continue;  // read's I not subset of E
+              double d = rg[r] - (double)cl_popcnt(rC[r] & E);
+              if (d > 0) pos -= d;
+            }
+            pos_arr[k] = pos;
+          }
+          incremental = ok;
+        }
       }
     }
-    optimistic[k] = g_total - pos;
   }
+  if (!incremental) {
+    for (size_t k = 0; k < K; ++k) {
+      const MASK E = closure[k];
+      double pos = 0.0;
+      for (size_t g = 0; g < D; ++g) {
+        if (distinct[g] & ~E) continue;
+        for (int i : groups[g]) {
+          double d = garbage[i] - (double)cl_popcnt((MASK)(C_m[i] & E));
+          if (d > 0) pos += d;
+        }
+      }
+      pos_arr[k] = pos;
+    }
+  } else {
+    ++g_binc;
+  }
+  if (cacheable) {
+    // Save this pass for the next escalation (sorted by mask).
+    std::vector<size_t> ord(K);
+    for (size_t k = 0; k < K; ++k) ord[k] = k;
+    std::sort(ord.begin(), ord.end(), [&](size_t a, size_t b) {
+      return (u128)closure[a] < (u128)closure[b];
+    });
+    cc->pos_closure.resize(K);
+    cc->pos_vals.resize(K);
+    for (size_t k = 0; k < K; ++k) {
+      cc->pos_closure[k] = (u128)closure[ord[k]];
+      cc->pos_vals[k] = pos_arr[ord[k]];
+    }
+    cc->pos_read_ids.assign(read_ids, read_ids + N);
+    std::sort(cc->pos_read_ids.begin(), cc->pos_read_ids.end());
+    cc->pos_valid = true;
+  }
+  std::vector<double> optimistic(K);
+  for (size_t k = 0; k < K; ++k) optimistic[k] = g_total - pos_arr[k];
 
   prof_record((long long)K);
 
@@ -430,9 +733,30 @@ extern "C" {
 //      the closure escalation in Python with device bounds (bit-equal
 //      values, so the canonical result is unchanged; the rebuild costs
 //      milliseconds against the saved bound time)
+// Opaque per-partition closure cache (see ClosureCacheImpl). Create one
+// per partition, pass it to solve_round_cached for every round of that
+// partition with the round's stable read ids and global column ids, and
+// free it when the partition's rounds end. Passing NULLs (or using the
+// plain solve_round wrapper) disables caching; results are bit-identical
+// either way.
+void* closure_cache_new() { return new ClosureCacheImpl(); }
+void closure_cache_free(void* p) { delete (ClosureCacheImpl*)p; }
+
 // All read indices are RAW (caller order); sorting for the DFS happens
 // here (heaviest-garbage-first, then index -- solver/exact.py's order).
-int solve_round(
+int solve_round_cached(
+    int n_reads, int n_segs,
+    const uint8_t* I_bytes, const uint8_t* C_bytes, const double* garbage,
+    const int64_t* seg_len, const int32_t* gap_counts, const int32_t* gap_lo,
+    const int32_t* gap_hi, const int64_t* gap_lens, int n_incomp,
+    const int32_t* incomp_pairs, int64_t sc, int64_t eps, int64_t off,
+    double deadline_s, int64_t node_budget, int64_t closure_max_segs,
+    int64_t closure_cap, int64_t bounds_device_min,
+    void* cache, const int32_t* read_ids, const int32_t* col_ids,
+    int32_t* out_assigned, int32_t* out_n, double* out_obj, uint64_t* out_E,
+    int64_t* out_nodes);
+
+int solve_round_cached(
     int n_reads, int n_segs,
     const uint8_t* I_bytes,    // [n_reads][n_segs] 0/1
     const uint8_t* C_bytes,    // [n_reads][n_segs] 0/1
@@ -448,11 +772,15 @@ int solve_round(
     double deadline_s, int64_t node_budget,
     int64_t closure_max_segs, int64_t closure_cap,
     int64_t bounds_device_min,  // N*closure_size gate; <=0 disables
+    void* cache,                // closure_cache_new() handle or NULL
+    const int32_t* read_ids,    // [n_reads] stable ids or NULL
+    const int32_t* col_ids,     // [n_segs] global column ids or NULL
 
     // outputs
     int32_t* out_assigned, int32_t* out_n, double* out_obj,
     uint64_t* out_E,  // [words]
     int64_t* out_nodes) {
+  ClosureCacheImpl* cc = (ClosureCacheImpl*)cache;
   const auto t0 = std::chrono::steady_clock::now();
   int words = (n_segs + 63) / 64;
   if (words == 0) words = 1;
@@ -548,13 +876,31 @@ int solve_round(
     return closure_escalate<uint64_t>(
         N, n_segs, W, I_raw, C_raw, garbage, seg_len, gap_counts, gmask_raw,
         total_gaps, gap_lens, n_incomp, incomp_pairs, sc, eps, off, p1_obj,
-        closure_cap, bounds_device_min, t0, deadline_s, out_assigned, out_n,
-        out_obj, out_E, W);
+        closure_cap, bounds_device_min, t0, deadline_s, cc, read_ids,
+        col_ids, out_assigned, out_n, out_obj, out_E, W);
   return closure_escalate<u128>(
       N, n_segs, W, I_raw, C_raw, garbage, seg_len, gap_counts, gmask_raw,
       total_gaps, gap_lens, n_incomp, incomp_pairs, sc, eps, off, p1_obj,
-      closure_cap, bounds_device_min, t0, deadline_s, out_assigned, out_n,
-      out_obj, out_E, W);
+      closure_cap, bounds_device_min, t0, deadline_s, cc, read_ids, col_ids,
+      out_assigned, out_n, out_obj, out_E, W);
+}
+
+// Legacy uncached entry (Python ctypes twins; bit-identical results).
+int solve_round(
+    int n_reads, int n_segs, const uint8_t* I_bytes, const uint8_t* C_bytes,
+    const double* garbage, const int64_t* seg_len, const int32_t* gap_counts,
+    const int32_t* gap_lo, const int32_t* gap_hi, const int64_t* gap_lens,
+    int n_incomp, const int32_t* incomp_pairs, int64_t sc, int64_t eps,
+    int64_t off, double deadline_s, int64_t node_budget,
+    int64_t closure_max_segs, int64_t closure_cap, int64_t bounds_device_min,
+    int32_t* out_assigned, int32_t* out_n, double* out_obj, uint64_t* out_E,
+    int64_t* out_nodes) {
+  return solve_round_cached(
+      n_reads, n_segs, I_bytes, C_bytes, garbage, seg_len, gap_counts,
+      gap_lo, gap_hi, gap_lens, n_incomp, incomp_pairs, sc, eps, off,
+      deadline_s, node_budget, closure_max_segs, closure_cap,
+      bounds_device_min, nullptr, nullptr, nullptr, out_assigned, out_n,
+      out_obj, out_E, out_nodes);
 }
 
 }  // extern "C"

@@ -65,6 +65,102 @@ def assert_same(a, b):
         assert np.array_equal(np.asarray(a.isoform), np.asarray(b.isoform))
 
 
+@pytest.mark.parametrize("seed", range(15))
+def test_closure_cache_multiround_bitexact(seed):
+    """The per-partition closure cache (closure_cache_new +
+    solve_round_cached) must give BIT-identical outputs to the uncached
+    solve_round across simulated partition rounds: reads only removed,
+    columns only dropped -- including non-identity projections (column
+    drops kill the incremental-bounds cache) and repeated escalations
+    (tiny node budget)."""
+    import ctypes
+
+    lib = native_mod._load()
+    rng = np.random.default_rng(seed + 7700)
+    N0 = int(rng.integers(8, 40))
+    M0 = int(rng.integers(3, 14))
+    I0 = (rng.random((N0, M0)) < 0.45).astype(np.uint8)
+    C0 = (I0 | (rng.random((N0, M0)) < 0.2)).astype(np.uint8)
+    garbage0 = (rng.integers(1, 12, size=N0) * 0.5).astype(np.float64)
+    seg_len0 = rng.integers(1, 50, size=M0).astype(np.int64)
+    read_ids0 = np.arange(N0, dtype=np.int32) * 3 + 1  # stable, arbitrary
+    col_ids0 = np.arange(M0, dtype=np.int32) * 7 + 2
+
+    cache = lib.closure_cache_new()
+    try:
+        alive = list(range(N0))
+        cols = list(range(M0))
+        for rnd in range(6):
+            n, m = len(alive), len(cols)
+            if n == 0 or m == 0:
+                break
+            I = np.ascontiguousarray(I0[np.ix_(alive, cols)])
+            C = np.ascontiguousarray(C0[np.ix_(alive, cols)])
+            garbage = np.ascontiguousarray(garbage0[alive])
+            seg_len = np.ascontiguousarray(seg_len0[cols])
+            rids = np.ascontiguousarray(read_ids0[alive])
+            cids = np.ascontiguousarray(col_ids0[cols])
+            gap_counts = np.zeros(n, dtype=np.int32)
+            gap_z = np.zeros(1, dtype=np.int32)
+            gap_zl = np.zeros(1, dtype=np.int64)
+
+            def run(cached):
+                out_assigned = np.zeros(max(n, 1), dtype=np.int32)
+                out_n = ctypes.c_int32(0)
+                out_obj = ctypes.c_double(0.0)
+                words = max((m + 63) // 64, 1)
+                out_E = np.zeros(words, dtype=np.uint64)
+                out_nodes = ctypes.c_int64(0)
+
+                def p(a, t):
+                    return a.ctypes.data_as(ctypes.POINTER(t))
+
+                common = [
+                    ctypes.c_int(n), ctypes.c_int(m),
+                    p(I, ctypes.c_uint8), p(C, ctypes.c_uint8),
+                    p(garbage, ctypes.c_double), p(seg_len, ctypes.c_int64),
+                    p(gap_counts, ctypes.c_int32), p(gap_z, ctypes.c_int32),
+                    p(gap_z, ctypes.c_int32), p(gap_zl, ctypes.c_int64),
+                    ctypes.c_int(0), p(gap_z, ctypes.c_int32),
+                    ctypes.c_int64(1000), ctypes.c_int64(100),
+                    ctypes.c_int64(0), ctypes.c_double(60.0),
+                    ctypes.c_int64(3),  # tiny budget: force escalations
+                    ctypes.c_int64(128), ctypes.c_int64(100000),
+                    ctypes.c_int64(0),
+                ]
+                outs = [
+                    p(out_assigned, ctypes.c_int32), ctypes.byref(out_n),
+                    ctypes.byref(out_obj), p(out_E, ctypes.c_uint64),
+                    ctypes.byref(out_nodes),
+                ]
+                if cached:
+                    st = lib.solve_round_cached(
+                        *common, ctypes.c_void_p(cache),
+                        p(rids, ctypes.c_int32), p(cids, ctypes.c_int32),
+                        *outs,
+                    )
+                else:
+                    st = lib.solve_round(*common, *outs)
+                return (st, out_n.value,
+                        out_assigned[: out_n.value].tolist(),
+                        out_obj.value, out_E.tolist(), out_nodes.value)
+
+            want = run(cached=False)
+            got = run(cached=True)
+            assert got == want, (seed, rnd, n, m)
+
+            # shrink: remove some reads; sometimes drop a column
+            if n > 2:
+                k = int(rng.integers(1, max(2, n // 3)))
+                drop = set(rng.choice(len(alive), size=k, replace=False).tolist())
+                alive = [a for i, a in enumerate(alive) if i not in drop]
+            if m > 2 and rng.random() < 0.4:
+                cols = [c for i, c in enumerate(cols)
+                        if i != int(rng.integers(0, m))]
+    finally:
+        lib.closure_cache_free(ctypes.c_void_p(cache))
+
+
 @pytest.mark.parametrize("seed", range(20))
 def test_round_native_matches_chain(seed):
     rng = np.random.default_rng(seed + 5100)
