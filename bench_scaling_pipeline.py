@@ -1,19 +1,34 @@
 #!/usr/bin/env python3
 """Pipeline-level scaling efficiency: the locus-sharded stages (segment +
-cluster + isoforms incl. the collective GTF merge) on 1 vs 2 real
+cluster + isoforms incl. the collective GTF merge) on 1 vs 2 vs 4 real
 jax.distributed (Gloo) processes, each pinned to its own cores.
 
 This is the production multi-host program (parallel/dist.py hash
 sharding) measured end to end, strong scaling: the same corpus, one
-"host" = half this machine's cores. Efficiency = T1 / (2 * T2). Unlike
-the virtual-device kernel harness (bench_scaling.py), nothing here
-time-shares cores: process 0 is pinned to the first half, process 1 to
-the second half, so the measured loss is sharding skew + dispatch +
-collective overhead -- exactly what the BASELINE >=0.85 target bounds.
+"host" = a fixed pinned core set. Efficiency_n = T1 / (n * Tn) with the
+SAME cores-per-host at every point. Unlike the virtual-device kernel
+harness (bench_scaling.py), nothing here time-shares cores, so the
+measured loss is sharding skew + dispatch + collective overhead --
+exactly what the BASELINE >=0.85 target bounds.
+
+Two measurements:
+  * the legacy 2-host point at half-machine hosts (cores_per_host =
+    n_cores/2), the headline `pipeline_scaling_efficiency`;
+  * an efficiency CURVE at 1 core per host for n in {1, 2, 4} (a 4-core
+    machine cannot host 4 multi-core processes), `curve` in the JSON.
+
+Hot-vs-cold convention, quantified in the JSON: each worker runs the
+sharded stages twice; `cold` walls include the first pass's one-time
+per-process costs (XLA program loads, native-lib dlopens), `hot` walls
+are the steady-state second pass (the production workflow runner
+processes many samples per process, so hot is the headline and cold is
+reported alongside).
 
 Prints one JSON line:
-  {"metric": "pipeline_scaling_efficiency", "value": eff,
-   "t1_s": ..., "t2_s": ..., "hosts": 2, "cores_per_host": K}
+  {"metric": "pipeline_scaling_efficiency", "value": eff_hot,
+   "t1_s": ..., "t2_s": ..., "hosts": 2, "cores_per_host": K,
+   "cold": {...}, "curve": {"cores_per_host": 1, "hosts": [1, 2, 4],
+   "hot_s": [...], "efficiency": [...], "cold_s": [...]}}
 """
 
 from __future__ import annotations
@@ -73,14 +88,19 @@ WORKER = textwrap.dedent(
     # one-time per-process costs; the production workflow runner
     # processes many samples per process, so steady-state (hot) walls
     # are what scale with hosts (same convention as bench.py's
-    # segment_hot_s headline). Per-pid dir: warm isolation only.
+    # segment_hot_s headline). The warm pass is timed too and reported
+    # as the COLD wall, quantifying the convention. Per-pid dir: warm
+    # isolation only.
+    t0 = time.perf_counter()
     full(outdir + f"_warm{pid}")
+    cold = time.perf_counter() - t0
     if nprocs > 1:
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("bench-hot-start")
     t0 = time.perf_counter()
     full(outdir)
-    print(json.dumps({"pid": pid, "wall": time.perf_counter() - t0}))
+    print(json.dumps({"pid": pid, "wall": time.perf_counter() - t0,
+                      "cold": cold}))
     """
 )
 
@@ -94,7 +114,8 @@ def _free_port() -> int:
 
 
 def _run_workers(nprocs: int, corpus: str, outdir: str, cores_per: int,
-                 script: str) -> float:
+                 script: str) -> tuple:
+    """Returns (max hot wall, max cold wall) across the nprocs workers."""
     port = _free_port()
     procs = []
     for pid in range(nprocs):
@@ -108,7 +129,7 @@ def _run_workers(nprocs: int, corpus: str, outdir: str, cores_per: int,
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
         )
-    walls = []
+    walls, colds = [], []
     for p in procs:
         out, err = p.communicate(timeout=1800)
         if p.returncode != 0:
@@ -116,8 +137,10 @@ def _run_workers(nprocs: int, corpus: str, outdir: str, cores_per: int,
         for line in out.splitlines():
             line = line.strip()
             if line.startswith("{"):
-                walls.append(json.loads(line)["wall"])
-    return max(walls)
+                rec = json.loads(line)
+                walls.append(rec["wall"])
+                colds.append(rec["cold"])
+    return max(walls), max(colds)
 
 
 def main():
@@ -145,26 +168,46 @@ def main():
         run_split(bam, [fq], os.path.join(corpus, "split"),
                   SplitConfig(threads=n_cores))
 
-        t1 = min(
-            _run_workers(1, corpus, os.path.join(workdir, f"one{i}"),
-                         cores_per, script)
-            for i in range(2)
-        )
-        t2 = min(
-            _run_workers(2, corpus, os.path.join(workdir, f"two{i}"),
-                         cores_per, script)
-            for i in range(2)
-        )
+        def best(n, cores, tag):
+            runs = [
+                _run_workers(n, corpus, os.path.join(workdir, f"{tag}{i}"),
+                             cores, script)
+                for i in range(2)
+            ]
+            return (min(h for h, _ in runs), min(c for _, c in runs))
+
+        t1, t1c = best(1, cores_per, "one")
+        t2, t2c = best(2, cores_per, "two")
         eff = t1 / (2 * t2)
+
+        # Efficiency curve at 1 core per host (the only cores-per-host at
+        # which this machine can run a 4-host point).
+        curve_hosts = [n for n in (1, 2, 4) if n <= n_cores]
+        curve_hot, curve_cold = [], []
+        for n in curve_hosts:
+            h, c = best(n, 1, f"c{n}_")
+            curve_hot.append(round(h, 2))
+            curve_cold.append(round(c, 2))
+        curve_eff = [
+            round(curve_hot[0] / (n * h), 3)
+            for n, h in zip(curve_hosts, curve_hot)
+        ]
         print(json.dumps(dict(
             metric="pipeline_scaling_efficiency",
             value=round(eff, 3), unit="fraction", hosts=2,
             cores_per_host=cores_per, t1_s=round(t1, 2), t2_s=round(t2, 2),
             reads=n_reads,
+            cold=dict(t1_s=round(t1c, 2), t2_s=round(t2c, 2),
+                      efficiency=round(t1c / (2 * t2c), 3)),
+            curve=dict(cores_per_host=1, hosts=curve_hosts,
+                       hot_s=curve_hot, efficiency=curve_eff,
+                       cold_s=curve_cold),
         )))
         print(
             f"[pipe-scaling] 1 host {t1:.2f}s vs 2 hosts {t2:.2f}s "
-            f"({cores_per} cores/host) -> efficiency {eff:.3f}",
+            f"({cores_per} cores/host) -> efficiency {eff:.3f}; "
+            f"1-core curve hosts={curve_hosts} hot={curve_hot} "
+            f"eff={curve_eff}",
             file=sys.stderr,
         )
     finally:

@@ -48,6 +48,17 @@ class SegmentConfig:
     # host oracle. Results are bit-identical; this is a performance switch.
     use_device: bool = True
     validate: bool = False
+    # Streaming-window knob for 100M-scale corpora: every `stream_window`
+    # tints prepared, force-flush every partially-filled dispatch bucket
+    # (padded to the bucket's standard power-of-two batch shape, so no
+    # fresh kernel compiles). Without it, one problem parked in a rare
+    # (P, R) bucket can hold its tint -- and, because tints drain in
+    # order, every LATER tint's parsed capsule -- resident until the end
+    # of phase A. 0 = off (the default; the right setting for corpora
+    # that fit comfortably in memory, since fuller chunks amortize launch
+    # overhead better). Outputs are byte-identical either way: chunk
+    # composition never affects per-problem DP solutions.
+    stream_window: int = 0
 
     def __post_init__(self):
         assert 1 >= self.threshold_rate >= 0.5

@@ -442,10 +442,178 @@ def _kernel(n_ref, C_ref, y_ref, W_ref, Thi_ref, Tlo_ref, ThiT_ref, TloT_ref,
     )
 
 
+def _kernel_pipelined(n_ref, C_ref, y_prev_ref, W_ref, Thi_ref, Tlo_ref,
+                      ThiT_ref, TloT_ref,
+                      K_ref,
+                      O_ref, OT_ref, IN_ref, INp_ref, IN2_ref, H_ref, SM_ref,
+                      NE_ref, YE_ref,
+                      P, R, scale, read_support, wide_weights,
+                      kb_override=0, un=4):
+    """Software-pipelined twin of _kernel (p1v=4 phase 1): grid step b runs
+    problem b's phase 1 (MXU-heavy) STATICALLY INTERLEAVED with problem
+    b-1's phase 2/3 (VPU-heavy wavefront), so the VLIW scheduler can
+    overlap the two functional units instead of serializing ~35 ms of
+    wavefront after ~120 ms of phase 1 (measured split at B=2048, P=64,
+    R=512, tools/profile_kernel_phases.py). The grid has B+1 steps; step
+    0's phase 2 consumes uninitialized scratch and its output block is
+    discarded by the caller (K[0]), step B's phase 1 redundantly recomputes
+    problem B-1 (outputs overwritten-never-read). Scratch carried across
+    grid steps: O holds the PREVIOUS step's phase-1 output at step start
+    (snapshotted into OT/INp before phase 1 overwrites it). Value-identical
+    to the non-pipelined kernel: the phases compute byte-for-byte the same
+    intermediates, only their schedule changes."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    neg = jnp.float32(-jnp.inf)
+    b = pl.program_id(0)
+    n_prev = n_ref[jnp.maximum(b - 1, 0)]
+    end = n_prev - 1
+
+    W = W_ref[0]  # (1, R) f32, CURRENT problem (phase 1)
+    y_prev = y_prev_ref[0]  # (1, P) int32, PREVIOUS problem (phase 2/3)
+
+    # ---- previous-problem snapshots, before phase 1 overwrites O/IN.
+    OT_ref[...] = jnp.swapaxes(O_ref[...], 0, 1)
+    INp_ref[...] = IN_ref[...]
+    IN2_ref[...] = jnp.transpose(INp_ref[...])
+    SM_ref[...] = ((y_prev - jnp.transpose(y_prev)) < 5).astype(jnp.float32)
+
+    w_sum = jnp.sum(W)
+    gate = jnp.float32(read_support)
+    W_int = W.astype(jnp.int32)
+    W_lo = (W_int & 127).astype(jnp.float32)  # (1, R)
+    W_hi = (W_int >> 7).astype(jnp.float32)
+
+    KB = kb_override or _phase1_block(P, R, wide_weights, 4)
+    NE_ref[:, pl.ds(P, 1), :] = jnp.ones((KB, 1, R), jnp.float32)
+    YE_ref[:, pl.ds(P, 1), :] = jnp.ones((KB, 1, R), jnp.float32)
+
+    def phase1_block(t):
+        k0 = t * KB
+        C_all = C_ref[0]  # (P, R) int32, pre-scaled
+        C_blk = C_ref[0, pl.ds(k0, KB), :]  # (KB, R)
+        T1 = C_blk[:, None, :] - C_all[None, :, :]  # (KB, P, R)
+        thiT = ThiT_ref[0, pl.ds(k0, KB), :][:, :, None]
+        tloT = TloT_ref[0, pl.ds(k0, KB), :][:, :, None]
+        thi = Thi_ref[0, pl.ds(k0, KB), :][:, :, None]
+        tlo = Tlo_ref[0, pl.ds(k0, KB), :][:, :, None]
+        zero = jnp.float32(0.0)
+        one = jnp.float32(1.0)
+
+        def bdot(a, bb):
+            return jax.lax.dot_general(
+                a, bb, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+
+        yea_fb = jnp.where(T1 < -thi, one, zero)
+        nay_fb = jnp.where(T1 > -tlo, one, zero)
+        NE_ref[:, pl.ds(0, P), :] = nay_fb
+        YE_ref[:, pl.ds(0, P), :] = yea_fb
+        yea_to = T1 > thiT
+        nay_to = T1 < tloT
+        yw_lo = jnp.where(yea_to, W_lo[None], zero)
+        nw_lo = jnp.where(nay_to, W_lo[None], zero)
+        ey = bdot(yw_lo, NE_ref[...])  # (KB, P, P+1)
+        en = bdot(nw_lo, YE_ref[...])
+        out_blk = ey[:, :, :P] + en[:, :, :P]
+        sums = ey[:, :, P] + en[:, :, P]
+        if wide_weights:
+            yw_hi = jnp.where(yea_to, W_hi[None], zero)
+            nw_hi = jnp.where(nay_to, W_hi[None], zero)
+            ey_hi = bdot(yw_hi, NE_ref[...])
+            en_hi = bdot(nw_hi, YE_ref[...])
+            out_blk = out_blk + 128.0 * (ey_hi[:, :, :P] + en_hi[:, :, :P])
+            sums = sums + 128.0 * (ey_hi[:, :, P] + en_hi[:, :, P])
+        O_ref[pl.ds(k0, KB)] = jnp.where(out_blk < gate, neg, out_blk)
+        IN_ref[pl.ds(k0, KB), :] = -(w_sum - sums)
+
+    # ---- phase 2/3 state for the PREVIOUS problem.
+    small = SM_ref[...]
+    kk_row = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1)
+    kk_col = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0)
+    in_end_row = INp_ref[pl.ds(end, 1), :]  # (1, P): inside(., end)
+    H_ref[...] = jnp.where(
+        (kk_row == end) & (kk_col < end), jnp.transpose(in_end_row), neg
+    )
+    K_ref[0] = jnp.full((P, P), -1, dtype=jnp.int32)
+    kmask_static = (kk_row > kk_col) & (kk_row <= end) & (small == 0.0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+
+    def p2_step(j):
+        O_plane = OT_ref[pl.ds(j, 1)][0]
+        vals = jnp.where(kmask_static, O_plane + H_ref[...], neg)
+        row_max = jnp.max(vals, axis=1, keepdims=True)
+        first_arg = jnp.min(
+            jnp.where(vals == row_max, kk_row, jnp.int32(P)),
+            axis=1, keepdims=True,
+        )
+        row_arg = jnp.transpose(first_arg)
+        in_j = IN2_ref[pl.ds(j, 1), :]
+        small_j = SM_ref[pl.ds(j, 1), :]
+        valid_k = (
+            (col_i > j) & (col_i < end)
+            & (small_j == 0.0)
+            & (jnp.transpose(row_max) > neg)
+        )
+        row_H = jnp.where(valid_k, in_j + jnp.transpose(row_max), neg)
+        keep_end = (col_i == end) & (j < end)
+        row_H = jnp.where(keep_end, in_j, row_H)
+        H_ref[pl.ds(j, 1), :] = row_H
+        K_ref[0, pl.ds(j, 1), :] = jnp.where(valid_k, row_arg, -1)
+
+    # ---- the interleave: STATIC unrolled schedule mixing phase-1 blocks
+    # (current problem) among the wavefront groups (previous problem) --
+    # one basic block, no conditionals, so the scheduler is free to issue
+    # MXU dots and VPU wavefront ops concurrently.
+    UN = un
+    n_loop = (P - 1) // UN
+    n_blocks = P // KB
+    for t in range(n_loop):
+        if t < n_blocks:
+            phase1_block(t)
+        j0 = P - 2 - UN * t
+        for i in range(UN):
+            p2_step(j0 - i)
+    for t in range(n_loop, n_blocks):  # KB small enough that blocks fit
+        phase1_block(t)
+    for j in range((P - 1) % UN - 1, -1, -1):
+        p2_step(j)
+
+    # ---- phase 3 (previous problem).
+    O_plane0 = OT_ref[0]
+    in0 = jnp.transpose(IN2_ref[pl.ds(0, 1), :])
+    small0 = SM_ref[pl.ds(0, 1), :]
+    jmask = (
+        (kk_col > 0) & (kk_col < end)
+        & (kk_row > kk_col) & (kk_row <= end)
+        & (jnp.transpose(small0) == 0.0)
+        & (small == 0.0)
+    )
+    D0 = jnp.where(jmask, in0 + O_plane0 + H_ref[...], neg)
+    best = jnp.max(D0)
+    is_max = D0 == best
+    big = jnp.int32(P)
+    any_row = jnp.any(is_max, axis=1, keepdims=True)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    jm = jnp.min(jnp.where(any_row, row_iota, big))
+    km = jnp.min(jnp.where(is_max & (kk_col == jm), kk_row, big))
+    baseline = in_end_row[0, 0]
+    ok = best > baseline
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    bj = jnp.where(ok, jm, -1)
+    bk = jnp.where(ok, km, -1)
+    K_ref[0, pl.ds(P - 1, 1), :] = jnp.where(
+        lane == 0, bj, jnp.where(lane == 1, bk, -1)
+    )
+
+
 def solve_batch_pallas(C, y, W, n_cand, read_support, lookup, scale,
                        interpret=False, wide_weights=True, blocked=True,
                        unroll1=False, unroll2=False, phases=3,
-                       kb_override=0, un=4, p1v=4):
+                       kb_override=0, un=4, p1v=4, pipelined=False):
     """Same contract as ops.segdp._solve_batch_jax: returns (K, best_j,
     best_k). C:(B,P,R) i32, y:(B,P) i32, W:(B,R) f32, n_cand:(B,) i32.
 
@@ -470,6 +638,66 @@ def solve_batch_pallas(C, y, W, n_cand, read_support, lookup, scale,
     # +eq makes a ratio exactly at 1-h count as nay when the reference's
     # float 1-h sits above the exact decimal (ops/thresholds.py docstring).
     T_lo = ((scale - h) * seg_len + eq).astype(jnp.int32)
+
+    if pipelined:
+        # Software-pipelined schedule: B+1 grid steps; step b = phase 1 of
+        # problem min(b, B-1) interleaved with phase 2/3 of problem b-1.
+        # Output block 0 is garbage (no previous problem) and sliced off.
+        KB = kb_override or _phase1_block(P, R, wide_weights, 4)
+        kernel = functools.partial(
+            _kernel_pipelined, P=P, R=R, scale=scale,
+            read_support=read_support, wide_weights=wide_weights,
+            kb_override=kb_override, un=un,
+        )
+        cur = lambda b, n: (jnp.minimum(b, B - 1), 0, 0)
+        prev = lambda b, n: (jnp.maximum(b - 1, 0), 0, 0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B + 1,),
+            in_specs=[
+                pl.BlockSpec((1, P, R), cur, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, P), prev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, R), cur, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, P, P), cur, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, P, P), cur, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, P, P), cur, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, P, P), cur, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, P, P), lambda b, n: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((P, P, P), jnp.float32),  # O (current phase 1)
+                pltpu.VMEM((P, P, P), jnp.float32),  # OT (prev, snapshot)
+                pltpu.VMEM((P, P), jnp.float32),  # IN (current)
+                pltpu.VMEM((P, P), jnp.float32),  # INp (prev snapshot)
+                pltpu.VMEM((P, P), jnp.float32),  # IN2 = transpose(INp)
+                pltpu.VMEM((P, P), jnp.float32),  # H
+                pltpu.VMEM((P, P), jnp.float32),  # small (prev)
+                pltpu.VMEM((KB, P + 1, R), jnp.float32),  # NE
+                pltpu.VMEM((KB, P + 1, R), jnp.float32),  # YE
+            ],
+        )
+        (K_all,) = pl.pallas_call(
+            kernel,
+            out_shape=[
+                jax.ShapeDtypeStruct((B + 1, P, P), jnp.int32),
+            ],
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(
+            jnp.asarray(n_cand, jnp.int32),
+            jnp.asarray(C, jnp.int32) * jnp.int32(scale),
+            jnp.asarray(y, jnp.int32)[:, None, :],
+            jnp.asarray(W, jnp.float32)[:, None, :],
+            T_hi,
+            T_lo,
+            jnp.swapaxes(T_hi, 1, 2),
+            jnp.swapaxes(T_lo, 1, 2),
+        )
+        K = K_all[1:]
+        return K, K[:, P - 1, 0], K[:, P - 1, 1]
 
     kernel = functools.partial(
         _kernel, P=P, R=R, scale=scale, read_support=read_support,

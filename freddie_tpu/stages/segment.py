@@ -671,6 +671,14 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
             while len(pending) - n_collected > MAX_INFLIGHT_CHUNKS:
                 collect_oldest(allow_python)
 
+    # Windowed streaming (100M-scale memory bound): every `stream_window`
+    # tints, flush every partial bucket so no problem -- and therefore no
+    # tint capsule upstream of the in-order drain pointer -- waits for a
+    # rare (P, R) bucket to fill. FREDDIE_SEGMENT_WINDOW overrides.
+    stream_window = int(
+        os.environ.get("FREDDIE_SEGMENT_WINDOW", cfg.stream_window) or 0
+    )
+
     with profile_trace(os.environ.get("FREDDIE_TRACE_DIR")):
         for job in jobs:
             work, problems = prepare_one(job)
@@ -695,8 +703,11 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
             if not device_on and cfg.use_device and total_work >= DEVICE_MIN_WORK:
                 device_on = True
             if device_on:
+                force = bool(
+                    stream_window and len(works) % stream_window == 0
+                )
                 for key in list(buckets):
-                    dispatch_chunks(key)
+                    dispatch_chunks(key, force=force)
 
         # Phase A totals known: fix the batched-polyA route. The batched
         # device polyA pass only pays off when the C Kadane scorer is NOT
