@@ -242,3 +242,44 @@ def test_pallas_p1v_variants_bit_identical(wide, variant):
             wide_weights=wide, p1v=v))
     for a, b in zip(outs[0], outs[1]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("wide", [False, True])
+def test_pallas_pipelined_bit_identical(wide):
+    """The software-pipelined kernel (grid step b = problem b's phase 1
+    interleaved with problem b-1's phase 2/3, scratch carried across grid
+    steps) must match the standard kernel bit for bit, including varied
+    n_cand. Measured SLOWER on the axon chip (184.6 vs 158.7 ms at
+    B=2048 under identical load, bit-identical backpointers) -- kept as
+    the documented negative result for the split-phase kernel designs
+    (BENCH_NOTES round-5 kernel section)."""
+    import jax.numpy as jnp
+
+    from freddie_tpu.ops.segdp_pallas import solve_batch_pallas
+
+    rng = np.random.default_rng(23 if wide else 29)
+    thr = ScaledThresholds(0.9)
+    B, P, R = 5, 16, 128
+    C = np.zeros((B, P, R), dtype=np.int32)
+    y = np.zeros((B, P), dtype=np.int32)
+    W = np.zeros((B, R), dtype=np.float32)
+    n_cand = np.zeros((B,), dtype=np.int32)
+    for b in range(B):
+        p = int(rng.integers(6, P + 1))
+        pr = random_problem(rng, p, R)
+        C[b, :p] = pr.C
+        C[b, p:] = pr.C[-1]
+        y[b, :p] = pr.y
+        y[b, p:] = pr.y[-1]
+        W[b] = pr.W if not wide else pr.W * 97
+        n_cand[b] = p
+    lookup = jnp.asarray(thr.lookup)
+    base = solve_batch_pallas(
+        jnp.asarray(C), jnp.asarray(y), jnp.asarray(W), jnp.asarray(n_cand),
+        3, lookup, thr.scale, interpret=True, wide_weights=wide)
+    pipe = solve_batch_pallas(
+        jnp.asarray(C), jnp.asarray(y), jnp.asarray(W), jnp.asarray(n_cand),
+        3, lookup, thr.scale, interpret=True, wide_weights=wide,
+        pipelined=True)
+    for a, b in zip(base, pipe):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
