@@ -553,7 +553,17 @@ def main():
             pipe_scaling["value"] if pipe_scaling else None
         ),
         pipeline_scaling_hosts=(
-            pipe_scaling.get("hosts") if pipe_scaling else None
+            # Max host count measured (the 1-core curve's 4-way point when
+            # present, else the legacy half-machine 2-way point).
+            (max(pipe_scaling["curve"]["hosts"])
+             if pipe_scaling.get("curve") else pipe_scaling.get("hosts"))
+            if pipe_scaling else None
+        ),
+        pipeline_scaling_curve=(
+            pipe_scaling.get("curve") if pipe_scaling else None
+        ),
+        pipeline_scaling_cold=(
+            pipe_scaling.get("cold") if pipe_scaling else None
         ),
         **recovery,
     )
