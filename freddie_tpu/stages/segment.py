@@ -74,6 +74,16 @@ DEVICE_COVERAGE_MIN_TINTS = 256
 # disables.
 READBACK_THREAD = True
 
+# Auto-windowing: corpora with at least this many tints get a default
+# stream_window (below) even when the config leaves it 0, so the
+# resident capsule set stays bounded by default at 10M-100M scale. The
+# window is deliberately huge -- it only exists to stop a problem parked
+# in a rare (P, R) bucket from pinning every later tint through the
+# in-order drain, and at 4096 tints per flush the partial-chunk launch
+# overhead is noise. Byte-identical either way.
+AUTO_WINDOW_MIN_TINTS = 20_000
+AUTO_WINDOW = 4096
+
 # In-flight launch cap: a chunk's device-resident footprint is dominated
 # by its (B, P, R) int32 C input (up to ~70 MB); dispatching a large
 # corpus's hundreds of chunks before the first readback overruns the
@@ -678,6 +688,8 @@ def run_segment(split_dir: str, outdir: str, cfg: SegmentConfig | None = None,
     stream_window = int(
         os.environ.get("FREDDIE_SEGMENT_WINDOW", cfg.stream_window) or 0
     )
+    if not stream_window and len(jobs) >= AUTO_WINDOW_MIN_TINTS:
+        stream_window = AUTO_WINDOW
 
     with profile_trace(os.environ.get("FREDDIE_TRACE_DIR")):
         for job in jobs:

@@ -94,3 +94,31 @@ def test_window_env_override(split_dir, tmp_path, monkeypatch):
     seg.run_segment(split_dir, env_out, SegmentConfig())
     assert calls["n"] > base_calls
     assert _tsv_bytes(base_out) == _tsv_bytes(env_out)
+
+
+def test_auto_window_engages_on_huge_corpora(split_dir, tmp_path, monkeypatch):
+    """Corpora with >= AUTO_WINDOW_MIN_TINTS tints get a default window
+    even at stream_window=0 (memory bounded by default at 10M+ scale)."""
+    from freddie_tpu.stages import segment as seg
+
+    monkeypatch.setattr(seg, "DEVICE_MIN_WORK", 0)
+    monkeypatch.setattr(seg, "AUTO_WINDOW_MIN_TINTS", 1)
+    monkeypatch.setattr(seg, "AUTO_WINDOW", 1)
+    calls = {"n": 0}
+    orig = seg.dispatch_batch_device
+
+    def counted(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(seg, "dispatch_batch_device", counted)
+    auto_out = str(tmp_path / "auto")
+    seg.run_segment(split_dir, auto_out, SegmentConfig())
+    auto_calls = calls["n"]
+
+    calls["n"] = 0
+    monkeypatch.setattr(seg, "AUTO_WINDOW_MIN_TINTS", 10**9)  # off
+    plain_out = str(tmp_path / "plain")
+    seg.run_segment(split_dir, plain_out, SegmentConfig())
+    assert auto_calls > calls["n"]
+    assert _tsv_bytes(plain_out) == _tsv_bytes(auto_out)
