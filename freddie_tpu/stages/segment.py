@@ -57,9 +57,12 @@ STREAM_CHUNK_MAX = 512
 # Device-side coverage build engages from this many tints: below it the
 # dense C transfer is a handful of chunks and the extra build launch
 # costs more than the saved bytes; above, the interval lists win (300k
-# on-chip A/B in BENCH_NOTES). The route is value-neutral either way;
-# FREDDIE_DEVICE_COVERAGE=0/1 overrides.
-DEVICE_COVERAGE_MIN_TINTS = 256
+# on-chip A/B in BENCH_NOTES). Round 5 lowered the gate 256 -> 64: with
+# the float surface in C and readback overlapped, transfer bytes became
+# the exposed wall on the 96-tint bench corpus too (interleaved hot A/B:
+# devcov 0.41-0.47 s vs dense 0.54-0.57 s, byte-identical). The route is
+# value-neutral either way; FREDDIE_DEVICE_COVERAGE=0/1 overrides.
+DEVICE_COVERAGE_MIN_TINTS = 64
 
 # A single background thread turns each dispatched chunk's device handle
 # into a host numpy array as soon as the device finishes it, so the
