@@ -36,7 +36,8 @@ def _load():
             # never dlopen a half-written .so.
             tmp = f"{_LIB}.{os.getpid()}.tmp"
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, *_SRCS, "-lz"],
+                ["g++", "-O2", "-shared", "-fPIC", "-pthread", "-o", tmp,
+                 *_SRCS, "-lz"],
                 check=True,
                 capture_output=True,
             )

@@ -9,12 +9,19 @@
 
 #pragma once
 
+#include <time.h>
 #include <zlib.h>
 
+#include <charconv>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
+#include <memory>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace bamio {
@@ -26,6 +33,30 @@ struct Ref {
   int64_t len;
 };
 
+// Single-producer prefetch pipeline: a background thread reads + inflates
+// BGZF members ahead of the consumer, bounded by MAX_AHEAD bytes. Blocks
+// are strictly ordered (one producer), so the decompressed stream is
+// byte-identical to the sequential path.
+struct Prefetcher {
+  static constexpr size_t MAX_AHEAD = 64u << 20;
+  std::thread th;
+  std::mutex mu;
+  std::condition_variable cv_data, cv_space;
+  std::deque<std::vector<uint8_t>> q;
+  size_t q_bytes = 0;
+  bool done = false;      // producer finished (EOF or error)
+  bool stop = false;      // consumer asked the producer to quit
+  std::string err;        // producer error ('' = clean EOF)
+  ~Prefetcher() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+    }
+    cv_space.notify_all();
+    if (th.joinable()) th.join();
+  }
+};
+
 struct Handle {
   FILE* f = nullptr;
   std::vector<uint8_t> buf;  // decompressed bytes not yet consumed
@@ -33,19 +64,24 @@ struct Handle {
   std::vector<Ref> refs;
   bool eof = false;
   std::string err;
+  double t_inflate = 0.0;  // cumulative seconds in read_block (profiling)
+  bool prof = false;
+  std::unique_ptr<Prefetcher> pf;
 };
 
-// Read one BGZF member; append payload to h.buf. False at EOF or error.
-inline bool read_block(Handle& h) {
+// Read + inflate one BGZF member from f into payload (resized).
+// Returns 1 on success, 0 at EOF, -1 on error (err set).
+inline int read_block_payload(FILE* f, std::vector<uint8_t>& payload,
+                              std::string& err) {
   uint8_t hdr[12];
-  size_t got = fread(hdr, 1, 12, h.f);
-  if (got == 0) { h.eof = true; return false; }
+  size_t got = fread(hdr, 1, 12, f);
+  if (got == 0) return 0;
   if (got < 12 || hdr[0] != 0x1f || hdr[1] != 0x8b || hdr[2] != 8) {
-    h.err = "bad BGZF header"; return false;
+    err = "bad BGZF header"; return -1;
   }
   uint16_t xlen; memcpy(&xlen, hdr + 10, 2);
   std::vector<uint8_t> extra(xlen);
-  if (fread(extra.data(), 1, xlen, h.f) != xlen) { h.err = "truncated extra"; return false; }
+  if (fread(extra.data(), 1, xlen, f) != xlen) { err = "truncated extra"; return -1; }
   int bsize = -1;
   for (size_t off = 0; off + 4 <= extra.size();) {
     uint8_t si1 = extra[off], si2 = extra[off + 1];
@@ -55,27 +91,97 @@ inline bool read_block(Handle& h) {
     }
     off += 4 + slen;
   }
-  if (bsize < 0) { h.err = "missing BC subfield"; return false; }
+  if (bsize < 0) { err = "missing BC subfield"; return -1; }
   int cdata_len = bsize + 1 - 12 - xlen - 8;
   std::vector<uint8_t> cdata(cdata_len);
-  if ((int)fread(cdata.data(), 1, cdata_len, h.f) != cdata_len) {
-    h.err = "truncated block"; return false;
+  if ((int)fread(cdata.data(), 1, cdata_len, f) != cdata_len) {
+    err = "truncated block"; return -1;
   }
   uint8_t tail[8];
-  if (fread(tail, 1, 8, h.f) != 8) { h.err = "truncated footer"; return false; }
+  if (fread(tail, 1, 8, f) != 8) { err = "truncated footer"; return -1; }
   uint32_t isize; memcpy(&isize, tail + 4, 4);
-  size_t old = h.buf.size();
-  h.buf.resize(old + isize);
+  payload.resize(isize);
   if (isize) {
     z_stream zs{};
     inflateInit2(&zs, -15);
     zs.next_in = cdata.data();
     zs.avail_in = cdata_len;
-    zs.next_out = h.buf.data() + old;
+    zs.next_out = payload.data();
     zs.avail_out = isize;
     int rc = inflate(&zs, Z_FINISH);
     inflateEnd(&zs);
-    if (rc != Z_STREAM_END) { h.err = "inflate failed"; return false; }
+    if (rc != Z_STREAM_END) { err = "inflate failed"; return -1; }
+  }
+  return 1;
+}
+
+// Start background block prefetch on h (call after parse_header; any bytes
+// already in h.buf stay valid -- the producer simply continues from the
+// current file offset). Disabled by FREDDIE_BGZF_PREFETCH=0.
+inline void start_prefetch(Handle& h) {
+  const char* env = getenv("FREDDIE_BGZF_PREFETCH");
+  if (env && env[0] == '0') return;
+  if (h.pf || !h.f) return;
+  h.pf.reset(new Prefetcher());
+  Prefetcher* pf = h.pf.get();
+  FILE* f = h.f;
+  pf->th = std::thread([pf, f]() {
+    std::string err;
+    for (;;) {
+      std::vector<uint8_t> payload;
+      int rc = read_block_payload(f, payload, err);
+      std::unique_lock<std::mutex> lk(pf->mu);
+      if (rc <= 0) {
+        pf->err = (rc < 0) ? err : "";
+        pf->done = true;
+        lk.unlock();
+        pf->cv_data.notify_all();
+        return;
+      }
+      pf->cv_space.wait(lk, [pf] {
+        return pf->stop || pf->q_bytes < Prefetcher::MAX_AHEAD;
+      });
+      if (pf->stop) return;
+      pf->q_bytes += payload.size();
+      pf->q.push_back(std::move(payload));
+      lk.unlock();
+      pf->cv_data.notify_all();
+    }
+  });
+}
+
+// Read one BGZF member; append payload to h.buf. False at EOF or error.
+inline bool read_block(Handle& h) {
+  timespec a{};
+  if (h.prof) clock_gettime(CLOCK_MONOTONIC, &a);
+  if (h.pf) {
+    Prefetcher* pf = h.pf.get();
+    std::vector<uint8_t> payload;
+    {
+      std::unique_lock<std::mutex> lk(pf->mu);
+      pf->cv_data.wait(lk, [pf] { return pf->done || !pf->q.empty(); });
+      if (pf->q.empty()) {
+        if (pf->err.empty()) h.eof = true;
+        else h.err = pf->err;
+        return false;
+      }
+      payload = std::move(pf->q.front());
+      pf->q.pop_front();
+      pf->q_bytes -= payload.size();
+    }
+    pf->cv_space.notify_all();
+    h.buf.insert(h.buf.end(), payload.begin(), payload.end());
+  } else {
+    std::vector<uint8_t> payload;
+    int rc = read_block_payload(h.f, payload, h.err);
+    if (rc == 0) { h.eof = true; return false; }
+    if (rc < 0) return false;
+    h.buf.insert(h.buf.end(), payload.begin(), payload.end());
+  }
+  if (h.prof) {
+    timespec b{};
+    clock_gettime(CLOCK_MONOTONIC, &b);
+    h.t_inflate += (b.tv_sec - a.tv_sec) + (b.tv_nsec - a.tv_nsec) * 1e-9;
   }
   return true;
 }
@@ -174,8 +280,11 @@ inline int walk_intervals(const uint8_t* cig, uint16_t n_cigar, int64_t rpos,
     uint32_t c = v >> 4;
     if (op == 2 && (int)c > max_del_size) op = 3;  // D -> N rewrite
     if (op == 1 || op == 2 || op == 0 || op == 7 || op == 8) {
-      int k = snprintf(tmp, sizeof tmp, "%u%c", c, OPS[op]);
-      cigtext.append(tmp, k);
+      // to_chars instead of snprintf: one call per exon-consuming cigar
+      // op of every read -- tens of millions at 10M reads.
+      auto res = std::to_chars(tmp, tmp + sizeof tmp - 1, c);
+      *res.ptr = OPS[op];
+      cigtext.append(tmp, res.ptr + 1 - tmp);
     }
     if (op == 2) {
       t_hi += c;

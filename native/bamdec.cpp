@@ -36,6 +36,7 @@ void* bamdec_open(const char* path, char* err, int errlen) {
   };
   if (!h->f) return fail("cannot open file");
   if (!bamio::parse_header(*h)) return fail(h->err);
+  bamio::start_prefetch(*h);  // background BGZF inflate (bam_io.h)
   return h;
 }
 
@@ -198,6 +199,7 @@ long long bamdec_next_batch_iv(
 
 void bamdec_close(void* hp) {
   Handle* h = (Handle*)hp;
+  h->pf.reset();  // join the prefetch thread BEFORE closing its FILE*
   if (h->f) fclose(h->f);
   delete h;
 }

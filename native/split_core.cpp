@@ -21,11 +21,14 @@
 // freddie_tpu/io/bam_native.py).
 
 #include <errno.h>
+#include <stdlib.h>
 #include <sys/stat.h>
 #include <sys/types.h>
+#include <time.h>
 
 #include <algorithm>
 #include <cctype>
+#include <charconv>
 #include <climits>
 #include <cstdint>
 #include <cstdio>
@@ -90,17 +93,37 @@ struct Ctx {
   std::unordered_map<std::string, Entry> rname;
   std::vector<std::pair<std::string, int>> counts;
   std::string err;
+  double t_flush = 0.0;  // cumulative seconds in flush_locus (profiling)
+  double t_emit = 0.0;   // cumulative seconds in emit_tint (profiling)
+  bool prof = false;
 };
 
 void append_i64(std::string& s, int64_t v) {
+  // std::to_chars: ~5x snprintf. This renders every integer field of
+  // every TSV row (tens of millions of calls at 10M reads).
   char tmp[24];
-  int k = snprintf(tmp, sizeof tmp, "%lld", (long long)v);
-  s.append(tmp, k);
+  auto res = std::to_chars(tmp, tmp + sizeof tmp, v);
+  s.append(tmp, res.ptr - tmp);
 }
+
+struct ProfTimer {
+  double* acc;
+  timespec a{};
+  explicit ProfTimer(double* acc_) : acc(acc_) {
+    if (acc) clock_gettime(CLOCK_MONOTONIC, &a);
+  }
+  ~ProfTimer() {
+    if (!acc) return;
+    timespec b{};
+    clock_gettime(CLOCK_MONOTONIC, &b);
+    *acc += (b.tv_sec - a.tv_sec) + (b.tv_nsec - a.tv_nsec) * 1e-9;
+  }
+};
 
 // Emit one tint: write its TSV and record the rname routing.
 // (stages/split.py split_contig + format_split_tsv.)
 bool emit_tint(Ctx& c, const TintT& t) {
+  ProfTimer pt(c.prof ? &c.t_emit : nullptr);
   const std::string& contig = c.refs[c.cur_ref];
   std::string cdir = c.outdir + "/" + contig;
   if (c.tint_id == 0) {
@@ -258,6 +281,7 @@ bool break_oversized(Ctx& c, const TintT& tint, std::vector<TintT>& out) {
 
 // stages/split.py build_tints + emission for one locus batch.
 bool flush_locus(Ctx& c) {
+  ProfTimer pt(c.prof ? &c.t_flush : nullptr);
   if (c.reads.empty()) {
     c.have_end = false;
     return true;
@@ -374,6 +398,10 @@ bool end_contig(Ctx& c) {
 // ---- FASTQ/FASTA routing (stages/split.py distribute_read_sequences) ----
 
 // Buffered line reader over gzFile (zlib reads plain files transparently).
+// Lines are returned as VIEWS into the internal buffer (valid until the
+// next call): the 17.6 GB FASTQ of a 10M-read corpus is never copied
+// line-by-line into std::strings, and the '+'/quality lines the router
+// ignores cost only the memchr scan.
 struct LineReader {
   gzFile f = nullptr;
   std::vector<char> buf;
@@ -394,19 +422,33 @@ struct LineReader {
     len += got;
     return true;
   }
-  // Next line without the trailing '\n'; false at EOF.
-  bool next(std::string& line) {
-    line.clear();
+  // Next line without the trailing '\n', as a view valid until the next
+  // call; false at EOF. A line spanning the buffer end is compacted to
+  // the front first (the buffer doubles if a line exceeds it).
+  bool next_view(const char*& p, size_t& n) {
     for (;;) {
       const char* nl = (const char*)memchr(buf.data() + pos, '\n', len - pos);
       if (nl) {
-        line.append(buf.data() + pos, nl - (buf.data() + pos));
-        pos = (nl - buf.data()) + 1;
+        p = buf.data() + pos;
+        n = (size_t)(nl - p);
+        pos = (size_t)(nl - buf.data()) + 1;
         return true;
       }
-      line.append(buf.data() + pos, len - pos);
-      pos = len = 0;
-      if (!fill()) return !line.empty();
+      // Partial line at the end: move it to the front and read more.
+      if (pos > 0) {
+        memmove(buf.data(), buf.data() + pos, len - pos);
+        len -= pos;
+        pos = 0;
+      } else if (len == buf.size()) {
+        buf.resize(buf.size() * 2);
+      }
+      if (!fill()) {
+        if (len == 0) return false;
+        p = buf.data();
+        n = len;  // final line without trailing newline
+        pos = len = 0;
+        return true;
+      }
     }
   }
 };
@@ -454,7 +496,9 @@ struct OutPool {
 
 bool distribute_sequences(Ctx& c, const std::vector<std::string>& files) {
   OutPool pool(c, (size_t)c.cfg.max_open_handles);
-  std::string line, name, row;
+  std::string name, row;
+  const char* lp = nullptr;
+  size_t ln = 0;
   for (const std::string& path : files) {
     LineReader lr(path.c_str());
     if (!lr.f) {
@@ -463,11 +507,12 @@ bool distribute_sequences(Ctx& c, const std::vector<std::string>& files) {
     }
     int mod = 0;
     long long idx = 0;
-    while (lr.next(line)) {
+    bool wanted = false;  // current record's name is routed
+    while (lr.next_view(lp, ln)) {
       if (idx == 0) {
-        if (!line.empty() && line[0] == '@')
+        if (ln > 0 && lp[0] == '@')
           mod = 4;
-        else if (!line.empty() && line[0] == '>')
+        else if (ln > 0 && lp[0] == '>')
           mod = 2;
         else {
           c.err = "Invalid fasta/q file " + path;
@@ -477,31 +522,31 @@ bool distribute_sequences(Ctx& c, const std::vector<std::string>& files) {
       long long m = idx % mod;
       if (m == 0) {
         // rstrip + first whitespace-token minus the leading '@'/'>'.
-        size_t e = line.size();
-        while (e > 0 && isspace((unsigned char)line[e - 1])) --e;
+        size_t e = ln;
+        while (e > 0 && isspace((unsigned char)lp[e - 1])) --e;
         size_t tok = 0;
-        while (tok < e && !isspace((unsigned char)line[tok])) ++tok;
-        name.assign(line, 1, tok >= 1 ? tok - 1 : 0);
-      } else if (m == 1) {
-        auto it = c.rname.find(name);
-        if (it != c.rname.end()) {
-          size_t e = line.size();
-          while (e > 0 && isspace((unsigned char)line[e - 1])) --e;
-          const Entry& ent = it->second;
-          for (int32_t tid : ent.tint_ids) {
-            FILE* f = pool.get(ent.contig_idx, tid, c.err);
-            if (!f) return false;
-            row.clear();
-            append_i64(row, ent.rid);
-            row += "\t";
-            row += c.refs[ent.contig_idx];
-            row += "\t";
-            append_i64(row, tid);
-            row += "\t";
-            row.append(line.data(), e);
-            row += "\n";
-            fwrite(row.data(), 1, row.size(), f);
-          }
+        while (tok < e && !isspace((unsigned char)lp[tok])) ++tok;
+        name.assign(lp + 1, tok >= 1 ? tok - 1 : 0);
+        // One lookup per record; the sequence line checks the flag only
+        // (and '+'/quality lines cost nothing but the newline scan).
+        wanted = c.rname.find(name) != c.rname.end();
+      } else if (m == 1 && wanted) {
+        size_t e = ln;
+        while (e > 0 && isspace((unsigned char)lp[e - 1])) --e;
+        const Entry& ent = c.rname.find(name)->second;
+        for (int32_t tid : ent.tint_ids) {
+          FILE* f = pool.get(ent.contig_idx, tid, c.err);
+          if (!f) return false;
+          row.clear();
+          append_i64(row, ent.rid);
+          row += "\t";
+          row += c.refs[ent.contig_idx];
+          row += "\t";
+          append_i64(row, tid);
+          row += "\t";
+          row.append(lp, e);
+          row += "\n";
+          fwrite(row.data(), 1, row.size(), f);
         }
       }
       ++idx;
@@ -527,7 +572,11 @@ long long splitc_run(const char* bam_path, const char* fastq_paths,
                      long long contig_min_size, int max_open_handles,
                      char* counts_out, long long counts_cap, char* err,
                      int errlen) {
+  timespec t_start{};
+  clock_gettime(CLOCK_MONOTONIC, &t_start);
+  const bool prof = getenv("FREDDIE_SPLIT_PROF") != nullptr;
   Ctx c;
+  c.prof = prof;
   c.cfg = Config{max_del_size,      consider_nonspliced != 0,
                  min_reads_per_tint, max_tint_intervals,
                  max_tint_reads,     contig_min_size,
@@ -539,12 +588,16 @@ long long splitc_run(const char* bam_path, const char* fastq_paths,
   };
 
   bamio::Handle h;
+  h.prof = prof;
   h.f = fopen(bam_path, "rb");
   if (!h.f) return fail(std::string("cannot open ") + bam_path, -1);
   if (!bamio::parse_header(h)) {
     fclose(h.f);
     return fail(h.err, -1);
   }
+  // Background BGZF inflate from here on: the decode thread stays ahead
+  // of the record loop, hiding inflate under tint building/writing.
+  bamio::start_prefetch(h);
   std::vector<char> keep(h.refs.size(), 0);
   bool any = false;
   for (size_t i = 0; i < h.refs.size(); ++i) {
@@ -643,12 +696,17 @@ long long splitc_run(const char* bam_path, const char* fastq_paths,
     c.reads.push_back(std::move(r));
     name.clear();
   }
+  h.pf.reset();  // join the prefetch thread BEFORE closing its FILE*
   fclose(h.f);
   if (rc < 0) {
     if (c.err.size()) snprintf(err, errlen, "%s", c.err.c_str());
     return rc;
   }
   if (!end_contig(c)) return fail(c.err, -1);
+
+  // Optional phase attribution (FREDDIE_SPLIT_PROF=1 -> stderr).
+  timespec t_bam{};
+  if (prof) clock_gettime(CLOCK_MONOTONIC, &t_bam);
 
   // FASTQ/FASTA routing pass.
   std::vector<std::string> files;
@@ -662,6 +720,18 @@ long long splitc_run(const char* bam_path, const char* fastq_paths,
     }
   }
   if (!distribute_sequences(c, files)) return fail(c.err, -1);
+  if (prof) {
+    timespec t_end{};
+    clock_gettime(CLOCK_MONOTONIC, &t_end);
+    auto secs = [](const timespec& a, const timespec& b) {
+      return (b.tv_sec - a.tv_sec) + (b.tv_nsec - a.tv_nsec) * 1e-9;
+    };
+    fprintf(stderr,
+            "[splitc] bam_pass=%.2fs (inflate=%.2fs flush=%.2fs "
+            "emit=%.2fs) fastq_pass=%.2fs\n",
+            secs(t_start, t_bam), h.t_inflate, c.t_flush, c.t_emit,
+            secs(t_bam, t_end));
+  }
 
   // Counts out.
   std::string counts;
