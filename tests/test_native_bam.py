@@ -125,3 +125,26 @@ def test_split_native_ingest_byte_identical(tmp_path, monkeypatch):
         assert filecmp.cmp(
             os.path.join(out_native, rel), os.path.join(out_threads, rel), shallow=False
         ), rel
+
+
+def test_prefetch_on_off_identical(tmp_path, monkeypatch):
+    """The background BGZF prefetch thread (bam_io.h start_prefetch) must
+    produce the exact record stream of the sequential path -- blocks are
+    strictly ordered through a single producer, so any divergence is a
+    pipeline bug."""
+    sim = simulate(seed=31, n_genes=3, isoforms_per_gene=2,
+                   reads_per_isoform=9, truncate_prob=0.1, indel_rate=0.05)
+    bam = str(tmp_path / "t.bam")
+    sim.write_bam(bam)
+
+    def records():
+        with NativeBamReader(bam) as r:
+            return [(x.query_name, x.flag, x.reference_start,
+                     tuple(x.cigartuples), x.query_sequence) for x in r]
+
+    monkeypatch.setenv("FREDDIE_BGZF_PREFETCH", "0")
+    seq = records()
+    monkeypatch.delenv("FREDDIE_BGZF_PREFETCH")
+    pre = records()
+    assert seq == pre
+    assert len(seq) == len(sim.reads)
