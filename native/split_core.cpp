@@ -507,7 +507,7 @@ bool distribute_sequences(Ctx& c, const std::vector<std::string>& files) {
     }
     int mod = 0;
     long long idx = 0;
-    bool wanted = false;  // current record's name is routed
+    const Entry* ent = nullptr;  // current record's routing (null = skip)
     while (lr.next_view(lp, ln)) {
       if (idx == 0) {
         if (ln > 0 && lp[0] == '@')
@@ -527,20 +527,21 @@ bool distribute_sequences(Ctx& c, const std::vector<std::string>& files) {
         size_t tok = 0;
         while (tok < e && !isspace((unsigned char)lp[tok])) ++tok;
         name.assign(lp + 1, tok >= 1 ? tok - 1 : 0);
-        // One lookup per record; the sequence line checks the flag only
-        // (and '+'/quality lines cost nothing but the newline scan).
-        wanted = c.rname.find(name) != c.rname.end();
-      } else if (m == 1 && wanted) {
+        // One lookup per record; the sequence line uses the cached entry
+        // (and '+'/quality lines cost nothing but the newline scan). The
+        // pointer stays valid: c.rname is not mutated during this pass.
+        auto it = c.rname.find(name);
+        ent = (it == c.rname.end()) ? nullptr : &it->second;
+      } else if (m == 1 && ent != nullptr) {
         size_t e = ln;
         while (e > 0 && isspace((unsigned char)lp[e - 1])) --e;
-        const Entry& ent = c.rname.find(name)->second;
-        for (int32_t tid : ent.tint_ids) {
-          FILE* f = pool.get(ent.contig_idx, tid, c.err);
+        for (int32_t tid : ent->tint_ids) {
+          FILE* f = pool.get(ent->contig_idx, tid, c.err);
           if (!f) return false;
           row.clear();
-          append_i64(row, ent.rid);
+          append_i64(row, ent->rid);
           row += "\t";
-          row += c.refs[ent.contig_idx];
+          row += c.refs[ent->contig_idx];
           row += "\t";
           append_i64(row, tid);
           row += "\t";
