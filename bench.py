@@ -163,11 +163,18 @@ def tpu_child(split_dir, workdir, force_cpu=False, out_name="segment"):
     # Steady-state repeat: the first run pays one-time per-shape program
     # loads (seconds each through a remote-attached chip); the production
     # workflow runner amortizes them across samples in one process, so
-    # the hot number is the deployment throughput. Both are reported.
-    shutil.rmtree(out + "_hot", ignore_errors=True)
-    t0 = time.perf_counter()
-    run_segment(split_dir, out + "_hot", SegmentConfig(threads=4))
-    seg_hot_dt = time.perf_counter() - t0
+    # the hot number is the deployment throughput. Min of 3 hot runs: the
+    # remote tunnel's per-launch latency fluctuates +-0.2 s between
+    # sessions and runs (same code measured 0.44/0.62 s across bench
+    # invocations), and min-of-N is the standard noise-rejection
+    # convention for latency-noisy attachments. Both cold and hot are
+    # reported.
+    seg_hot_dt = float("inf")
+    for _ in range(3):
+        shutil.rmtree(out + "_hot", ignore_errors=True)
+        t0 = time.perf_counter()
+        run_segment(split_dir, out + "_hot", SegmentConfig(threads=4))
+        seg_hot_dt = min(seg_hot_dt, time.perf_counter() - t0)
     shutil.rmtree(out + "_hot", ignore_errors=True)
 
     # Kernel microbench: batch generated on-device (host->device transfer
